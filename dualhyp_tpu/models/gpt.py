@@ -1,0 +1,723 @@
+"""Decoder-only GPT with GQA, partial RoPE, and PEFT variants — TPU-native.
+
+Capability parity with the reference model stack (ref: ger/model.py,
+ger/lora.py, ger/adapter.py, ger/adapter_v2.py, ger/relprompt.py), designed
+for XLA rather than translated from torch:
+
+  * parameters are plain pytrees with every per-layer tensor stacked along a
+    leading (n_layer, ...) axis; the forward pass is a single `lax.scan` over
+    depth (one traced block => fast compiles, clean `jax.checkpoint`
+    placement, one sharding rule for all layers)
+  * LoRA / adapter weights are extra leaves in the same tree; trainability is
+    a pytree mask (see `trainable_mask`), not mutable module state
+  * decode uses a fixed-size functional KV cache with per-sequence write
+    positions (static shapes; batched, unlike the reference's batch=1 loop)
+  * weights keep torch's (out_features, in_features) layout and the fused
+    QKV interleaving of the reference checkpoint format, so converted
+    checkpoints load with no re-layout (ref: scripts/convert_hf_checkpoint.py:188-201)
+
+Dtype policy: master params float32; matmuls/activations run in
+`compute_dtype` (bfloat16 by default); norms and softmax accumulate fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dualhyp_tpu.ops.linalg import einsum
+import numpy as np
+
+from dualhyp_tpu.config import GPTConfig
+from dualhyp_tpu.ops import attention as attn_ops
+from dualhyp_tpu.ops import rmsnorm as norm_ops
+from dualhyp_tpu.ops import rope as rope_ops
+from dualhyp_tpu.ops import swiglu as mlp_ops
+
+
+# ---------------------------------------------------------------------------
+# LoRA geometry helpers (fused-QKV layout)
+# ---------------------------------------------------------------------------
+
+def lora_qkv_shapes(cfg: GPTConfig):
+    """Output-row extents of the enabled q/k/v LoRA deltas.
+
+    Matches the reference arithmetic exactly, including its GQA quirk: the
+    delta is laid out as contiguous [q | k | v] blocks over the fused
+    projection even though the base fused weight interleaves heads per query
+    group (ref: ger/lora.py:226-233 — kv block extent is
+    n_embd // q_per_kv). We reproduce the arithmetic so reference-trained
+    LoRA checkpoints give identical outputs.
+    """
+    enable_q, enable_k, enable_v = cfg.enable_lora_qkv
+    kv_embd = cfg.n_embd // cfg.q_per_kv
+    shapes = (
+        cfg.n_embd * enable_q,
+        kv_embd * enable_k,
+        kv_embd * enable_v,
+    )
+    return tuple(s for s in shapes if s)
+
+
+def lora_qkv_row_index(cfg: GPTConfig) -> np.ndarray:
+    """Rows of the fused QKV output that receive the LoRA delta
+    (ref: ger/lora.py:263-269)."""
+    enable_q, enable_k, enable_v = cfg.enable_lora_qkv
+    kv_embd = cfg.n_embd // cfg.q_per_kv
+    rows = []
+    if enable_q:
+        rows.extend(range(0, cfg.n_embd))
+    if enable_k:
+        rows.extend(range(cfg.n_embd, cfg.n_embd + kv_embd))
+    if enable_v:
+        rows.extend(range(cfg.n_embd + kv_embd, cfg.qkv_out_dim))
+    return np.asarray(rows, dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, out_f, in_f, std):
+    return jax.random.normal(key, (out_f, in_f), jnp.float32) * std
+
+
+def _maybe_bias(out_f, enabled):
+    return {"bias": jnp.zeros((out_f,), jnp.float32)} if enabled else {}
+
+
+def _lora_leaves(key, r, out_f, in_f):
+    """A ~ kaiming-uniform(a=sqrt(5)) == U(-1/sqrt(in), 1/sqrt(in)); B = 0
+    (ref: ger/lora.py:144-150)."""
+    bound = 1.0 / math.sqrt(in_f)
+    return {
+        "lora_A": jax.random.uniform(key, (r, in_f), jnp.float32, -bound, bound),
+        "lora_B": jnp.zeros((out_f, r), jnp.float32),
+    }
+
+
+def _adapter_v2_leaves(out_f):
+    return {
+        "adapter_scale": jnp.ones((out_f,), jnp.float32),
+        "adapter_bias": jnp.zeros((out_f,), jnp.float32),
+    }
+
+
+def _norm_leaves(cfg: GPTConfig, shape):
+    leaves = {"scale": jnp.ones(shape, jnp.float32)}
+    if cfg.norm_class == "LayerNorm":
+        leaves["bias"] = jnp.zeros(shape, jnp.float32)
+    return leaves
+
+
+def init(cfg: GPTConfig, key) -> dict:
+    """Random-init parameter tree (normally overwritten by a checkpoint)."""
+    keys = iter(jax.random.split(key, 64))
+    d, L = cfg.n_embd, cfg.n_layer
+    inter = cfg.intermediate_size
+    std = math.sqrt(2.0 / 5 / d)  # GPT-NeoX init (ref: ger/model.py:41-55)
+    proj_std = 1.0 / math.sqrt(d) / cfg.n_layer
+    v = cfg.padded_vocab_size
+
+    def stack(f):
+        return jnp.stack([f(k) for k in jax.random.split(next(keys), L)])
+
+    params = {
+        "wte": {
+            "weight": jax.random.normal(
+                next(keys), (cfg.effective_padded_vocab_size, d), jnp.float32
+            )
+            * std
+        },
+        "ln_f": _norm_leaves(cfg, (d,)),
+    }
+
+    lm_head = {"weight": _linear_init(next(keys), v, d, std)}
+    lm_head.update(_maybe_bias(v, cfg.lm_head_bias))
+    if cfg.lora_head and cfg.lora_r > 0:
+        lm_head.update(_lora_leaves(next(keys), cfg.lora_r, v, d))
+    if cfg.use_adapter_v2:
+        lm_head.update(_adapter_v2_leaves(v))
+    params["lm_head"] = lm_head
+
+    # ---- stacked per-layer params ----
+    qkv = {"weight": stack(lambda k: _linear_init(k, cfg.qkv_out_dim, d, std))}
+    if cfg.bias:
+        qkv["bias"] = jnp.zeros((L, cfg.qkv_out_dim), jnp.float32)
+    if cfg.lora_r > 0 and any(cfg.enable_lora_qkv):
+        n_enabled = sum(cfg.enable_lora_qkv)
+        sum_shapes = sum(lora_qkv_shapes(cfg))
+        bound = 1.0 / math.sqrt(d)
+        qkv["lora_A"] = jax.random.uniform(
+            next(keys), (L, cfg.lora_r * n_enabled, d), jnp.float32, -bound, bound
+        )
+        qkv["lora_B"] = jnp.zeros((L, sum_shapes, cfg.lora_r), jnp.float32)
+    if cfg.use_adapter_v2:
+        qkv["adapter_scale"] = jnp.ones((L, cfg.qkv_out_dim), jnp.float32)
+        qkv["adapter_bias"] = jnp.zeros((L, cfg.qkv_out_dim), jnp.float32)
+
+    def linear_block(out_f, in_f, init_std, with_lora):
+        leaves = {"weight": stack(lambda k: _linear_init(k, out_f, in_f, init_std))}
+        if cfg.bias:
+            leaves["bias"] = jnp.zeros((L, out_f), jnp.float32)
+        if with_lora and cfg.lora_r > 0:
+            bound = 1.0 / math.sqrt(in_f)
+            leaves["lora_A"] = jax.random.uniform(
+                next(keys), (L, cfg.lora_r, in_f), jnp.float32, -bound, bound
+            )
+            leaves["lora_B"] = jnp.zeros((L, out_f, cfg.lora_r), jnp.float32)
+        if cfg.use_adapter_v2:
+            leaves["adapter_scale"] = jnp.ones((L, out_f), jnp.float32)
+            leaves["adapter_bias"] = jnp.zeros((L, out_f), jnp.float32)
+        return leaves
+
+    attn = {
+        "qkv": qkv,
+        "proj": linear_block(d, d, proj_std, cfg.lora_projection),
+    }
+    if cfg.use_adapter:
+        attn["adapter_wte"] = (
+            jax.random.normal(next(keys), (L, cfg.adapter_prompt_length, d)) * std
+        )
+        attn["gating_factor"] = jnp.zeros((L, cfg.n_head), jnp.float32)
+
+    if cfg.mlp_class in ("LLaMAMLP", "GemmaMLP"):
+        mlp = {
+            "fc_1": linear_block(inter, d, std, cfg.lora_mlp),
+            "fc_2": linear_block(inter, d, std, cfg.lora_mlp),
+            "proj": linear_block(d, inter, proj_std, cfg.lora_mlp),
+        }
+    elif cfg.mlp_class == "GptNeoxMLP":
+        mlp = {
+            "fc": linear_block(inter, d, std, cfg.lora_mlp),
+            "proj": linear_block(d, inter, proj_std, cfg.lora_mlp),
+        }
+    else:
+        raise NotImplementedError(
+            f"mlp_class {cfg.mlp_class!r} not implemented (the reference "
+            "declares LLaMAMoE in configs but ships no implementation — "
+            "ref: ger/config.py:57 vs ger/model.py)"
+        )
+
+    blocks = {
+        "norm_1": _norm_leaves(cfg, (L, d)),
+        "attn": attn,
+        "mlp": mlp,
+    }
+    if not cfg.shared_attention_norm:
+        blocks["norm_2"] = _norm_leaves(cfg, (L, d))
+    params["blocks"] = blocks
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Functional layers
+# ---------------------------------------------------------------------------
+
+def _norm(cfg: GPTConfig, leaves, x):
+    if cfg.norm_class == "RMSNorm":
+        return norm_ops.rms_norm(x, leaves["scale"], cfg.norm_eps)
+    return norm_ops.layer_norm(x, leaves["scale"], leaves["bias"], cfg.norm_eps)
+
+
+def _dropout(x, rate, rng):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _apply_linear(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
+    """torch-layout linear with optional LoRA branch and adapter-v2 wrap.
+
+    lora_gate: scalar 0/1 multiplier implementing `lora_start_layer`
+    (ref: ger/lora.py:572-581) under the depth scan.
+    """
+    y = mlp_ops.linear(x, leaves["weight"], leaves.get("bias"))
+    if "lora_A" in leaves:
+        a = leaves["lora_A"].astype(x.dtype)
+        b = leaves["lora_B"].astype(x.dtype)
+        xin = _dropout(x, cfg.lora_dropout, rng)
+        delta = einsum("...d,rd->...r", xin, a)
+        delta = einsum("...r,or->...o", delta, b) * cfg.lora_scaling
+        if lora_gate is not None:
+            delta = delta * lora_gate
+        y = y + delta
+    if "adapter_scale" in leaves:
+        y = (y + leaves["adapter_bias"].astype(y.dtype)) * leaves[
+            "adapter_scale"
+        ].astype(y.dtype)
+    return y
+
+
+def _apply_qkv(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
+    """Fused QKV projection with the reference's LoRA arithmetic.
+
+    The LoRA delta computes per-enabled-matrix blocks (the reference's
+    grouped-conv1d trick, ref: ger/lora.py:314-347) laid out [q | k | v] and
+    scattered into the fused output rows via `lora_qkv_row_index`
+    (zero-padding, ref: ger/lora.py:272-312).
+    """
+    y = mlp_ops.linear(x, leaves["weight"], leaves.get("bias"))
+    if "lora_A" in leaves:
+        shapes = lora_qkv_shapes(cfg)
+        n_enabled = len(shapes)
+        r = cfg.lora_r
+        a = leaves["lora_A"].astype(x.dtype)  # (n_enabled*r, D)
+        b = leaves["lora_B"].astype(x.dtype)  # (sum(shapes), r)
+        xin = _dropout(x, cfg.lora_dropout, rng)
+        after_a = einsum("...d,rd->...r", xin, a)  # (..., n_enabled*r)
+        outs = []
+        row = 0
+        for i, extent in enumerate(shapes):
+            b_i = jax.lax.slice_in_dim(b, row, row + extent, axis=0)
+            a_i = after_a[..., i * r : (i + 1) * r]
+            outs.append(einsum("...r,or->...o", a_i, b_i))
+            row += extent
+        delta = jnp.concatenate(outs, axis=-1) * cfg.lora_scaling
+        if all(cfg.enable_lora_qkv):
+            padded = delta
+        else:
+            rows = jnp.asarray(lora_qkv_row_index(cfg))
+            padded = (
+                jnp.zeros(y.shape, y.dtype).at[..., rows].set(delta.astype(y.dtype))
+            )
+        if lora_gate is not None:
+            padded = padded * lora_gate
+        y = y + padded.astype(y.dtype)
+    if "adapter_scale" in leaves:
+        y = (y + leaves["adapter_bias"].astype(y.dtype)) * leaves[
+            "adapter_scale"
+        ].astype(y.dtype)
+    return y
+
+
+def _split_heads(cfg: GPTConfig, qkv):
+    """(B, T, QKV) -> q (B, Hq, T, D), k (B, G, T, D), v (B, G, T, D).
+
+    The fused layout interleaves per query group: [q*q_per_kv, k, v]
+    (ref: ger/model.py:215-231)."""
+    b, t, _ = qkv.shape
+    g, qpk, hs = cfg.n_query_groups, cfg.q_per_kv, cfg.head_size
+    qkv = qkv.reshape(b, t, g, qpk + 2, hs)
+    q = qkv[:, :, :, :qpk].reshape(b, t, g * qpk, hs).transpose(0, 2, 1, 3)
+    k = qkv[:, :, :, qpk].transpose(0, 2, 1, 3)
+    v = qkv[:, :, :, qpk + 1].transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _mlp(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
+    rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+    if cfg.mlp_class in ("LLaMAMLP", "GemmaMLP"):
+        gate = "silu" if cfg.mlp_class == "LLaMAMLP" else "gelu"
+        if not any(k in leaves["fc_1"] for k in ("lora_A", "adapter_scale")):
+            return mlp_ops.swiglu_mlp(
+                x,
+                leaves["fc_1"]["weight"],
+                leaves["fc_2"]["weight"],
+                leaves["proj"]["weight"],
+                leaves["fc_1"].get("bias"),
+                leaves["fc_2"].get("bias"),
+                leaves["proj"].get("bias"),
+                gate=gate,
+            )
+        act = jax.nn.silu if gate == "silu" else (lambda z: jax.nn.gelu(z, approximate=True))
+        h1 = _apply_linear(cfg, leaves["fc_1"], x, lora_gate=lora_gate, rng=rngs[0])
+        h2 = _apply_linear(cfg, leaves["fc_2"], x, lora_gate=lora_gate, rng=rngs[1])
+        h = act(h1) * h2
+        return _apply_linear(cfg, leaves["proj"], h, lora_gate=lora_gate, rng=rngs[2])
+    # GptNeoxMLP
+    h = _apply_linear(cfg, leaves["fc"], x, lora_gate=lora_gate, rng=rngs[0])
+    h = jax.nn.gelu(h, approximate=(cfg.gelu_approximate == "tanh"))
+    return _apply_linear(cfg, leaves["proj"], h, lora_gate=lora_gate, rng=rngs[1])
+
+
+def _adapter_attention(cfg: GPTConfig, attn_leaves, q, layer_gate):
+    """LLaMA-Adapter v1 prefix attention (ref: ger/adapter.py:116-146).
+
+    q: (B, Hq, T, D) post-RoPE queries. The learned prefix is projected
+    through the block's own QKV weights (no RoPE, matching the reference),
+    attended with a full (non-causal) mask, and gated per head by the
+    zero-initialised gating factor. Returns (B, Hq, T, D)."""
+    prefix = attn_leaves["adapter_wte"][None].astype(q.dtype)  # (1, aT, D)
+    aqkv = _apply_qkv(cfg, attn_leaves["qkv"], prefix)
+    _, ak, av = _split_heads(cfg, aqkv)  # (1, G, aT, D)
+    b = q.shape[0]
+    ak = jnp.broadcast_to(ak, (b,) + ak.shape[1:])
+    av = jnp.broadcast_to(av, (b,) + av.shape[1:])
+    ay = _full_prefix_attention(q, ak, av, cfg)
+    gating = attn_leaves["gating_factor"].astype(q.dtype)  # (Hq,)
+    return ay * gating[None, :, None, None] * layer_gate
+
+
+def _full_prefix_attention(q, ak, av, cfg: GPTConfig):
+    b, hq, t, d = q.shape
+    g = ak.shape[1]
+    qg = q.reshape(b, g, hq // g, t, d)
+    scale = 1.0 / math.sqrt(cfg.head_size)
+    logits = einsum(
+        "bgqtd,bgsd->bgqts", qg.astype(jnp.float32), ak.astype(jnp.float32)
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = einsum("bgqts,bgsd->bgqtd", probs, av)
+    return out.reshape(b, hq, t, d)
+
+
+# ---------------------------------------------------------------------------
+# Block + full forward
+# ---------------------------------------------------------------------------
+
+def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
+           cache_kv=None, positions=None, kv_length=None):
+    """One transformer block. Returns (x, new_cache_kv).
+
+    cache_kv: optional (k, v) of shape (B, G, S, D) for decode; positions:
+    (B,) per-sequence write slots; kv_length: (B,) valid-cache extents.
+    """
+    lora_gate = (layer_idx >= cfg.lora_start_layer).astype(x.dtype)
+    adapter_gate = (layer_idx >= cfg.adapter_start_layer).astype(x.dtype)
+    rngs = jax.random.split(rng, 4) if rng is not None else (None,) * 4
+
+    n1 = _norm(cfg, leaves["norm_1"], x)
+    qkv = _apply_qkv(cfg, leaves["attn"]["qkv"], n1, lora_gate=lora_gate, rng=rngs[0])
+    q, k, v = _split_heads(cfg, qkv)
+
+    t = x.shape[1]
+    if positions is None:
+        q = rope_ops.apply_rope(q, cos[:t], sin[:t])
+        k = rope_ops.apply_rope(k, cos[:t], sin[:t])
+    else:
+        # per-sequence positions (decode): gather rope rows per batch element
+        cos_b = jnp.take(cos, positions, axis=0)[:, None, :]  # (B, 1, n_elem)
+        sin_b = jnp.take(sin, positions, axis=0)[:, None, :]
+        q = rope_ops.apply_rope(q, cos_b[:, None], sin_b[:, None])
+        k = rope_ops.apply_rope(k, cos_b[:, None], sin_b[:, None])
+
+    new_cache = None
+    if cache_kv is None:
+        y = attn_ops.causal_attention(q, k, v)
+    else:
+        ck, cv = cache_kv
+        if t == 1:
+            # scatter this step's k/v into per-sequence slots
+            def write(c, new):
+                def upd(c_b, new_b, pos_b):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        c_b, new_b.astype(c_b.dtype), pos_b, axis=1
+                    )
+                return jax.vmap(upd)(c, new, positions)
+            ck = write(ck, k)
+            cv = write(cv, v)
+            y = attn_ops.decode_attention(q, ck, cv, kv_length)
+        else:
+            # prefill: write the whole prompt at slot 0 and run causal attn
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+            y = attn_ops.causal_attention(q, k, v)
+        new_cache = (ck, cv)
+
+    if cfg.use_adapter and "adapter_wte" in leaves["attn"]:
+        y = y + _adapter_attention(cfg, leaves["attn"], q, adapter_gate)
+
+    b = x.shape[0]
+    y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_head * cfg.head_size)
+    h = _apply_linear(cfg, leaves["attn"]["proj"], y, lora_gate=lora_gate, rng=rngs[1])
+
+    if cfg.parallel_residual:
+        n2 = n1 if cfg.shared_attention_norm else _norm(cfg, leaves["norm_2"], x)
+        x = x + h + _mlp(cfg, leaves["mlp"], n2, lora_gate=lora_gate, rng=rngs[2])
+    else:
+        x = x + h
+        n2 = _norm(cfg, leaves["norm_2"], x)
+        x = x + _mlp(cfg, leaves["mlp"], n2, lora_gate=lora_gate, rng=rngs[3])
+    return x, new_cache
+
+
+def rope_cache(cfg: GPTConfig, dtype=jnp.bfloat16):
+    return rope_ops.build_rope_cache(
+        cfg.block_size,
+        cfg.rope_n_elem,
+        base=cfg.rope_base,
+        condense_ratio=cfg.rope_condense_ratio,
+        dtype=dtype,
+    )
+
+
+def _embed(cfg: GPTConfig, params, idx, compute_dtype):
+    x = jnp.take(params["wte"]["weight"], idx, axis=0).astype(compute_dtype)
+    if cfg.scale_embeddings:
+        x = x * jnp.asarray(math.sqrt(cfg.n_embd), compute_dtype)
+    return x
+
+
+def _head(cfg: GPTConfig, params, x, rng=None):
+    return _apply_linear(cfg, params["lm_head"], x, rng=rng)
+
+
+def forward(
+    params: dict,
+    cfg: GPTConfig,
+    idx,
+    *,
+    rng=None,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    return_hidden: bool = False,
+):
+    """Training / evaluation forward pass (no cache). idx: (B, T) int32.
+
+    Returns logits (B, T, padded_vocab) in float32, or the final hidden
+    states when `return_hidden` (for fused chunked cross entropy).
+    """
+    b, t = idx.shape
+    assert t <= cfg.block_size, f"sequence {t} exceeds block_size {cfg.block_size}"
+    x = _embed(cfg, params, idx, compute_dtype)
+    cos, sin = rope_cache(cfg, compute_dtype)
+
+    layer_ids = jnp.arange(cfg.n_layer)
+    rngs = jax.random.split(rng, cfg.n_layer) if rng is not None else None
+
+    def body(carry, scanned):
+        if rngs is None:
+            leaves, lid = scanned
+            layer_rng = None
+        else:
+            leaves, lid, layer_rng = scanned
+        out, _ = _block(cfg, leaves, carry, cos, sin, lid, rng=layer_rng)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    xs = (params["blocks"], layer_ids) if rngs is None else (
+        params["blocks"], layer_ids, rngs
+    )
+    x, _ = jax.lax.scan(body, x, xs)
+
+    x = _norm(cfg, params["ln_f"], x)
+    if return_hidden:
+        return x
+    return _head(cfg, params, x).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode path
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: GPTConfig, batch_size: int, max_seq: int, dtype=jnp.bfloat16):
+    """Fixed-size per-layer KV cache stacked over depth: (L, B, G, S, D).
+
+    Stores only the `n_query_groups` KV heads (the reference expands to all
+    query heads before caching, ref: ger/model.py:132-151 — storing groups
+    cuts cache HBM by q_per_kv x)."""
+    shape = (cfg.n_layer, batch_size, cfg.n_query_groups, max_seq, cfg.head_size)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill(
+    params: dict,
+    cfg: GPTConfig,
+    idx,
+    lengths,
+    cache: dict,
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Run the full (right-padded) prompt, fill the cache, and return the
+    logits at each sequence's last valid token. idx: (B, T); lengths: (B,).
+
+    Returns (next_logits (B, V) fp32, cache)."""
+    b, t = idx.shape
+    x = _embed(cfg, params, idx, compute_dtype)
+    cos, sin = rope_cache(cfg, compute_dtype)
+
+    layer_ids = jnp.arange(cfg.n_layer)
+
+    def body(carry, scanned):
+        leaves, lid, ck, cv = scanned
+        out, new_cache = _block(
+            cfg, leaves, carry, cos, sin, lid, cache_kv=(ck, cv)
+        )
+        return out, new_cache
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["blocks"], layer_ids, cache["k"], cache["v"])
+    )
+    x = _norm(cfg, params["ln_f"], x)
+    # gather hidden state at the last valid prompt token per sequence
+    last = jnp.take_along_axis(
+        x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = _head(cfg, params, last).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+def decode_step(
+    params: dict,
+    cfg: GPTConfig,
+    token,
+    positions,
+    cache: dict,
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """One autoregressive step. token: (B,) int32; positions: (B,) int32 slot
+    to write (== tokens so far per sequence). Returns (logits (B, V), cache)."""
+    x = _embed(cfg, params, token[:, None], compute_dtype)
+    cos, sin = rope_cache(cfg, compute_dtype)
+    kv_length = positions + 1
+
+    layer_ids = jnp.arange(cfg.n_layer)
+
+    def body(carry, scanned):
+        leaves, lid, ck, cv = scanned
+        out, new_cache = _block(
+            cfg,
+            leaves,
+            carry,
+            cos,
+            sin,
+            lid,
+            cache_kv=(ck, cv),
+            positions=positions,
+            kv_length=kv_length,
+        )
+        return out, new_cache
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["blocks"], layer_ids, cache["k"], cache["v"])
+    )
+    x = _norm(cfg, params["ln_f"], x)
+    logits = _head(cfg, params, x[:, 0]).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+# ---------------------------------------------------------------------------
+# Trainability masks and adapter filters
+# ---------------------------------------------------------------------------
+
+def _path_str(path) -> str:
+    return "/".join(
+        p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
+    )
+
+
+def trainable_mask(params: dict, cfg: GPTConfig) -> dict:
+    """Pytree of bools: which leaves train.
+
+    Equivalent to the reference's requires_grad marking:
+      - LoRA: leaves named lora_* (ref: ger/lora.py:405-439)
+      - adapter v1: adapter_wte / gating_factor (ref: ger/adapter.py:158-165)
+      - adapter v2: + adapter_scale/adapter_bias + all norms
+        (ref: ger/adapter_v2.py:31-43)
+      - RelPrompt: + noise classifier subtrees + appended embedding rows
+        (ref: ger/relprompt.py:79-119)
+    """
+
+    def leaf_trainable(path, leaf):
+        p = _path_str(path)
+        if "lora_A" in p or "lora_B" in p:
+            return True
+        if cfg.use_adapter and ("adapter_wte" in p or "gating_factor" in p):
+            return True
+        if cfg.use_adapter_v2 and (
+            "adapter_scale" in p
+            or "adapter_bias" in p
+            or "norm_1" in p
+            or "norm_2" in p
+            or p.startswith("ln_f")
+        ):
+            return True
+        if "noise_classifier" in p or "audio_proj" in p or "visual_proj" in p:
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(leaf_trainable, params)
+
+
+def full_finetune_mask(params: dict) -> dict:
+    return jax.tree_util.tree_map(lambda _: True, params)
+
+
+def adapter_only(params: dict, cfg: GPTConfig) -> dict:
+    """Subtree of PEFT-only weights (== lora_filter/adapter_filter checkpoint
+    dicts, ref: ger/lora.py:442, ger/adapter.py:164)."""
+    mask = trainable_mask(params, cfg)
+    return jax.tree_util.tree_map(
+        lambda leaf, m: leaf if m else None, params, mask
+    )
+
+
+def merge_lora(params: dict, cfg: GPTConfig) -> dict:
+    """Fold LoRA deltas into base weights (ref: ger/lora.py:349-365,707-711).
+
+    Returns a new tree whose lora_B leaves are zeroed (so forward output is
+    unchanged whether or not the lora branch is applied afterwards).
+    Respects `lora_start_layer` gating.
+    """
+    new = jax.tree_util.tree_map(lambda x: x, params)  # shallow-copy leaves
+
+    def gate_vec(extra_dims):
+        g = (np.arange(cfg.n_layer) >= cfg.lora_start_layer).astype(np.float32)
+        return jnp.asarray(g).reshape((cfg.n_layer,) + (1,) * extra_dims)
+
+    def merge_plain(leaves):
+        if "lora_A" not in leaves:
+            return leaves
+        a, b = leaves["lora_A"], leaves["lora_B"]
+        if a.ndim == 3:  # stacked (L, r, in)
+            delta = einsum("lor,lri->loi", b, a) * cfg.lora_scaling
+            delta = delta * gate_vec(2)
+        else:
+            delta = (b @ a) * cfg.lora_scaling
+        out = dict(leaves)
+        out["weight"] = leaves["weight"] + delta
+        out["lora_B"] = jnp.zeros_like(b)
+        return out
+
+    def merge_qkv(leaves):
+        if "lora_A" not in leaves:
+            return leaves
+        shapes = lora_qkv_shapes(cfg)
+        r = cfg.lora_r
+        a, b = leaves["lora_A"], leaves["lora_B"]  # (L, n*r, in), (L, sum, r)
+        outs = []
+        row = 0
+        for i, extent in enumerate(shapes):
+            b_i = b[:, row : row + extent]
+            a_i = a[:, i * r : (i + 1) * r]
+            outs.append(einsum("lor,lri->loi", b_i, a_i))
+            row += extent
+        delta = jnp.concatenate(outs, axis=1) * cfg.lora_scaling
+        if not all(cfg.enable_lora_qkv):
+            rows = jnp.asarray(lora_qkv_row_index(cfg))
+            full = jnp.zeros_like(leaves["weight"])
+            delta = full.at[:, rows].set(delta)
+        delta = delta * gate_vec(2)
+        out = dict(leaves)
+        out["weight"] = leaves["weight"] + delta
+        out["lora_B"] = jnp.zeros_like(b)
+        return out
+
+    blocks = dict(new["blocks"])
+    attn = dict(blocks["attn"])
+    attn["qkv"] = merge_qkv(dict(attn["qkv"]))
+    attn["proj"] = merge_plain(dict(attn["proj"]))
+    blocks["attn"] = attn
+    mlp = {k: merge_plain(dict(v)) for k, v in blocks["mlp"].items()}
+    blocks["mlp"] = mlp
+    new["blocks"] = blocks
+    if "lora_A" in new["lm_head"]:
+        new["lm_head"] = merge_plain(dict(new["lm_head"]))
+    return new
+
+
+def count_params(params, mask=None):
+    leaves = jax.tree_util.tree_leaves(params)
+    if mask is None:
+        return sum(int(np.prod(l.shape)) for l in leaves)
+    flags = jax.tree_util.tree_leaves(mask)
+    return sum(int(np.prod(l.shape)) for l, m in zip(leaves, flags) if m)

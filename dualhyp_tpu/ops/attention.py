@@ -1,0 +1,88 @@
+"""Causal grouped-query attention.
+
+Replaces the reference's flash-attn-2 / torch-SDPA fast path
+(ref: ger/model.py:270-290). Scale is 1/sqrt(head_size) like the reference.
+
+Two entry points:
+  - `causal_attention`: training / prefill path, full (B, Hq, T, D) inputs,
+    K/V carry only the `n_query_groups` heads (no host-side head expansion —
+    the GQA broadcast happens inside the kernel / einsum, saving HBM traffic
+    versus the reference's `expand` before SDPA, ref: ger/model.py:225-227).
+  - `decode_attention`: single-step path against a fixed-size KV cache with a
+    length mask (static shapes for the TPU while_loop decoder).
+
+Softmax runs in float32 (matching SDPA's fp32 softmax accumulation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from dualhyp_tpu.ops.linalg import einsum
+
+from dualhyp_tpu.ops import backend
+
+NEG_INF = float("-inf")
+
+
+def _gqa_logits(q, k, scale):
+    """q: (B, G, Qh, Tq, D), k: (B, G, 1, Tk, D) -> (B, G, Qh, Tq, Tk)."""
+    return einsum(
+        "bgqtd,bgksd->bgqts", q, jnp.broadcast_to(k, k.shape)) * scale
+
+
+def _group(q, k, v, n_query_groups):
+    b, hq, t, d = q.shape
+    q = q.reshape(b, n_query_groups, hq // n_query_groups, t, d)
+    k = k[:, :, None]  # (B, G, 1, Tk, D)
+    v = v[:, :, None]
+    return q, k, v
+
+
+def _causal_attention_xla(q, k, v, scale):
+    b, hq, tq, d = q.shape
+    g = k.shape[1]
+    qg, kg, vg = _group(q, k, v, g)
+    logits = _gqa_logits(qg.astype(jnp.float32), kg.astype(jnp.float32), scale)
+    tk = k.shape[2]
+    causal = jnp.tril(jnp.ones((tq, tk), dtype=bool), k=tk - tq)
+    logits = jnp.where(causal[None, None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = einsum("bgqts,bgksd->bgqtd", probs, jnp.broadcast_to(vg, vg.shape))
+    return out.reshape(b, hq, tq, d)
+
+
+def causal_attention(q, k, v, scale: float | None = None):
+    """q: (B, Hq, T, D); k, v: (B, G, T, D) with G = n_query_groups."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if backend.get_backend() == "pallas":
+        from dualhyp_tpu.ops.pallas import flash_attention
+
+        return flash_attention.causal_attention(q, k, v, scale)
+    return _causal_attention_xla(q, k, v, scale)
+
+
+def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None):
+    """One decode step against a fixed-size cache.
+
+    q: (B, Hq, 1, D); k_cache, v_cache: (B, G, S, D); kv_length: (B,) int —
+    number of valid cache slots per sequence (positions >= kv_length masked).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, hq, _, d = q.shape
+    g = k_cache.shape[1]
+    s = k_cache.shape[2]
+    qg = q.reshape(b, g, hq // g, 1, d)
+    logits = einsum(
+        "bgqtd,bgsd->bgqts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+    ) * scale
+    valid = jnp.arange(s)[None, :] < kv_length[:, None]  # (B, S)
+    logits = jnp.where(valid[:, None, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = einsum("bgqts,bgsd->bgqtd", probs, v_cache)
+    return out.reshape(b, hq, 1, d)
