@@ -1,0 +1,102 @@
+"""Static-shape batching for XLA.
+
+The reference pads each batch to its own max length (ref:
+data/av_dataset.py:269-275), which would force one XLA compilation per
+distinct length. Here batches pad to bucket boundaries so a handful of
+compiled programs cover the whole dataset. Pad values follow the reference
+(ids -> 0, labels -> -1).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+IGNORE_INDEX = -1
+DEFAULT_BUCKETS = (64, 128, 192, 256, 384, 512, 640, 768, 896, 1024)
+
+
+def bucket_length(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def pad_batch(examples, buckets: Sequence[int] = DEFAULT_BUCKETS,
+              max_len: int | None = None) -> dict:
+    """Pack PackedExamples into fixed-shape numpy arrays.
+
+    Sequences longer than the top bucket (or `max_len`) are truncated, like
+    the reference's max_input_length clamp (ref: av_dataset.py:138-140).
+    """
+    longest = max(len(e.input_ids) for e in examples)
+    target = bucket_length(longest, buckets)
+    if max_len is not None:
+        target = min(target, max_len)
+    b = len(examples)
+    input_ids = np.zeros((b, target), np.int32)
+    labels = np.full((b, target), IGNORE_INDEX, np.int32)
+    lengths = np.zeros((b,), np.int32)
+    prompt_lengths = np.zeros((b,), np.int32)
+    for i, ex in enumerate(examples):
+        ids = ex.input_ids[:target]
+        lab = ex.labels[:target]
+        input_ids[i, : len(ids)] = ids
+        labels[i, : len(lab)] = lab
+        lengths[i] = len(ids)
+        prompt_lengths[i] = min(len(ex.input_ids_no_response), target)
+    return {
+        "input_ids": input_ids,
+        "labels": labels,
+        "lengths": lengths,
+        "prompt_lengths": prompt_lengths,
+        "uids": [e.uid for e in examples],
+        "ground_truths": [e.ground_truth for e in examples],
+        "examples": examples,
+    }
+
+
+def epoch_batches(dataset, batch_size: int, *, shuffle: bool, seed: int,
+                  epoch: int, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                  drop_last: bool = False,
+                  length_sorted: bool = False) -> Iterable[dict]:
+    """Yield padded batches for one epoch.
+
+    `length_sorted=True` groups similarly-sized examples (after a seeded
+    shuffle of group order) to minimise padding waste — a TPU-side
+    improvement over the reference's unsorted sampler.
+    """
+    order = list(range(len(dataset)))
+    rng = random.Random(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+    examples = [dataset[i] for i in order]
+    if length_sorted:
+        examples.sort(key=lambda e: len(e.input_ids))
+        chunks = [
+            examples[i : i + batch_size] for i in range(0, len(examples), batch_size)
+        ]
+        rng.shuffle(chunks)
+        flat: List = [e for chunk in chunks for e in chunk]
+        examples = flat
+    for i in range(0, len(examples), batch_size):
+        chunk = examples[i : i + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            break
+        if len(chunk) < batch_size:
+            # repeat-pad the final partial batch to keep shapes static;
+            # repeated examples carry zero loss weight via labels
+            pad = [chunk[-1]] * (batch_size - len(chunk))
+            batch = pad_batch(chunk + pad, buckets)
+            batch["labels"][len(chunk):] = IGNORE_INDEX  # no loss on repeats
+            batch["valid"] = np.asarray(
+                [1] * len(chunk) + [0] * (batch_size - len(chunk)), np.int32
+            )
+            yield batch
+            continue
+        batch = pad_batch(chunk, buckets)
+        batch["valid"] = np.ones((batch_size,), np.int32)
+        yield batch
