@@ -1,0 +1,15 @@
+from dualhyp_tpu.parallel.mesh import make_mesh
+from dualhyp_tpu.parallel.sharding import (
+    batch_sharding,
+    param_shardings,
+    replicated,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "param_shardings",
+    "replicated",
+    "shard_params",
+]

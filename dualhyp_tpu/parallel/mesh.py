@@ -1,0 +1,38 @@
+"""Device mesh construction.
+
+One mesh with (data, fsdp, tensor) axes replaces the reference's Lightning
+strategy selection (DDP / FSDP / XLAStrategy, ref: finetune/ger.py:60-78):
+  * pure DP            -> mesh (n, 1, 1)
+  * ZeRO-3-style FSDP  -> mesh (1, n, 1) (params sharded over `fsdp`)
+  * tensor parallel    -> `tensor` axis for the >7B registry configs
+The batch shards over data x fsdp; XLA inserts the all-gathers /
+reduce-scatters that FSDP does manually in torch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    fsdp: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
+        data = n // (fsdp * tensor)
+    assert data * fsdp * tensor == n, (
+        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+    )
+    grid = np.asarray(devices).reshape(data, fsdp, tensor)
+    return Mesh(grid, AXES)

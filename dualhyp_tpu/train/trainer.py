@@ -1,0 +1,328 @@
+"""Training harness: jitted train step, grad accumulation, LR schedule.
+
+Capability parity with the reference trainer (ref: finetune/ger.py:212-329)
+in TPU-native form:
+
+  * one `jit`-compiled train step per bucket shape; the step runs
+    forward+backward+update on device with donated state (no per-step host
+    sync, no `xm.mark_step()`)
+  * gradient accumulation is a `lax.scan` over micro-batches inside the step
+    (== `fabric.no_backward_sync` loop, ref: finetune/ger.py:277-292), and,
+    unlike the reference's fixed micro_batch_size=1, the micro batch can be
+    sized to fill the chip
+  * trainable/frozen split via pytree partition: gradients exist only for
+    the trainable subtree (== mark_only_lora_as_trainable)
+  * LR schedule: linear warmup then constant or cosine, evaluated in
+    micro-iteration units exactly like the reference's manual loop
+    (ref: finetune/ger.py:254-270)
+  * loss: fused lm-head chunked CE on shifted targets, with the reference's
+    mean-over-all-tokens training normalisation
+    (ref: finetune/ger.py:278-281)
+  * data parallel / FSDP via mesh shardings; gradients reduce through XLA
+    collectives inserted by jit
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dualhyp_tpu.config import GPTConfig
+from dualhyp_tpu.models import gpt
+from dualhyp_tpu.ops.cross_entropy import chunked_cross_entropy
+
+
+# ---------------------------------------------------------------------------
+# pytree partition/combine (trainable vs frozen)
+# ---------------------------------------------------------------------------
+
+def partition(params, mask):
+    trainable = jax.tree_util.tree_map(
+        lambda p, m: p if m else None, params, mask
+    )
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def combine(trainable, frozen):
+    return jax.tree_util.tree_map(
+        lambda a, b: a if a is not None else b,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LR schedule (micro-iteration units, ref: finetune/ger.py:254-270)
+# ---------------------------------------------------------------------------
+
+def lr_at_step(step, *, base_lr, warmup_steps, max_iters,
+               use_cosine=False, min_lr_ratio=0.01):
+    step = jnp.asarray(step, jnp.float32)
+    warm = base_lr * step / jnp.maximum(warmup_steps, 1)
+    if use_cosine:
+        progress = (step - warmup_steps) / jnp.maximum(max_iters - warmup_steps, 1)
+        progress = jnp.clip(progress, 0.0, 1.0)
+        min_lr = base_lr * min_lr_ratio
+        after = min_lr + (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * progress)) / 2
+    else:
+        after = jnp.asarray(base_lr, jnp.float32)
+    return jnp.where(step <= warmup_steps, warm, after)
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.02
+    batch_size: int = 32          # global batch (optimizer step granularity)
+    micro_batch_size: int = 8     # per-device-step batch
+    num_epochs: int = 5
+    warmup_fraction: float = 0.2  # of one epoch (== --wp)
+    use_cosine: bool = False
+    min_lr_ratio: float = 0.01
+    max_input_length: int = 1024
+    lm_head_chunk_size: int = 128
+    log_interval: int = 100
+    save_interval: int = 10000
+    seed: int = 1337
+    compute_dtype: str = "bfloat16"
+    frozen_dtype: str = ""  # e.g. "bfloat16": store frozen base weights low-p
+    remat: bool = False
+    reference_loss_norm: bool = True  # mean-over-all-tokens training quirk
+    mode: str = "lora"  # lora | adapter | adapter_v2 | full
+
+    @property
+    def grad_accum(self) -> int:
+        assert self.batch_size % self.micro_batch_size == 0
+        return self.batch_size // self.micro_batch_size
+
+
+def make_optimizer(cfg: TrainConfig):
+    """AdamW with injected per-step LR (torch defaults: betas .9/.999,
+    eps 1e-8; decay on every trainable param, ref: finetune/ger.py:132)."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.adamw(
+            learning_rate,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=cfg.weight_decay,
+        )
+    )(learning_rate=cfg.learning_rate)
+
+
+def select_mask(params, model_cfg: GPTConfig, mode: str):
+    if mode == "full":
+        return gpt.full_finetune_mask(params)
+    return gpt.trainable_mask(params, model_cfg)
+
+
+class Trainer:
+    """Drives epochs over host batches; owns jitted step functions."""
+
+    def __init__(
+        self,
+        model_cfg: GPTConfig,
+        train_cfg: TrainConfig,
+        params,
+        mesh=None,
+        monitor=None,
+        logger=None,
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.monitor = monitor
+        self.logger = logger
+
+        mask = select_mask(params, model_cfg, train_cfg.mode)
+        self.trainable, self.frozen = partition(params, mask)
+        if train_cfg.frozen_dtype:
+            # frozen weights never update; storing them at compute precision
+            # halves HBM and removes the per-step fp32->bf16 cast
+            fdt = jnp.dtype(train_cfg.frozen_dtype)
+            self.frozen = jax.tree_util.tree_map(
+                lambda x: x.astype(fdt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                self.frozen,
+            )
+        self.optimizer = make_optimizer(train_cfg)
+        self.opt_state = self.optimizer.init(self.trainable)
+        self.micro_iter = 0  # reference counts micro-iterations
+        self._compute_dtype = jnp.dtype(train_cfg.compute_dtype)
+
+        self._step_fn = self._build_step()
+        self._eval_fn = self._build_eval()
+
+    # ---- loss ----
+    def _loss(self, trainable, frozen, input_ids, labels, rng):
+        params = combine(trainable, jax.lax.stop_gradient(frozen))
+        hidden = gpt.forward(
+            params,
+            self.model_cfg,
+            input_ids,
+            rng=rng,
+            compute_dtype=self._compute_dtype,
+            remat=self.cfg.remat,
+            return_hidden=True,
+        )
+        # shift: logits[t] predicts labels[t+1] (ref: finetune/ger.py:279-281)
+        hidden = hidden[:, :-1]
+        targets = labels[:, 1:]
+        lm_head = params["lm_head"]
+        if "lora_A" in lm_head or "adapter_scale" in lm_head:
+            # lora_head / adapter-v2 heads need the full head transform
+            from dualhyp_tpu.models.gpt import _head
+            from dualhyp_tpu.ops.cross_entropy import cross_entropy
+
+            logits = _head(self.model_cfg, params, hidden)
+            return cross_entropy(
+                logits, targets, mean_all_tokens=self.cfg.reference_loss_norm
+            )
+        return chunked_cross_entropy(
+            hidden,
+            lm_head["weight"],
+            targets,
+            chunk_size=self.cfg.lm_head_chunk_size,
+            lm_head_b=lm_head.get("bias"),
+            mean_all_tokens=self.cfg.reference_loss_norm,
+        )
+
+    def _build_step(self):
+        cfg = self.cfg
+        optimizer = self.optimizer
+
+        def step(trainable, frozen, opt_state, batch_ids, batch_labels, lr, rng):
+            """batch_ids: (accum, micro, T)."""
+
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                ids, labels, key = xs
+                loss, grads = jax.value_and_grad(self._loss)(
+                    trainable, frozen, ids, labels, key
+                )
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, g: a + g, grads_acc, grads
+                )
+                return (grads_acc, loss_acc + loss), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+            keys = jax.random.split(rng, batch_ids.shape[0])
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, (zeros, jnp.float32(0.0)), (batch_ids, batch_labels, keys)
+            )
+            accum = batch_ids.shape[0]
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            return trainable, opt_state, loss_sum / accum
+
+        return jax.jit(step, donate_argnums=(0, 2))
+
+    def _build_eval(self):
+        def eval_loss(trainable, frozen, input_ids, labels):
+            params = combine(trainable, frozen)
+            hidden = gpt.forward(
+                params,
+                self.model_cfg,
+                input_ids,
+                compute_dtype=self._compute_dtype,
+                return_hidden=True,
+            )
+            hidden = hidden[:, :-1]
+            targets = labels[:, 1:]
+            lm_head = params["lm_head"]
+            # validation uses the proper valid-token mean, chunk_size=0
+            # (ref: finetune/ger.py:346)
+            if "lora_A" in lm_head or "adapter_scale" in lm_head:
+                from dualhyp_tpu.models.gpt import _head
+                from dualhyp_tpu.ops.cross_entropy import cross_entropy
+
+                loss = cross_entropy(_head(self.model_cfg, params, hidden), targets)
+            else:
+                loss = chunked_cross_entropy(
+                    hidden,
+                    lm_head["weight"],
+                    targets,
+                    chunk_size=0,
+                    lm_head_b=lm_head.get("bias"),
+                    mean_all_tokens=False,
+                )
+            valid = (targets != -1).sum()
+            return loss, valid
+
+        return jax.jit(eval_loss)
+
+    # ---- schedule ----
+    def _lr(self, max_iters, warmup_steps):
+        return float(
+            lr_at_step(
+                self.micro_iter,
+                base_lr=self.cfg.learning_rate,
+                warmup_steps=warmup_steps,
+                max_iters=max_iters,
+                use_cosine=self.cfg.use_cosine,
+                min_lr_ratio=self.cfg.min_lr_ratio,
+            )
+        )
+
+    # ---- public API ----
+    def train_step(self, batch, max_iters, warmup_steps, rng):
+        """One optimizer step over a superbatch dict from collate.
+
+        batch['input_ids'] has shape (accum*micro, T)."""
+        accum = self.cfg.grad_accum
+        ids = batch["input_ids"].reshape(accum, self.cfg.micro_batch_size, -1)
+        labels = batch["labels"].reshape(accum, self.cfg.micro_batch_size, -1)
+        ids, labels = jnp.asarray(ids), jnp.asarray(labels)
+        if self.mesh is not None:
+            # micro-batch dim shards over data x fsdp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(self.mesh, P(None, ("data", "fsdp")))
+            ids = jax.device_put(ids, spec)
+            labels = jax.device_put(labels, spec)
+        # advance the micro-iteration clock; LR uses the last micro step's
+        # value like the reference loop does at optimizer.step time
+        self.micro_iter += accum
+        lr = self._lr(max_iters, warmup_steps)
+        self.trainable, self.opt_state, loss = self._step_fn(
+            self.trainable,
+            self.frozen,
+            self.opt_state,
+            ids,
+            labels,
+            jnp.float32(lr),
+            rng,
+        )
+        return float(loss), lr
+
+    def evaluate(self, batches) -> float:
+        """Mean validation loss, skipping all-masked batches
+        (ref: finetune/ger.py:338-348)."""
+        losses = []
+        for batch in batches:
+            targets = batch["labels"][:, 1:]
+            if (targets != -1).sum() == 0:
+                continue
+            loss, _ = self._eval_fn(
+                self.trainable,
+                self.frozen,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["labels"]),
+            )
+            losses.append(float(loss))
+        return sum(losses) / max(len(losses), 1)
+
+    @property
+    def params(self):
+        return combine(self.trainable, self.frozen)
