@@ -30,7 +30,7 @@ def swiglu_mlp(x, w1, w2, w3, b1=None, b2=None, b3=None, gate: str = "silu"):
     if backend.get_backend() == "pallas" and b1 is None and b2 is None and b3 is None:
         from dualhyp_tpu.ops.pallas import swiglu_kernel
 
-        return swiglu_kernel.swiglu_mlp(x, w1, w2, w3, gate=gate)
+        return swiglu_kernel.swiglu_mlp(x, w1, w2, w3, gate)
     act = jax.nn.silu if gate == "silu" else _gelu_tanh
     h = act(_linear(x, w1, b1)) * _linear(x, w2, b2)
     return _linear(h, w3, b3)

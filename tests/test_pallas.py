@@ -1,0 +1,108 @@
+"""Pallas kernels vs XLA fallbacks (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualhyp_tpu import ops
+from dualhyp_tpu.ops import use_backend
+
+
+def test_pallas_rmsnorm_matches_xla(rng):
+    x = jnp.asarray(rng.normal(size=(3, 17, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    want = np.asarray(ops.rms_norm(x, scale, 1e-5))
+    with use_backend("pallas"):
+        got = np.asarray(ops.rms_norm(x, scale, 1e-5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_rmsnorm_grad_matches_xla(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+
+    def loss_xla(x, s):
+        return (ops.rms_norm(x, s, 1e-5) ** 2).sum()
+
+    gx_want, gs_want = jax.grad(loss_xla, argnums=(0, 1))(x, scale)
+    with use_backend("pallas"):
+        gx, gs = jax.grad(loss_xla, argnums=(0, 1))(x, scale)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_want), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gs_want), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_elem", [64, 32])
+def test_pallas_rope_matches_xla(rng, n_elem):
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 64)).astype(np.float32))
+    cos, sin = ops.build_rope_cache(16, n_elem, dtype=jnp.float32)
+    want = np.asarray(ops.apply_rope(x, cos, sin))
+    with use_backend("pallas"):
+        got = np.asarray(ops.apply_rope(x, cos, sin))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_rope_grad_matches_xla(rng):
+    x = jnp.asarray(rng.normal(size=(1, 2, 8, 16)).astype(np.float32))
+    cos, sin = ops.build_rope_cache(8, 16, dtype=jnp.float32)
+
+    def loss(x):
+        return (ops.apply_rope(x, cos, sin) * jnp.arange(16)).sum()
+
+    want = np.asarray(jax.grad(loss)(x))
+    with use_backend("pallas"):
+        got = np.asarray(jax.grad(loss)(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_swiglu_matches_xla(rng):
+    d, inter = 64, 512
+    x = jnp.asarray(rng.normal(size=(2, 9, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(inter, d)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(inter, d)).astype(np.float32) * 0.05)
+    w3 = jnp.asarray(rng.normal(size=(d, inter)).astype(np.float32) * 0.05)
+    want = np.asarray(ops.swiglu_mlp(x, w1, w2, w3))
+    with use_backend("pallas"):
+        got = np.asarray(ops.swiglu_mlp(x, w1, w2, w3))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_swiglu_grad_matches_xla(rng):
+    d, inter = 32, 512
+    x = jnp.asarray(rng.normal(size=(1, 4, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(inter, d)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(inter, d)).astype(np.float32) * 0.05)
+    w3 = jnp.asarray(rng.normal(size=(d, inter)).astype(np.float32) * 0.05)
+
+    def loss(x, w1, w2, w3):
+        return (ops.swiglu_mlp(x, w1, w2, w3) ** 2).sum()
+
+    want = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w1, w2, w3)
+    with use_backend("pallas"):
+        got = jax.grad(loss, argnums=(0, 1, 2, 3))(x, w1, w2, w3)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+def test_pallas_flash_attention_small_falls_back(rng):
+    # below the 128 block minimum the pallas path must fall back to XLA
+    q = jnp.asarray(rng.normal(size=(1, 4, 16, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 16, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 16, 32)).astype(np.float32))
+    want = np.asarray(ops.causal_attention(q, k, v))
+    with use_backend("pallas"):
+        got = np.asarray(ops.causal_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_splash_attention_matches_xla(rng):
+    """Full splash kernel in interpreter mode at the minimum block size."""
+    b, hq, g, t, d = 1, 4, 2, 128, 64
+    q = jnp.asarray(rng.normal(size=(b, hq, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, g, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, g, t, d)).astype(np.float32))
+    want = np.asarray(ops.causal_attention(q, k, v))
+    with use_backend("pallas"):
+        got = np.asarray(ops.causal_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
