@@ -1,0 +1,158 @@
+"""Shared CLI plumbing for the finetune / inference entry points.
+
+Mirrors the reference's argparse surface (ref: finetune/ger.py:371-436,
+inference/ger.py:127-155) so users migrating from the reference keep their
+flags, and adds the TPU-mesh knobs (--dp/--fsdp/--tensor) that replace the
+reference's `--d` GPU count + Lightning strategy selection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def add_model_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--llm_checkpoint", type=str,
+                        default="checkpoints/TinyLlama/TinyLlama-1.1B-Chat-v1.0")
+    parser.add_argument("--lora_r", type=int, default=16)
+    parser.add_argument("--lora_alpha", type=int, default=16)
+    parser.add_argument("--lora_dropout", type=float, default=0.05)
+    parser.add_argument("--lora_query", type=bool, default=True)
+    parser.add_argument("--lora_key", type=bool, default=True)
+    parser.add_argument("--lora_value", type=bool, default=True)
+    parser.add_argument("--lora_projection", type=bool, default=True)
+    parser.add_argument("--lora_mlp", type=bool, default=False)
+    parser.add_argument("--lora_head", type=bool, default=False)
+
+
+def add_data_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--nhyps_key", type=str, default="nhyps_asr")
+    parser.add_argument("--dual_hypotheses", action="store_true")
+    parser.add_argument("--max_nhyps", type=int, default=None)
+    parser.add_argument("--prompts_format", type=str, default="GER")
+    parser.add_argument("--apply_chat_template", action="store_true")
+    parser.add_argument("--language", type=str, default=None)
+    parser.add_argument("--audio_corruption_disabled", action="store_true")
+    parser.add_argument("--visual_corruption_disabled", action="store_true")
+
+
+def add_mesh_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--dp", type=int, default=None,
+                        help="data-parallel mesh extent (default: all devices)")
+    parser.add_argument("--fsdp", type=int, default=1,
+                        help="parameter-sharding mesh extent (ZeRO-3 equivalent)")
+    parser.add_argument("--tensor", type=int, default=1,
+                        help="tensor-parallel mesh extent (for >7B configs)")
+
+
+def model_config_from_args(args, relprompt: bool = False):
+    from dualhyp_tpu.registry import config_from_checkpoint
+
+    checkpoint_dir = Path(args.llm_checkpoint)
+    overrides = dict(
+        lora_r=args.lora_r,
+        lora_alpha=args.lora_alpha,
+        lora_dropout=args.lora_dropout,
+        lora_query=args.lora_query,
+        lora_key=args.lora_key,
+        lora_value=args.lora_value,
+        lora_projection=args.lora_projection,
+        lora_mlp=args.lora_mlp,
+        lora_head=args.lora_head,
+    )
+    if relprompt:
+        overrides.update(use_relprompt=True, n_extra_tokens=3)
+    return config_from_checkpoint(checkpoint_dir, **overrides)
+
+
+def max_input_length_from_checkpoint(checkpoint_dir, default: int = 1024) -> int:
+    """(ref: finetune/ger.py:421-425)"""
+    cfg_path = Path(checkpoint_dir) / "tokenizer_config.json"
+    if cfg_path.is_file():
+        with open(cfg_path, encoding="utf-8") as fp:
+            tok_cfg = json.load(fp)
+        value = tok_cfg.get("model_max_length")
+        if isinstance(value, int) and value < 10**9:
+            return value
+    return default
+
+
+def load_tokenizer(checkpoint_dir, prefer_transformers: bool = True):
+    """HF AutoTokenizer when available (== finetune/ger.py:88), else our
+    tokenizers-backed wrapper."""
+    if prefer_transformers:
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(
+                checkpoint_dir, use_fast=True, padding_side="left"
+            )
+            if tok.pad_token is None:
+                tok.pad_token = tok.eos_token
+            return tok
+        except Exception:
+            pass
+    from dualhyp_tpu.data.tokenizer import Tokenizer
+
+    return Tokenizer(checkpoint_dir)
+
+
+def dataset_class_for(args):
+    from dualhyp_tpu.data import hypotheses
+
+    if args.dual_hypotheses:
+        if args.prompts_format == "RelPrompt":
+            return hypotheses.DualHypothesesMaskDataset
+        return hypotheses.DualHypothesesDataset
+    return hypotheses.HypothesesDataset
+
+
+def load_base_params(checkpoint_dir, cfg):
+    """Converted base weights if present; otherwise convert on the fly;
+    otherwise random init with a warning."""
+    import jax
+
+    from dualhyp_tpu.ckpt.io import load_params
+    from dualhyp_tpu.models import gpt
+
+    checkpoint_dir = Path(checkpoint_dir)
+    npz = checkpoint_dir / "dualhyp_model.npz"
+    if npz.is_file():
+        loaded = load_params(npz)
+        params = gpt.init(cfg, jax.random.key(1337))
+        return _overlay(params, loaded)
+    if list(checkpoint_dir.glob("*.safetensors")):
+        from dualhyp_tpu.ckpt.convert_hf import convert_hf_checkpoint
+
+        loaded = convert_hf_checkpoint(checkpoint_dir, cfg.name)
+        params = gpt.init(cfg, jax.random.key(1337))
+        return _overlay(params, loaded)
+    print(f"WARNING: no weights found under {checkpoint_dir}; random init")
+    return gpt.init(cfg, jax.random.key(1337))
+
+
+def _overlay(params: dict, loaded: dict) -> dict:
+    """strict=False load: loaded leaves replace same-path init leaves
+    (missing LoRA/adapter leaves keep their init, ref: finetune/ger.py:122-124)."""
+    import numpy as np
+
+    def merge(init_node, loaded_node, path=""):
+        if not isinstance(init_node, dict):
+            arr = np.asarray(loaded_node)
+            if tuple(arr.shape) != tuple(init_node.shape):
+                raise ValueError(
+                    f"shape mismatch at {path}: ckpt {arr.shape} vs model "
+                    f"{tuple(init_node.shape)}"
+                )
+            return arr.astype(np.asarray(init_node).dtype)
+        out = {}
+        for key, child in init_node.items():
+            if isinstance(loaded_node, dict) and key in loaded_node:
+                out[key] = merge(child, loaded_node[key], f"{path}/{key}")
+            else:
+                out[key] = child
+        return out
+
+    return merge(params, loaded)

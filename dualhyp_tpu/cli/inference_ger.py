@@ -1,0 +1,162 @@
+"""GER / DualHyp correction + WER evaluation entry point.
+
+Usage parity with the reference (ref: inference/ger.py:127-221):
+
+  python -m dualhyp_tpu.cli.inference_ger \\
+      --test_path test.json --model_path runs/exp/best_model.npz \\
+      --llm_checkpoint checkpoints/TinyLlama/TinyLlama-1.1B-Chat-v1.0 \\
+      --dual_hypotheses --prompts_format DualHyp
+
+Protocol parity: temperature 0.2, top_k 1 (greedy), max_new 150, EOS stop,
+prompt-prefix strip + first line (ref: inference/ger.py:71-94); metrics:
+WER, exact matches, post-normalised WER (ref: :96-117); predictions JSON
+written next to the checkpoint. TPU improvement: decode is batched
+(--decode_batch, default 8) instead of batch=1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualhyp_tpu.cli import common
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--test_path", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=1337)
+    parser.add_argument("--decode_batch", type=int, default=8)
+    parser.add_argument("--max_new_tokens", type=int, default=150)
+    parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--top_k", type=int, default=1)
+    common.add_model_args(parser)
+    common.add_data_args(parser)
+    return parser
+
+
+def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
+                  max_new_tokens=150, temperature=0.2, top_k=1,
+                  compute_dtype=jnp.bfloat16, collect_latency=False):
+    """Batched greedy correction over a dataset. Returns (records, metrics)."""
+    from dualhyp_tpu.data.collate import bucket_length
+    from dualhyp_tpu.infer.decode import generate
+    from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
+
+    eos_id = getattr(tokenizer, "eos_token_id", None)
+    examples = [dataset[i] for i in range(len(dataset))]
+    # group by prompt-length bucket for static shapes
+    examples.sort(key=lambda e: len(e.input_ids_no_response))
+    records = []
+    latencies = []
+    for start in range(0, len(examples), decode_batch):
+        chunk = examples[start : start + decode_batch]
+        real = len(chunk)
+        while len(chunk) < decode_batch:
+            chunk.append(chunk[-1])
+        longest = max(len(e.input_ids_no_response) for e in chunk)
+        target = min(
+            bucket_length(longest), model_cfg.block_size - max_new_tokens
+        )
+        ids = np.zeros((decode_batch, target), np.int32)
+        lengths = np.zeros((decode_batch,), np.int32)
+        for i, ex in enumerate(chunk):
+            p = ex.input_ids_no_response[:target]
+            ids[i, : len(p)] = p
+            lengths[i] = len(p)
+        t0 = time.perf_counter()
+        tokens, total_lengths = generate(
+            params,
+            model_cfg,
+            jnp.asarray(ids),
+            jnp.asarray(lengths),
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_k=top_k,
+            eos_id=eos_id,
+            compute_dtype=compute_dtype,
+        )
+        tokens = np.asarray(jax.block_until_ready(tokens))
+        total_lengths = np.asarray(total_lengths)
+        elapsed = time.perf_counter() - t0
+        latencies.extend([elapsed / real] * real)
+        for i in range(real):
+            ex = chunk[i]
+            seq = tokens[i][: int(total_lengths[i])]
+            decoded_full = tokenizer.decode(seq)
+            decoded_prompt = tokenizer.decode(ids[i][: int(lengths[i])])
+            inference = extract_response(decoded_full, decoded_prompt)
+            records.append(
+                {
+                    "uid": ex.uid,
+                    "inference": inference,
+                    "ground_truth": ex.ground_truth.strip(),
+                }
+            )
+    metrics = evaluate_predictions(
+        [r["inference"] for r in records], [r["ground_truth"] for r in records]
+    )
+    if collect_latency and latencies:
+        metrics["p50_latency_s"] = float(np.percentile(latencies, 50))
+        metrics["p90_latency_s"] = float(np.percentile(latencies, 90))
+    return records, metrics
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from dualhyp_tpu.ckpt.io import load_params
+    from dualhyp_tpu.cli.common import _overlay
+
+    checkpoint_dir = Path(args.llm_checkpoint)
+    tokenizer = common.load_tokenizer(checkpoint_dir)
+    model_cfg = common.model_config_from_args(args)
+    params = common.load_base_params(checkpoint_dir, model_cfg)
+    finetuned = load_params(args.model_path)
+    params = _overlay(params, finetuned)
+
+    dataset_cls = common.dataset_class_for(args)
+    dataset = dataset_cls(
+        "test",
+        args.test_path,
+        tokenizer=tokenizer,
+        nhyps_key=args.nhyps_key,
+        max_nhyps=args.max_nhyps,
+        prompts_format=args.prompts_format,
+        apply_chat_template=args.apply_chat_template,
+        language=args.language,
+        seed=args.seed,
+    )
+    records, metrics = run_inference(
+        params,
+        model_cfg,
+        tokenizer,
+        dataset,
+        decode_batch=args.decode_batch,
+        max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        collect_latency=True,
+    )
+    predict_dir = Path(args.model_path).parent / "predictions"
+    predict_dir.mkdir(parents=True, exist_ok=True)
+    out = records + [metrics]
+    out_path = predict_dir / (Path(args.model_path).stem + ".json")
+    with open(out_path, "w", encoding="utf-8") as fp:
+        json.dump(out, fp, indent=4, ensure_ascii=False)
+    print(
+        f"WER: {metrics['WER']*100:.2f}  WER_post: {metrics['post_ST_wer']*100:.2f}  "
+        f"GTM: {metrics['gtms']*100:.2f}  GTM_post: {metrics['post_gtms']*100:.2f}"
+    )
+    print(f"Results in {out_path}")
+
+
+if __name__ == "__main__":
+    main()

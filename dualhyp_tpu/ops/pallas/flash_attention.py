@@ -24,8 +24,11 @@ from dualhyp_tpu.ops.pallas import common
 _MIN_SEQ = 128
 
 
-@functools.lru_cache(maxsize=32)
 def _splash_kernel(q_per_kv: int, t: int, interpret: bool):
+    # NOTE: deliberately NOT cached across calls — the constructed kernel
+    # closes over mask block arrays that become jit tracers when first built
+    # inside a traced function; reusing it in a different trace raises
+    # UnexpectedTracerError. Construction is trace-time-only cost.
     from jax.experimental.pallas.ops.tpu import splash_attention as sa
 
     mask = sa.MultiHeadMask([sa.CausalMask((t, t)) for _ in range(q_per_kv)])
