@@ -21,6 +21,7 @@ import numpy as np
 from dualhyp_tpu.models import gpt
 
 SEP = "::"
+_BF16_TAG = "@bf16"  # numpy can't serialise bfloat16; store the bit pattern
 
 
 def _flatten(params) -> dict:
@@ -30,15 +31,28 @@ def _flatten(params) -> dict:
         key = SEP.join(
             p.key if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path
         )
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype.name == "bfloat16":
+            flat[key + _BF16_TAG] = arr.view(np.uint16)
+        else:
+            flat[key] = arr
 
     jax.tree_util.tree_map_with_path(visit, params)
     return flat
 
 
+def _undo_bf16(key: str, value: np.ndarray):
+    if key.endswith(_BF16_TAG):
+        import ml_dtypes
+
+        return key[: -len(_BF16_TAG)], value.view(ml_dtypes.bfloat16)
+    return key, value
+
+
 def _unflatten(flat: dict) -> dict:
     tree: dict = {}
     for key, value in flat.items():
+        key, value = _undo_bf16(key, value)
         node = tree
         parts = key.split(SEP)
         for part in parts[:-1]:
@@ -77,7 +91,7 @@ def load_adapter_over(params, path) -> dict:
     """Overlay a saved adapter subtree onto a full param tree
     (strict=False semantics: missing keys keep base values)."""
     overlay = _flatten_loaded(path)
-    flat = _flatten(params)
+    flat = dict(_undo_bf16(k, v) for k, v in _flatten(params).items())
     unknown = set(overlay) - set(flat)
     if unknown:
         raise KeyError(f"adapter checkpoint has unknown keys: {sorted(unknown)[:5]}")
@@ -87,7 +101,7 @@ def load_adapter_over(params, path) -> dict:
 
 def _flatten_loaded(path) -> dict:
     with np.load(Path(path)) as z:
-        return {k: z[k] for k in z.files}
+        return dict(_undo_bf16(k, z[k]) for k in z.files)
 
 
 # ---- Orbax (async, sharded) path for large checkpoints ----

@@ -77,7 +77,21 @@ def main(argv=None):
 
     mesh = None
     if jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1:
-        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor)
+        dp = args.dp
+        if dp is None:
+            # largest data extent that divides the micro batch
+            avail = jax.device_count() // (args.fsdp * args.tensor)
+            dp = 1
+            for cand in range(1, avail + 1):
+                if args.micro_batch_size % (cand * args.fsdp) == 0:
+                    dp = cand
+            n_used = dp * args.fsdp * args.tensor
+        else:
+            n_used = dp * args.fsdp * args.tensor
+        mesh = make_mesh(
+            data=dp, fsdp=args.fsdp, tensor=args.tensor,
+            devices=jax.devices()[:n_used],
+        )
         params, _ = shard_params(params, mesh)
         logger.info(f"mesh: {dict(mesh.shape)}")
 
