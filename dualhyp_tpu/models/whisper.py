@@ -1,0 +1,314 @@
+"""Whisper audio front-end + encoder in JAX.
+
+Port of the reference's vendored Whisper audio path (ref: data/whisper/
+audio.py, model.py:143-175) used by RelPrompt's frozen feature extractor and
+the offline ASR hypothesis generator:
+
+  * log-mel spectrogram: hann-window STFT (N_FFT 400, HOP 160, centered
+    reflect padding — torch.stft defaults), slaney-scale mel filterbank
+    computed analytically (== the librosa filters the reference ships as a
+    binary asset), log10 clamp, max-8 floor, (x+4)/4 scaling
+    (ref: audio.py:147-156)
+  * AudioEncoder: gelu(conv1) -> gelu(conv2 stride 2) -> +sinusoidal
+    positions (TRUNCATED to the actual frame count — the reference's local
+    patch for unpadded input, ref: model.py:167-169) -> pre-LN transformer
+    blocks -> final LN. Attention uses the 1/sqrt(sqrt(d)) double-scaling of
+    the original (ref: model.py:91-99), layer norms run fp32.
+
+Encoder weights convert from HF whisper safetensors (openai/whisper-large-v3)
+via `convert_hf_whisper_encoder`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualhyp_tpu.ops.linalg import einsum
+from dualhyp_tpu.ops.rmsnorm import layer_norm
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_LENGTH = 30
+N_SAMPLES = CHUNK_LENGTH * SAMPLE_RATE
+
+
+@dataclass(frozen=True)
+class WhisperEncoderConfig:
+    n_mels: int = 128        # large-v3; 80 for earlier checkpoints
+    n_ctx: int = 1500
+    n_state: int = 1280      # large
+    n_head: int = 20
+    n_layer: int = 32
+
+
+WHISPER_LARGE_V3 = WhisperEncoderConfig()
+WHISPER_TINY = WhisperEncoderConfig(n_mels=80, n_state=384, n_head=6, n_layer=4)
+
+
+# ---------------------------------------------------------------------------
+# mel front-end
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel_slaney(freq):
+    f_sp = 200.0 / 3
+    mels = freq / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        freq >= min_log_hz, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mels
+    )
+
+
+def _mel_to_hz_slaney(mels):
+    f_sp = 200.0 / 3
+    freqs = mels * f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(
+        mels >= min_log_mel, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs
+    )
+
+
+def mel_filterbank(n_mels: int, n_fft: int = N_FFT, sr: int = SAMPLE_RATE
+                   ) -> np.ndarray:
+    """Slaney-scale, slaney-normalised triangular filters — numerically
+    identical to librosa.filters.mel (the reference's mel_filters.npz asset,
+    ref: audio.py:92-110)."""
+    fft_freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
+    mel_min = _hz_to_mel_slaney(np.asarray(0.0))
+    mel_max = _hz_to_mel_slaney(np.asarray(sr / 2.0))
+    mel_points = np.linspace(mel_min, mel_max, n_mels + 2)
+    hz_points = _mel_to_hz_slaney(mel_points)
+
+    fdiff = np.diff(hz_points)
+    ramps = hz_points[:, None] - fft_freqs[None, :]
+    weights = np.zeros((n_mels, len(fft_freqs)))
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+    # slaney normalisation: equal area per filter
+    enorm = 2.0 / (hz_points[2 : n_mels + 2] - hz_points[:n_mels])
+    return (weights * enorm[:, None]).astype(np.float32)
+
+
+def _stft_magnitudes(audio: np.ndarray) -> np.ndarray:
+    """|STFT|^2 matching torch.stft(center=True, pad_mode='reflect'),
+    dropping the final frame (ref: audio.py:148-149)."""
+    pad = N_FFT // 2
+    padded = np.pad(audio, pad, mode="reflect")
+    n_frames = 1 + (len(padded) - N_FFT) // HOP_LENGTH
+    window = np.hanning(N_FFT + 1)[:-1].astype(np.float32)
+    strides = (padded.strides[0] * HOP_LENGTH, padded.strides[0])
+    frames = np.lib.stride_tricks.as_strided(
+        padded, shape=(n_frames, N_FFT), strides=strides
+    )
+    spec = np.fft.rfft(frames * window, axis=-1)
+    mags = np.abs(spec[:-1]) ** 2  # drop last frame like the reference
+    return mags.astype(np.float32).T  # (n_freq, frames)
+
+
+def log_mel_spectrogram(audio: np.ndarray, n_mels: int = 128) -> np.ndarray:
+    """(n_mels, n_frames) log-mel features (ref: audio.py:113-156)."""
+    mags = _stft_magnitudes(np.asarray(audio, np.float32))
+    mel = mel_filterbank(n_mels) @ mags
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
+    if audio.shape[-1] > length:
+        return audio[..., :length]
+    if audio.shape[-1] < length:
+        width = [(0, 0)] * (audio.ndim - 1) + [(0, length - audio.shape[-1])]
+        return np.pad(audio, width)
+    return audio
+
+
+def sinusoid_positions(length: int, channels: int, max_timescale=10000) -> np.ndarray:
+    """(ref: model.py:53-59)"""
+    inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-inc * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def init_encoder(cfg: WhisperEncoderConfig, key) -> dict:
+    keys = iter(jax.random.split(key, 16))
+    s = cfg.n_state
+    std = 1.0 / math.sqrt(s)
+
+    def lin(k, out_f, in_f, bias=True):
+        leaf = {"weight": jax.random.normal(k, (out_f, in_f)) * std}
+        if bias:
+            leaf["bias"] = jnp.zeros((out_f,))
+        return leaf
+
+    def stack(f):
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[f(k) for k in jax.random.split(next(keys), cfg.n_layer)],
+        )
+
+    def block(k):
+        ks = jax.random.split(k, 8)
+        return {
+            "attn_ln": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+            "attn": {
+                "query": lin(ks[0], s, s),
+                "key": lin(ks[1], s, s, bias=False),
+                "value": lin(ks[2], s, s),
+                "out": lin(ks[3], s, s),
+            },
+            "mlp_ln": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+            "mlp": {"fc1": lin(ks[4], 4 * s, s), "fc2": lin(ks[5], s, 4 * s)},
+        }
+
+    return {
+        "conv1": {
+            "weight": jax.random.normal(next(keys), (s, cfg.n_mels, 3)) * std,
+            "bias": jnp.zeros((s,)),
+        },
+        "conv2": {
+            "weight": jax.random.normal(next(keys), (s, s, 3)) * std,
+            "bias": jnp.zeros((s,)),
+        },
+        "blocks": stack(block),
+        "ln_post": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+    }
+
+
+def _linear(leaf, x):
+    y = einsum("...d,od->...o", x, leaf["weight"].astype(x.dtype))
+    if "bias" in leaf:
+        y = y + leaf["bias"].astype(x.dtype)
+    return y
+
+
+def _mha(leaf, x, n_head):
+    b, t, s = x.shape
+    hd = s // n_head
+    scale = hd ** -0.25  # double-scaling on q AND k (ref: model.py:94-96)
+    q = _linear(leaf["query"], x).reshape(b, t, n_head, hd).transpose(0, 2, 1, 3)
+    k = _linear(leaf["key"], x).reshape(b, t, n_head, hd).transpose(0, 2, 1, 3)
+    v = _linear(leaf["value"], x).reshape(b, t, n_head, hd).transpose(0, 2, 1, 3)
+    logits = einsum("bhtd,bhsd->bhts", (q * scale).astype(jnp.float32),
+                    (k * scale).astype(jnp.float32))
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = einsum("bhts,bhsd->bhtd", w, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, s)
+    return _linear(leaf["out"], out)
+
+
+def _conv1d(leaf, x, stride):
+    # x: (B, C, T)
+    out = jax.lax.conv_general_dilated(
+        x,
+        leaf["weight"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return out + leaf["bias"].astype(x.dtype)[None, :, None]
+
+
+def encode(params: dict, cfg: WhisperEncoderConfig, mel, compute_dtype=jnp.float32):
+    """mel: (B, n_mels, T_frames) -> (B, ceil(T/2), n_state) features."""
+    x = mel.astype(compute_dtype)
+    x = jax.nn.gelu(_conv1d(params["conv1"], x, 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(params["conv2"], x, 2), approximate=False)
+    x = x.transpose(0, 2, 1)  # (B, T, S)
+    t = x.shape[1]
+    pos = jnp.asarray(sinusoid_positions(cfg.n_ctx, cfg.n_state))[:t]
+    x = x + pos.astype(compute_dtype)
+
+    def body(carry, leaf):
+        h = carry
+        h = h + _mha(leaf["attn"], layer_norm(
+            h, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"]
+        ), cfg.n_head)
+        n = layer_norm(h, leaf["mlp_ln"]["scale"], leaf["mlp_ln"]["bias"])
+        m = _linear(leaf["mlp"]["fc2"], jax.nn.gelu(
+            _linear(leaf["mlp"]["fc1"], n), approximate=False
+        ))
+        return h + m, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# weight conversion (HF whisper safetensors)
+# ---------------------------------------------------------------------------
+
+def convert_hf_whisper_encoder(hf: Dict[str, np.ndarray],
+                               cfg: WhisperEncoderConfig) -> dict:
+    """openai/whisper-* HF layout -> our encoder tree."""
+    def get(name):
+        for prefix in ("model.encoder.", "encoder.", ""):
+            if prefix + name in hf:
+                return hf[prefix + name]
+        raise KeyError(name)
+
+    L = cfg.n_layer
+
+    def stack(fmt):
+        return np.stack([get(fmt.format(i)) for i in range(L)])
+
+    return {
+        "conv1": {"weight": get("conv1.weight"), "bias": get("conv1.bias")},
+        "conv2": {"weight": get("conv2.weight"), "bias": get("conv2.bias")},
+        "blocks": {
+            "attn_ln": {
+                "scale": stack("layers.{}.self_attn_layer_norm.weight"),
+                "bias": stack("layers.{}.self_attn_layer_norm.bias"),
+            },
+            "attn": {
+                "query": {
+                    "weight": stack("layers.{}.self_attn.q_proj.weight"),
+                    "bias": stack("layers.{}.self_attn.q_proj.bias"),
+                },
+                "key": {"weight": stack("layers.{}.self_attn.k_proj.weight")},
+                "value": {
+                    "weight": stack("layers.{}.self_attn.v_proj.weight"),
+                    "bias": stack("layers.{}.self_attn.v_proj.bias"),
+                },
+                "out": {
+                    "weight": stack("layers.{}.self_attn.out_proj.weight"),
+                    "bias": stack("layers.{}.self_attn.out_proj.bias"),
+                },
+            },
+            "mlp_ln": {
+                "scale": stack("layers.{}.final_layer_norm.weight"),
+                "bias": stack("layers.{}.final_layer_norm.bias"),
+            },
+            "mlp": {
+                "fc1": {
+                    "weight": stack("layers.{}.fc1.weight"),
+                    "bias": stack("layers.{}.fc1.bias"),
+                },
+                "fc2": {
+                    "weight": stack("layers.{}.fc2.weight"),
+                    "bias": stack("layers.{}.fc2.bias"),
+                },
+            },
+        },
+        "ln_post": {
+            "scale": get("layer_norm.weight"),
+            "bias": get("layer_norm.bias"),
+        },
+    }

@@ -1,0 +1,75 @@
+import numpy as np
+
+from dualhyp_tpu.data import corruption as c
+
+
+def test_add_audio_noise_snr_and_span(rng):
+    audio = rng.normal(size=(16000,)).astype(np.float32)
+    noise = rng.normal(size=(4000,)).astype(np.float32)
+    cfg = {"snr": 0, "start_fr": 2000, "occ_len": 8000}
+    mixed = c.add_audio_noise(audio, noise, cfg)
+    # untouched outside the span
+    np.testing.assert_array_equal(mixed[:2000], audio[:2000])
+    np.testing.assert_array_equal(mixed[10000:], audio[10000:])
+    assert not np.allclose(mixed[2000:10000], audio[2000:10000])
+    # at snr=0 the injected noise has RMS == audio RMS (over the tiled span)
+    injected = mixed - audio
+    audio_rms = np.sqrt(np.mean(audio**2))
+    injected_rms = np.sqrt(np.mean(injected[2000:10000] ** 2))
+    np.testing.assert_allclose(injected_rms, audio_rms, rtol=0.1)
+
+
+def test_add_audio_noise_snr_scale(rng):
+    audio = rng.normal(size=(8000,)).astype(np.float32)
+    noise = rng.normal(size=(8000,)).astype(np.float32)
+    base = {"start_fr": 0, "occ_len": 8000}
+    loud = c.add_audio_noise(audio, noise, {**base, "snr": -5}) - audio
+    quiet = c.add_audio_noise(audio, noise, {**base, "snr": 5}) - audio
+    ratio = np.sqrt(np.mean(loud**2)) / np.sqrt(np.mean(quiet**2))
+    np.testing.assert_allclose(ratio, 10 ** (10 / 20), rtol=1e-4)
+
+
+def test_sample_audio_corruption_bounds(rng):
+    g = np.random.default_rng(0)
+    for _ in range(50):
+        cfg = c.sample_audio_corruption(16000, g)
+        assert 0 <= cfg["start_fr"] < 16000
+        assert 0 < cfg["occ_len"] <= 16000
+        assert cfg["start_fr"] + cfg["occ_len"] <= 16000 + cfg["occ_len"]
+
+
+def test_video_pipelines(rng):
+    frames = (rng.random((12, 96, 96)) * 255).astype(np.float32)
+    out = c.eval_pipeline(frames)
+    assert out.shape == (12, 88, 88)
+    # Normalize(0,255) then Normalize(.421,.165)
+    manual = ((frames / 255.0) - 0.421) / 0.165
+    np.testing.assert_allclose(out, c.center_crop(manual, (88, 88)), rtol=1e-5)
+
+    g = np.random.default_rng(3)
+    out = c.train_pipeline(frames, g)
+    assert out.shape == (12, 88, 88)
+
+
+def test_occlude_sequence_replay(rng):
+    video = (rng.random((20, 32, 32)) * 255).astype(np.uint8)
+    g = np.random.default_rng(7)
+    corrupted, cfg = c.occlude_sequence(video, "pixelate", rng=g, return_config=True)
+    assert cfg["total_len"] == 20
+    # deterministic replay from the recorded config
+    replayed, _ = c.occlude_sequence(video, "pixelate", occlude_config=cfg)
+    np.testing.assert_array_equal(corrupted, replayed)
+    # frames outside the span untouched
+    s, o = cfg["start_fr"], cfg["occ_len"]
+    for i in range(20):
+        inside = s <= i < min(s + o, 20)
+        same = np.array_equal(corrupted[i], video[i])
+        assert same != inside or not inside
+
+
+def test_blur_and_pixelate_change_pixels(rng):
+    img = (rng.random((32, 32)) * 255).astype(np.float32)
+    assert not np.allclose(c.image_blur(img), img)
+    assert not np.allclose(c.image_pixelate(img), img)
+    assert c.image_blur(img).shape == img.shape
+    assert c.image_pixelate(img).shape == img.shape
