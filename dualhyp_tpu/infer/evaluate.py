@@ -36,8 +36,22 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
 
 
 def word_error_rate(predictions: List[str], references: List[str]) -> float:
-    """Corpus WER: sum(edit ops) / sum(reference words)."""
+    """Corpus WER: sum(edit ops) / sum(reference words).
+
+    Uses the native C++ batch kernel when built (dualhyp_tpu.native);
+    falls back to the pure-python DP below."""
     assert len(predictions) == len(references)
+    try:
+        from dualhyp_tpu import native
+
+        if native.available():
+            refs = [r.split() for r in references]
+            hyps = [p.split() for p in predictions]
+            dists = native.edit_distance_batch(refs, hyps)
+            total = sum(len(r) for r in refs)
+            return float(dists.sum()) / max(total, 1)
+    except Exception:
+        pass
     total_edits = 0
     total_words = 0
     for pred, ref in zip(predictions, references):
