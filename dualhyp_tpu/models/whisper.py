@@ -252,6 +252,187 @@ def encode(params: dict, cfg: WhisperEncoderConfig, mel, compute_dtype=jnp.float
 
 
 # ---------------------------------------------------------------------------
+# text decoder (ref: model.py:178-240) — for offline hypothesis generation
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WhisperDecoderConfig:
+    n_vocab: int = 51866     # large-v3
+    n_ctx: int = 448
+    n_state: int = 1280
+    n_head: int = 20
+    n_layer: int = 32
+
+
+def init_decoder(cfg: WhisperDecoderConfig, key) -> dict:
+    keys = iter(jax.random.split(key, 8))
+    s = cfg.n_state
+    std = 1.0 / math.sqrt(s)
+
+    def lin(k, out_f, in_f, bias=True):
+        leaf = {"weight": jax.random.normal(k, (out_f, in_f)) * std}
+        if bias:
+            leaf["bias"] = jnp.zeros((out_f,))
+        return leaf
+
+    def block(k):
+        ks = jax.random.split(k, 10)
+        return {
+            "attn_ln": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+            "attn": {
+                "query": lin(ks[0], s, s),
+                "key": lin(ks[1], s, s, bias=False),
+                "value": lin(ks[2], s, s),
+                "out": lin(ks[3], s, s),
+            },
+            "cross_ln": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+            "cross": {
+                "query": lin(ks[4], s, s),
+                "key": lin(ks[5], s, s, bias=False),
+                "value": lin(ks[6], s, s),
+                "out": lin(ks[7], s, s),
+            },
+            "mlp_ln": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+            "mlp": {"fc1": lin(ks[8], 4 * s, s), "fc2": lin(ks[9], s, 4 * s)},
+        }
+
+    blocks = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[block(k) for k in jax.random.split(next(keys), cfg.n_layer)],
+    )
+    return {
+        "token_embedding": jax.random.normal(next(keys), (cfg.n_vocab, s)) * std,
+        "positional_embedding": jax.random.normal(next(keys), (cfg.n_ctx, s)) * 0.01,
+        "blocks": blocks,
+        "ln": {"scale": jnp.ones((s,)), "bias": jnp.zeros((s,))},
+    }
+
+
+def _mha_qkv(leaf, q_in, kv_in, n_head, causal=False):
+    b, tq, s = q_in.shape
+    tk = kv_in.shape[1]
+    hd = s // n_head
+    scale = hd ** -0.25
+    q = _linear(leaf["query"], q_in).reshape(b, tq, n_head, hd).transpose(0, 2, 1, 3)
+    k = _linear(leaf["key"], kv_in).reshape(b, tk, n_head, hd).transpose(0, 2, 1, 3)
+    v = _linear(leaf["value"], kv_in).reshape(b, tk, n_head, hd).transpose(0, 2, 1, 3)
+    logits = einsum(
+        "bhtd,bhsd->bhts",
+        (q * scale).astype(jnp.float32),
+        (k * scale).astype(jnp.float32),
+    )
+    if causal:
+        mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    w = jax.nn.softmax(logits, axis=-1).astype(q_in.dtype)
+    out = einsum("bhts,bhsd->bhtd", w, v)
+    return _linear(leaf["out"], out.transpose(0, 2, 1, 3).reshape(b, tq, s))
+
+
+def decode_logits(params: dict, cfg: WhisperDecoderConfig, tokens, audio_features,
+                  compute_dtype=jnp.float32):
+    """Full (non-cached) decoder forward: tokens (B, T) + encoder features
+    (B, S, n_state) -> logits (B, T, n_vocab). Position offset is 0 (no
+    kv-cache path yet; beam search re-runs the growing prefix, which XLA
+    handles well at whisper sizes)."""
+    b, t = tokens.shape
+    x = jnp.take(params["token_embedding"], tokens, axis=0).astype(compute_dtype)
+    x = x + params["positional_embedding"][:t].astype(compute_dtype)
+    xa = audio_features.astype(compute_dtype)
+
+    def body(carry, leaf):
+        h = carry
+        h = h + _mha_qkv(
+            leaf["attn"],
+            layer_norm(h, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"]),
+            layer_norm(h, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"]),
+            cfg.n_head,
+            causal=True,
+        )
+        h = h + _mha_qkv(
+            leaf["cross"],
+            layer_norm(h, leaf["cross_ln"]["scale"], leaf["cross_ln"]["bias"]),
+            xa,
+            cfg.n_head,
+        )
+        n = layer_norm(h, leaf["mlp_ln"]["scale"], leaf["mlp_ln"]["bias"])
+        h = h + _linear(
+            leaf["mlp"]["fc2"],
+            jax.nn.gelu(_linear(leaf["mlp"]["fc1"], n), approximate=False),
+        )
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    return einsum(
+        "btd,vd->btv", x, params["token_embedding"].astype(x.dtype)
+    ).astype(jnp.float32)
+
+
+def convert_hf_whisper_decoder(hf: Dict[str, np.ndarray],
+                               cfg: WhisperDecoderConfig) -> dict:
+    def get(name):
+        for prefix in ("model.decoder.", "decoder.", ""):
+            if prefix + name in hf:
+                return hf[prefix + name]
+        raise KeyError(name)
+
+    L = cfg.n_layer
+
+    def stack(fmt):
+        return np.stack([get(fmt.format(i)) for i in range(L)])
+
+    def attn(prefix):
+        return {
+            "query": {
+                "weight": stack(f"layers.{{}}.{prefix}.q_proj.weight"),
+                "bias": stack(f"layers.{{}}.{prefix}.q_proj.bias"),
+            },
+            "key": {"weight": stack(f"layers.{{}}.{prefix}.k_proj.weight")},
+            "value": {
+                "weight": stack(f"layers.{{}}.{prefix}.v_proj.weight"),
+                "bias": stack(f"layers.{{}}.{prefix}.v_proj.bias"),
+            },
+            "out": {
+                "weight": stack(f"layers.{{}}.{prefix}.out_proj.weight"),
+                "bias": stack(f"layers.{{}}.{prefix}.out_proj.bias"),
+            },
+        }
+
+    return {
+        "token_embedding": get("embed_tokens.weight"),
+        "positional_embedding": get("embed_positions.weight"),
+        "blocks": {
+            "attn_ln": {
+                "scale": stack("layers.{}.self_attn_layer_norm.weight"),
+                "bias": stack("layers.{}.self_attn_layer_norm.bias"),
+            },
+            "attn": attn("self_attn"),
+            "cross_ln": {
+                "scale": stack("layers.{}.encoder_attn_layer_norm.weight"),
+                "bias": stack("layers.{}.encoder_attn_layer_norm.bias"),
+            },
+            "cross": attn("encoder_attn"),
+            "mlp_ln": {
+                "scale": stack("layers.{}.final_layer_norm.weight"),
+                "bias": stack("layers.{}.final_layer_norm.bias"),
+            },
+            "mlp": {
+                "fc1": {
+                    "weight": stack("layers.{}.fc1.weight"),
+                    "bias": stack("layers.{}.fc1.bias"),
+                },
+                "fc2": {
+                    "weight": stack("layers.{}.fc2.weight"),
+                    "bias": stack("layers.{}.fc2.bias"),
+                },
+            },
+        },
+        "ln": {"scale": get("layer_norm.weight"), "bias": get("layer_norm.bias")},
+    }
+
+
+# ---------------------------------------------------------------------------
 # weight conversion (HF whisper safetensors)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,114 @@
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dualhyp_tpu.infer.beam_search import beam_search_nbest, nbest_texts
+from dualhyp_tpu.models import whisper as w
+
+
+def test_decoder_matches_transformers(rng):
+    from transformers import WhisperConfig
+    from transformers.models.whisper.modeling_whisper import WhisperDecoder
+
+    hf_cfg = WhisperConfig(
+        vocab_size=120,
+        d_model=32,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        decoder_ffn_dim=128,
+        max_target_positions=40,
+        dropout=0.0,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+        decoder_start_token_id=1,
+    )
+    torch.manual_seed(1)
+    dec = WhisperDecoder(hf_cfg)
+    dec.eval()
+
+    cfg = w.WhisperDecoderConfig(n_vocab=120, n_ctx=40, n_state=32, n_head=4, n_layer=2)
+    hf_state = {k: v.detach().numpy() for k, v in dec.state_dict().items()}
+    params = w.convert_hf_whisper_decoder(hf_state, cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    tokens = np.asarray([[5, 17, 3, 8, 99, 2]], np.int64)
+    audio = rng.normal(size=(1, 25, 32)).astype(np.float32)
+    with torch.no_grad():
+        hidden = dec(
+            input_ids=torch.from_numpy(tokens),
+            encoder_hidden_states=torch.from_numpy(audio),
+        ).last_hidden_state
+        want = (hidden @ dec.embed_tokens.weight.T).numpy()
+
+    got = np.asarray(
+        w.decode_logits(params, cfg, jnp.asarray(tokens, jnp.int32), jnp.asarray(audio))
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_beam_search_nbest_on_known_distribution():
+    """Deterministic toy LM: next-token logits depend only on the last token.
+    Beam search must find the exact top sequences by total log-prob."""
+    vocab = 5
+    eos = 0
+    table = np.log(
+        np.asarray(
+            [
+                [0.05, 0.05, 0.6, 0.2, 0.1],   # after 0
+                [0.7, 0.1, 0.1, 0.05, 0.05],   # after 1 -> mostly eos
+                [0.1, 0.5, 0.1, 0.2, 0.1],     # after 2
+                [0.6, 0.1, 0.1, 0.1, 0.1],     # after 3 -> mostly eos
+                [0.25, 0.25, 0.25, 0.15, 0.1], # after 4
+            ],
+            np.float64,
+        )
+    )
+
+    def logits_fn(tokens):
+        last = np.asarray(tokens)[:, -1]
+        return jnp.asarray(table[last], jnp.float32)
+
+    hyps = beam_search_nbest(
+        logits_fn, [2], beam_size=4, eos_id=eos, max_new_tokens=4,
+        length_normalize=False,
+    )
+    assert hyps, "no hypotheses returned"
+    # exhaustive check over all sequences of <=4 steps from prefix [2]
+    def enumerate_seqs():
+        out = []
+        def rec(seq, score, depth):
+            if seq[-1] == eos:
+                out.append((score, seq))
+                return
+            if depth == 4:
+                out.append((score, seq))
+                return
+            for t in range(vocab):
+                rec(seq + [t], score + table[seq[-1], t], depth + 1)
+        rec([2], 0.0, 0)
+        return sorted(out, key=lambda x: -x[0])
+
+    best_score, best_seq = enumerate_seqs()[0]
+    assert hyps[0].tokens == best_seq
+    np.testing.assert_allclose(hyps[0].score, best_score, rtol=1e-5)
+    # multiple distinct hypotheses returned (the n-best capability)
+    assert len({tuple(h.tokens) for h in hyps}) >= 3
+
+
+def test_nbest_texts_dedupe_and_pad():
+    from dualhyp_tpu.infer.beam_search import BeamHypothesis
+
+    hyps = [
+        BeamHypothesis([1, 2, 0], -1.0),
+        BeamHypothesis([1, 2, 0], -1.5),   # duplicate text
+        BeamHypothesis([3, 0], -2.0),
+    ]
+    detok = lambda toks: " ".join(str(t) for t in toks if t != 0)
+    texts, scores = nbest_texts(hyps, detok, n=5)
+    assert len(texts) == 5
+    assert texts[0] == "1 2" and texts[1] == "3"
+    assert len(set(texts[:2])) == 2  # deduped before padding
