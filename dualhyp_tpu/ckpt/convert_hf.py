@@ -90,6 +90,59 @@ def convert_llama_family(hf: Dict[str, np.ndarray], cfg: GPTConfig) -> dict:
             for i in range(L)
         ]
     )
+
+    if cfg.mlp_class == "LLaMAMoE":
+        # Mixtral: block_sparse_moe.gate + per-expert w1/w3/w2
+        # (ref weight-name mapping: scripts/convert_hf_checkpoint.py:140-148)
+        e = cfg.n_expert
+        mlp = {
+            "gate": {
+                "weight": np.stack(
+                    [layer("block_sparse_moe.gate.weight", i) for i in range(L)]
+                )
+            },
+            "fc_1": {
+                "weight": np.stack(
+                    [
+                        np.stack(
+                            [
+                                layer(f"block_sparse_moe.experts.{x}.w1.weight", i)
+                                for x in range(e)
+                            ]
+                        )
+                        for i in range(L)
+                    ]
+                )
+            },
+            "fc_2": {
+                "weight": np.stack(
+                    [
+                        np.stack(
+                            [
+                                layer(f"block_sparse_moe.experts.{x}.w3.weight", i)
+                                for x in range(e)
+                            ]
+                        )
+                        for i in range(L)
+                    ]
+                )
+            },
+            "proj": {
+                "weight": np.stack(
+                    [
+                        np.stack(
+                            [
+                                layer(f"block_sparse_moe.experts.{x}.w2.weight", i)
+                                for x in range(e)
+                            ]
+                        )
+                        for i in range(L)
+                    ]
+                )
+            },
+        }
+    else:
+        mlp = None
     wte = _pad_vocab(hf["model.embed_tokens.weight"], cfg)
     lm_head = hf.get("lm_head.weight", hf["model.embed_tokens.weight"])
     params = {
@@ -115,7 +168,9 @@ def convert_llama_family(hf: Dict[str, np.ndarray], cfg: GPTConfig) -> dict:
                     )
                 },
             },
-            "mlp": {
+            "mlp": mlp
+            if mlp is not None
+            else {
                 "fc_1": {
                     "weight": np.stack(
                         [layer("mlp.gate_proj.weight", i) for i in range(L)]

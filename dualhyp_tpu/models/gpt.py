@@ -115,7 +115,7 @@ def _norm_leaves(cfg: GPTConfig, shape):
 
 def init(cfg: GPTConfig, key) -> dict:
     """Random-init parameter tree (normally overwritten by a checkpoint)."""
-    keys = iter(jax.random.split(key, 64))
+    keys = iter(jax.random.split(key, 256))
     d, L = cfg.n_embd, cfg.n_layer
     inter = cfg.intermediate_size
     std = math.sqrt(2.0 / 5 / d)  # GPT-NeoX init (ref: ger/model.py:41-55)
@@ -195,12 +195,34 @@ def init(cfg: GPTConfig, key) -> dict:
             "fc": linear_block(inter, d, std, cfg.lora_mlp),
             "proj": linear_block(d, inter, proj_std, cfg.lora_mlp),
         }
+    elif cfg.mlp_class == "LLaMAMoE":
+        # Mixtral-style sparse MoE. The reference *declares* LLaMAMoE in its
+        # config registry and checkpoint converter but ships no module
+        # (ger/config.py:57 vs ger/model.py — Mixtral configs crash there);
+        # we implement it: softmax router over n_expert, top
+        # n_expert_per_token experts, normalised weights.
+        assert cfg.n_expert > 0 and cfg.n_expert_per_token > 0
+        e = cfg.n_expert
+
+        def expert_stack(out_f, in_f, init_std):
+            return {
+                "weight": jnp.stack(
+                    [
+                        stack(lambda k: _linear_init(k, out_f, in_f, init_std))
+                        for _ in range(e)
+                    ],
+                    axis=1,
+                )  # (L, E, out, in)
+            }
+
+        mlp = {
+            "gate": {"weight": stack(lambda k: _linear_init(k, e, d, std))},
+            "fc_1": expert_stack(inter, d, std),
+            "fc_2": expert_stack(inter, d, std),
+            "proj": expert_stack(d, inter, proj_std),
+        }
     else:
-        raise NotImplementedError(
-            f"mlp_class {cfg.mlp_class!r} not implemented (the reference "
-            "declares LLaMAMoE in configs but ships no implementation — "
-            "ref: ger/config.py:57 vs ger/model.py)"
-        )
+        raise NotImplementedError(f"mlp_class {cfg.mlp_class!r}")
 
     blocks = {
         "norm_1": _norm_leaves(cfg, (L, d)),
@@ -309,7 +331,33 @@ def _split_heads(cfg: GPTConfig, qkv):
     return q, k, v
 
 
+def _moe_mlp(cfg: GPTConfig, leaves, x):
+    """Dense-compute sparse-weight MoE (top-k routing, Mixtral semantics).
+
+    Every expert runs on every token and results combine through the
+    (renormalised) top-k router weights — zero-weight experts contribute
+    nothing, so outputs equal true sparse routing. Dense compute maps
+    cleanly onto the MXU and needs no sort/scatter; swap in grouped matmuls
+    (megablox-style) when deploying very large expert counts.
+    """
+    e, k = cfg.n_expert, cfg.n_expert_per_token
+    router = einsum("...d,ed->...e", x, leaves["gate"]["weight"].astype(x.dtype))
+    router = router.astype(jnp.float32)
+    top_vals, _ = jax.lax.top_k(router, k)
+    kth = top_vals[..., -1:]
+    masked = jnp.where(router >= kth, router, -jnp.inf)
+    weights = jax.nn.softmax(masked, axis=-1).astype(x.dtype)  # (..., E)
+
+    h1 = einsum("...d,eod->...eo", x, leaves["fc_1"]["weight"].astype(x.dtype))
+    h2 = einsum("...d,eod->...eo", x, leaves["fc_2"]["weight"].astype(x.dtype))
+    h = jax.nn.silu(h1) * h2
+    out = einsum("...eo,edo->...ed", h, leaves["proj"]["weight"].astype(x.dtype))
+    return einsum("...ed,...e->...d", out, weights)
+
+
 def _mlp(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
+    if cfg.mlp_class == "LLaMAMoE":
+        return _moe_mlp(cfg, leaves, x)
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
     if cfg.mlp_class in ("LLaMAMLP", "GemmaMLP"):
         gate = "silu" if cfg.mlp_class == "LLaMAMLP" else "gelu"
