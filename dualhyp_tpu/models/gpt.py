@@ -252,13 +252,25 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
 
+def _base_linear(leaves, x):
+    """Plain or int8-quantized linear depending on the leaf set."""
+    from dualhyp_tpu.ops import quant
+
+    if quant.Q_KEY in leaves:
+        y = quant.qmatmul(x, leaves[quant.Q_KEY], leaves[quant.SCALE_KEY])
+        if "bias" in leaves:
+            y = y + leaves["bias"].astype(y.dtype)
+        return y
+    return mlp_ops.linear(x, leaves["weight"], leaves.get("bias"))
+
+
 def _apply_linear(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
     """torch-layout linear with optional LoRA branch and adapter-v2 wrap.
 
     lora_gate: scalar 0/1 multiplier implementing `lora_start_layer`
     (ref: ger/lora.py:572-581) under the depth scan.
     """
-    y = mlp_ops.linear(x, leaves["weight"], leaves.get("bias"))
+    y = _base_linear(leaves, x)
     if "lora_A" in leaves:
         a = leaves["lora_A"].astype(x.dtype)
         b = leaves["lora_B"].astype(x.dtype)
@@ -283,7 +295,7 @@ def _apply_qkv(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
     scattered into the fused output rows via `lora_qkv_row_index`
     (zero-padding, ref: ger/lora.py:272-312).
     """
-    y = mlp_ops.linear(x, leaves["weight"], leaves.get("bias"))
+    y = _base_linear(leaves, x)
     if "lora_A" in leaves:
         shapes = lora_qkv_shapes(cfg)
         n_enabled = len(shapes)
@@ -361,7 +373,9 @@ def _mlp(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
     if cfg.mlp_class in ("LLaMAMLP", "GemmaMLP"):
         gate = "silu" if cfg.mlp_class == "LLaMAMLP" else "gelu"
-        if not any(k in leaves["fc_1"] for k in ("lora_A", "adapter_scale")):
+        if not any(
+            k in leaves["fc_1"] for k in ("lora_A", "adapter_scale", "weight_q8")
+        ):
             return mlp_ops.swiglu_mlp(
                 x,
                 leaves["fc_1"]["weight"],

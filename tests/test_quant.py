@@ -1,0 +1,52 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualhyp_tpu.models import gpt
+from dualhyp_tpu.ops import quant
+from tests import helpers
+
+
+def test_quantize_roundtrip(rng):
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q, scale = quant.quantize_weight(w)
+    assert q.dtype == jnp.int8 and scale.shape == (64, 1)
+    deq = quant.dequantize_weight(q, scale)
+    # max error bounded by half a quantization step per row
+    step = np.asarray(scale)[:, 0]
+    err = np.abs(np.asarray(deq) - np.asarray(w)).max(axis=-1)
+    assert (err <= step * 0.5 + 1e-7).all()
+
+
+def test_qmatmul_close_to_fp(rng):
+    x = jnp.asarray(rng.normal(size=(3, 7, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q, scale = quant.quantize_weight(w)
+    got = np.asarray(quant.qmatmul(x, q, scale))
+    want = np.asarray(x) @ np.asarray(w).T
+    # int8 dynamic quantization: relative error ~1%
+    denom = np.abs(want).mean()
+    assert np.abs(got - want).mean() / denom < 0.02
+
+
+def test_quantized_model_forward_close(rng):
+    cfg = helpers.tiny_llama_config(
+        n_embd=256, n_head=8, n_query_groups=2, intermediate_size=512,
+        vocab_size=96, padding_multiple=16,
+    )
+    params = gpt.init(cfg, jax.random.key(0))
+    idx = jnp.asarray(np.arange(12)[None] % cfg.vocab_size, jnp.int32)
+    want = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+
+    qparams = quant.quantize_tree(params)
+    # big matmul weights quantized; embeddings and norms untouched
+    assert quant.Q_KEY in qparams["blocks"]["attn"]["qkv"]
+    assert "weight" in qparams["wte"]
+    assert "weight" not in qparams["blocks"]["attn"]["qkv"]
+
+    got = np.asarray(gpt.forward(qparams, cfg, idx, compute_dtype=jnp.float32))
+    # argmax predictions should essentially agree on a random tiny model
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree >= 0.9, agree
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
+    assert cos > 0.99, cos
