@@ -1,0 +1,213 @@
+"""Offline VSR n-best hypothesis generation (BRAVEn + joint CTC/attention).
+
+Equivalent of the reference's generator (ref: data/make_json_vsr.py +
+data/raven/finetune_learner.py:50-109): per utterance — load the mouth-ROI
+HDF5, apply visual occlusion corruption (recording the replayable config),
+run the eval preprocessing pipeline (CenterCrop 88x88 + normalisation),
+Conv3D+ResNet frontend, BRAVEn encoder, then joint CTC/attention beam
+search with weights {decoder: 1-ctc_w, ctc: ctc_w, lm: lm_w,
+length_bonus: penalty}; detokenise the n-best into the hypotheses JSON
+(`nhyps` + Visual_Corruption metadata).
+
+Token lists use the unigram-sentencepiece vocabulary; detokenisation is the
+standard SPM rule (join pieces, "▁" -> space) so the `sentencepiece` package
+is not required at decode time — pass --token_list with one piece per line.
+
+  python -m dualhyp_tpu.cli.make_json_vsr --config conf/vsr_config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def spm_detokenize(pieces) -> str:
+    """SentencePiece detokenisation: concat pieces, '▁' becomes a space."""
+    return "".join(pieces).replace("▁", " ").strip()
+
+
+def load_token_list(path) -> list:
+    with open(path, encoding="utf-8") as fp:
+        return [line.rstrip("\n").split()[0] for line in fp if line.strip()]
+
+
+def load_mouthroi(path) -> np.ndarray:
+    """HDF5 'video_frames' dataset or raw npy (ref: data/utils.py:214-232)."""
+    path = str(path)
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return np.asarray(f["video_frames"])
+    return np.load(path)
+
+
+def transcribe_vsr_nbest(video, frontend_params, enc_params, enc_cfg,
+                         dec_params, dec_cfg, ctc_params, token_list, *,
+                         beam_size=40, ctc_weight=0.1, lm_weight=0.0,
+                         penalty=0.0, n_best=5, max_len=100,
+                         lm_logprobs_fn=None):
+    """video: (T, H, W) preprocessed ROI. Returns (texts, scores)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.beam_search import nbest_texts, BeamHypothesis
+    from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
+    from dualhyp_tpu.infer.joint_beam_search import joint_beam_search
+    from dualhyp_tpu.models import espnet_decoder as ed
+    from dualhyp_tpu.models import raven
+
+    feats = raven.conv3d_frontend(
+        frontend_params, jnp.asarray(video[None, None], jnp.float32)
+    )
+    memory = raven.encode(enc_params, enc_cfg, feats)
+
+    sos = eos = len(token_list) - 1  # espnet: last id is <sos/eos>
+    blank = 0
+
+    ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
+    scorer = CTCPrefixScorer(ctc_lp, blank=blank, eos=eos) if ctc_weight > 0 else None
+
+    step = jax.jit(
+        lambda toks, mem: jax.nn.log_softmax(
+            ed.decode_logits(dec_params, dec_cfg, toks, mem)[:, -1], axis=-1
+        )
+    )
+
+    def att_fn(tokens):
+        n = tokens.shape[0]
+        mem = jnp.broadcast_to(memory, (n,) + memory.shape[1:])
+        return step(jnp.asarray(tokens, jnp.int32), mem)
+
+    hyps = joint_beam_search(
+        att_fn,
+        scorer,
+        sos=sos,
+        eos=eos,
+        beam_size=beam_size,
+        weights={
+            "decoder": 1.0 - ctc_weight,
+            "ctc": ctc_weight,
+            "lm": lm_weight,
+            "length_bonus": penalty,
+        },
+        max_len=max_len,
+        lm_logprobs_fn=lm_logprobs_fn,
+        blank=blank,
+    )
+    beam_hyps = [
+        BeamHypothesis(h.result_tokens(sos, eos), h.score) for h in hyps
+    ]
+    detok = lambda toks: spm_detokenize([token_list[t] for t in toks])
+    return nbest_texts(beam_hyps, detok, n=n_best)
+
+
+def make_json(cfg: dict, shard_index=0, num_shards=1):
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.data import corruption
+    from dualhyp_tpu.infer.evaluate import word_error_rate
+    from dualhyp_tpu.models import espnet_decoder as ed
+    from dualhyp_tpu.models import raven
+
+    token_list = load_token_list(cfg["token_list"])
+    enc_cfg = raven.RavenEncoderConfig(**cfg.get("encoder", {}))
+    dec_cfg = ed.EspnetDecoderConfig(
+        odim=len(token_list), **cfg.get("decoder", {})
+    )
+
+    # weights: torch state_dict converted to npz beforehand, or orbax dir
+    from dualhyp_tpu.ckpt.io import load_params
+
+    weights = load_params(cfg["model_checkpoint"])
+    frontend_params = jax.tree_util.tree_map(jnp.asarray, weights["frontend"])
+    enc_params = jax.tree_util.tree_map(jnp.asarray, weights["encoder"])
+    dec_params = jax.tree_util.tree_map(jnp.asarray, weights["decoder"])
+    ctc_params = jax.tree_util.tree_map(jnp.asarray, weights["ctc"])
+
+    manifest = Path(cfg["manifest"])  # <uid>\t<mouthroi_path>\t<caption>
+    out_path = Path(cfg["output_file"])
+    if num_shards > 1:
+        out_path = out_path.with_name(out_path.stem + f"_{shard_index:02d}.json")
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+
+    records = []
+    done = set()
+    if cfg.get("resume") and out_path.is_file():
+        with open(out_path, encoding="utf-8") as fp:
+            records = json.load(fp)
+        done = {r["Uid"] for r in records}
+
+    with open(manifest, encoding="utf-8") as fp:
+        lines = [l.strip() for l in fp if l.strip()][shard_index::num_shards]
+
+    rng = np.random.default_rng(cfg.get("seed", 0) + shard_index)
+    occ_type = cfg.get("occ_type", "pixelate")
+    dump_every = int(cfg.get("dump_every", 25))
+
+    for idx, line in enumerate(lines):
+        uid, roi_path, caption = line.split("\t")
+        if uid in done:
+            continue
+        try:
+            video = load_mouthroi(roi_path)
+            corrupted, vcfg = corruption.occlude_sequence(
+                video, occ_type, rng=rng, return_config=True
+            )
+            processed = corruption.eval_pipeline(corrupted.astype(np.float32))
+            texts, scores = transcribe_vsr_nbest(
+                processed, frontend_params, enc_params, enc_cfg, dec_params,
+                dec_cfg, ctc_params, token_list,
+                beam_size=int(cfg.get("beam_size", 40)),
+                ctc_weight=float(cfg.get("ctc_weight", 0.1)),
+                penalty=float(cfg.get("penalty", 0.0)),
+                n_best=int(cfg.get("n_best", 5)),
+            )
+            if not texts:
+                continue
+            records.append(
+                {
+                    "Dataset": cfg.get("dataset_name", ""),
+                    "Uid": uid,
+                    "Caption": caption,
+                    "Mouthroi": roi_path,
+                    "Noise_Category": occ_type,
+                    "nhyps": {"hyps": texts, "scores": scores},
+                    "Visual_Corruption": vcfg,
+                    "WER_1st-hyp": word_error_rate([texts[0]], [caption.lower()]),
+                }
+            )
+        except Exception as exc:
+            print(f"skip {uid}: {type(exc).__name__}: {exc}")
+            continue
+        if (idx + 1) % dump_every == 0:
+            with open(out_path, "w", encoding="utf-8") as fp:
+                json.dump(records, fp, indent=1, ensure_ascii=False)
+    with open(out_path, "w", encoding="utf-8") as fp:
+        json.dump(records, fp, indent=1, ensure_ascii=False)
+    print(f"wrote {len(records)} records to {out_path}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--shard_index", type=int, default=0)
+    parser.add_argument("--num_shards", type=int, default=1)
+    args = parser.parse_args(argv)
+    with open(args.config, encoding="utf-8") as fp:
+        if args.config.endswith((".yaml", ".yml")):
+            import yaml
+
+            cfg = yaml.safe_load(fp)
+        else:
+            cfg = json.load(fp)
+    make_json(cfg, args.shard_index, args.num_shards)
+
+
+if __name__ == "__main__":
+    main()

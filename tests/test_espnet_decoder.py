@@ -1,0 +1,77 @@
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dualhyp_tpu.models import espnet_decoder as ed
+
+_REF = Path("/root/reference/data/raven")
+if (_REF / "espnet").is_dir() and str(_REF) not in sys.path:
+    sys.path.insert(0, str(_REF))
+
+requires_espnet = pytest.mark.skipif(
+    not (_REF / "espnet").is_dir(), reason="vendored espnet unavailable"
+)
+
+
+@requires_espnet
+def test_decoder_matches_espnet(rng):
+    from espnet.nets.pytorch_backend.transformer.decoder import Decoder
+    from espnet.nets.pytorch_backend.transformer.mask import subsequent_mask
+
+    torch.manual_seed(0)
+    dec = Decoder(
+        odim=40,
+        attention_dim=32,
+        attention_heads=4,
+        linear_units=64,
+        num_blocks=2,
+        dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+        self_attention_dropout_rate=0.0,
+        src_attention_dropout_rate=0.0,
+    )
+    dec.eval()
+
+    cfg = ed.EspnetDecoderConfig(
+        odim=40, attention_dim=32, attention_heads=4, linear_units=64, num_blocks=2
+    )
+    state = {k: v.detach().numpy() for k, v in dec.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, ed.convert_espnet_decoder(state, cfg))
+
+    tokens = np.asarray([[39, 5, 7, 2]], np.int64)
+    memory = rng.normal(size=(1, 11, 32)).astype(np.float32)
+    with torch.no_grad():
+        tgt = torch.from_numpy(tokens)
+        mask = subsequent_mask(tokens.shape[1]).unsqueeze(0)
+        want, _ = dec(tgt, mask, torch.from_numpy(memory), None)
+
+    got = np.asarray(
+        ed.decode_logits(params, cfg, jnp.asarray(tokens, jnp.int32), jnp.asarray(memory))
+    )
+    np.testing.assert_allclose(got, want.numpy(), rtol=2e-3, atol=2e-3)
+
+
+@requires_espnet
+def test_ctc_head_matches_espnet(rng):
+    from espnet.nets.pytorch_backend.ctc import CTC
+
+    torch.manual_seed(0)
+    ctc = CTC(40, 32, 0.0, ctc_type="builtin")
+    ctc.eval()
+    memory = rng.normal(size=(1, 9, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ctc.log_softmax(torch.from_numpy(memory)).numpy()
+    params = {
+        "ctc_lo": {
+            "weight": jnp.asarray(ctc.ctc_lo.weight.detach().numpy()),
+            "bias": jnp.asarray(ctc.ctc_lo.bias.detach().numpy()),
+        }
+    }
+    got = np.asarray(ed.ctc_log_probs(params, jnp.asarray(memory)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

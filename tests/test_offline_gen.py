@@ -90,3 +90,111 @@ def test_transcribe_nbest_with_tiny_random_whisper(rng, tmp_path):
     )
     assert len(texts) == 5 and len(scores) == 5
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_transcribe_vsr_nbest_tiny(rng):
+    """Full VSR path on tiny random weights: frontend -> encoder -> joint
+    CTC/attention n-best."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_vsr import spm_detokenize, transcribe_vsr_nbest
+    from dualhyp_tpu.models import espnet_decoder as ed
+    from dualhyp_tpu.models import raven
+
+    assert spm_detokenize(["▁the", "▁cat", "s"]) == "the cats"
+
+    token_list = ["<blank>"] + [f"▁w{i}" for i in range(10)] + ["<sos/eos>"]
+    enc_cfg = raven.RavenEncoderConfig(
+        idim=512, attention_dim=16, attention_heads=2, linear_units=32,
+        num_blocks=1, attn_layer_type="rel_mha",
+    )
+    dec_cfg = ed.EspnetDecoderConfig(
+        odim=len(token_list), attention_dim=16, attention_heads=2,
+        linear_units=32, num_blocks=1,
+    )
+
+    # random-but-valid parameter trees
+    key = jax.random.key(0)
+
+    def rnd(shape):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, shape) * 0.05
+
+    def lin(o, i, bias=True):
+        leaf = {"weight": rnd((o, i))}
+        if bias:
+            leaf["bias"] = jnp.zeros((o,))
+        return leaf
+
+    def ln(d):
+        return {"weight": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+    d = enc_cfg.attention_dim
+    enc_params = {
+        "embed": {"linear": lin(d, 512), "norm": ln(d)},
+        "layers": {
+            "0": {
+                "norm_mha": ln(d),
+                "self_attn": {
+                    "linear_q": lin(d, d), "linear_k": lin(d, d),
+                    "linear_v": lin(d, d), "linear_out": lin(d, d),
+                    "linear_pos": {"weight": rnd((d, d))},
+                    "pos_bias_u": rnd((2, d // 2)), "pos_bias_v": rnd((2, d // 2)),
+                },
+                "norm_ff": ln(d),
+                "feed_forward": {"w_1": lin(32, d), "w_2": lin(d, 32)},
+            }
+        },
+        "after_norm": ln(d),
+    }
+    dd = dec_cfg.attention_dim
+    dec_params = {
+        "embed": {"weight": rnd((len(token_list), dd))},
+        "layers": {
+            "0": {
+                "norm1": ln(dd), "norm2": ln(dd), "norm3": ln(dd),
+                "self_attn": {"linear_q": lin(dd, dd), "linear_k": lin(dd, dd),
+                              "linear_v": lin(dd, dd), "linear_out": lin(dd, dd)},
+                "src_attn": {"linear_q": lin(dd, dd), "linear_k": lin(dd, dd),
+                             "linear_v": lin(dd, dd), "linear_out": lin(dd, dd)},
+                "feed_forward": {"w_1": lin(32, dd), "w_2": lin(dd, 32)},
+            }
+        },
+        "after_norm": ln(dd),
+        "output_layer": lin(len(token_list), dd),
+    }
+    ctc_params = {"ctc_lo": lin(len(token_list), d)}
+
+    # frontend params via the torch converter (reuse the espnet module)
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    ref = _Path("/root/reference/data/raven")
+    if not (ref / "espnet").is_dir():
+        import pytest as _pytest
+
+        _pytest.skip("vendored espnet unavailable for frontend weights")
+    if str(ref) not in _sys.path:
+        _sys.path.insert(0, str(ref))
+    import torch as _torch
+    from espnet.nets.pytorch_backend.backbones.conv3d_extractor import Conv3dResNet
+
+    _torch.manual_seed(0)
+    fe = Conv3dResNet(relu_type="swish").eval()
+    frontend_params = jax.tree_util.tree_map(
+        jnp.asarray,
+        raven.convert_conv3d_frontend(
+            {k: v.detach().numpy() for k, v in fe.state_dict().items()}
+        ),
+    )
+
+    video = rng.normal(size=(6, 88, 88)).astype(np.float32)
+    texts, scores = transcribe_vsr_nbest(
+        video, frontend_params, enc_params, enc_cfg, dec_params, dec_cfg,
+        ctc_params, token_list, beam_size=4, ctc_weight=0.3, n_best=5,
+        max_len=5,
+    )
+    assert len(texts) == 5
+    assert all(isinstance(t, str) for t in texts)
