@@ -30,6 +30,7 @@ def test_shard_per_worker(tmp_path):
     builder = PackedDatasetBuilder(tmp_path, "w", chunk_size=16)
     for i in range(6):
         builder.add_array(np.full(16, i))
+    builder.write_reminder()
     files = builder.filenames
     w0 = PackedDataset(files, block_size=16, shuffle=False, worker_index=0, num_workers=2)
     w1 = PackedDataset(files, block_size=16, shuffle=False, worker_index=1, num_workers=2)
