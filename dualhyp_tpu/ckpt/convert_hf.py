@@ -264,6 +264,123 @@ def convert_neox_family(hf: Dict[str, np.ndarray], cfg: GPTConfig) -> dict:
     return params
 
 
+def convert_falcon_family(hf: Dict[str, np.ndarray], cfg: GPTConfig,
+                          model_name: str) -> dict:
+    """Falcon: fused QKV ships pre-interleaved in the target layout; 7b uses
+    one shared norm (parallel residual + shared_attention_norm), 40b/180B
+    split ln_attn/ln_mlp (ref: scripts/convert_hf_checkpoint.py:68-100)."""
+    L = cfg.n_layer
+
+    def layer(name, i):
+        return hf[f"transformer.h.{i}.{name}"]
+
+    def stack(fmt):
+        return np.stack([layer(fmt, i) for i in range(L)])
+
+    blocks = {
+        "attn": {
+            "qkv": {"weight": stack("self_attention.query_key_value.weight")},
+            "proj": {"weight": stack("self_attention.dense.weight")},
+        },
+        "mlp": {
+            "fc": {"weight": stack("mlp.dense_h_to_4h.weight")},
+            "proj": {"weight": stack("mlp.dense_4h_to_h.weight")},
+        },
+    }
+    if "7b" in model_name:
+        blocks["norm_1"] = {
+            "scale": stack("input_layernorm.weight"),
+            "bias": stack("input_layernorm.bias"),
+        }
+    else:
+        blocks["norm_1"] = {
+            "scale": stack("ln_attn.weight"),
+            "bias": stack("ln_attn.bias"),
+        }
+        blocks["norm_2"] = {
+            "scale": stack("ln_mlp.weight"),
+            "bias": stack("ln_mlp.bias"),
+        }
+    return {
+        "wte": {"weight": _pad_vocab(hf["transformer.word_embeddings.weight"], cfg)},
+        "ln_f": {
+            "scale": hf["transformer.ln_f.weight"],
+            "bias": hf["transformer.ln_f.bias"],
+        },
+        "lm_head": {"weight": _pad_vocab(hf["lm_head.weight"], cfg)},
+        "blocks": blocks,
+    }
+
+
+def convert_phi_family(hf: Dict[str, np.ndarray], cfg: GPTConfig) -> dict:
+    """Phi-1.5/2 (separate q/k/v with biases, GELU MLP, single pre-norm with
+    parallel residual) — ref: scripts/convert_hf_checkpoint.py:205-280."""
+    L = cfg.n_layer
+
+    def layer(name, i):
+        return hf[f"model.layers.{i}.{name}"]
+
+    def stack(fmt):
+        return np.stack([layer(fmt, i) for i in range(L)])
+
+    qkv_w = np.stack(
+        [
+            interleave_qkv(
+                layer("self_attn.q_proj.weight", i),
+                layer("self_attn.k_proj.weight", i),
+                layer("self_attn.v_proj.weight", i),
+                cfg,
+            )
+            for i in range(L)
+        ]
+    )
+    qkv_b = np.stack(
+        [
+            interleave_qkv(
+                layer("self_attn.q_proj.bias", i)[:, None],
+                layer("self_attn.k_proj.bias", i)[:, None],
+                layer("self_attn.v_proj.bias", i)[:, None],
+                cfg,
+            )[:, 0]
+            for i in range(L)
+        ]
+    )
+    return {
+        "wte": {"weight": _pad_vocab(hf["model.embed_tokens.weight"], cfg)},
+        "ln_f": {
+            "scale": hf["model.final_layernorm.weight"],
+            "bias": hf["model.final_layernorm.bias"],
+        },
+        "lm_head": {
+            "weight": _pad_vocab(hf["lm_head.weight"], cfg),
+            "bias": _pad_vocab(hf["lm_head.bias"][:, None], cfg)[:, 0],
+        },
+        "blocks": {
+            "norm_1": {
+                "scale": stack("input_layernorm.weight"),
+                "bias": stack("input_layernorm.bias"),
+            },
+            "attn": {
+                "qkv": {"weight": qkv_w, "bias": qkv_b},
+                "proj": {
+                    "weight": stack("self_attn.dense.weight"),
+                    "bias": stack("self_attn.dense.bias"),
+                },
+            },
+            "mlp": {
+                "fc": {
+                    "weight": stack("mlp.fc1.weight"),
+                    "bias": stack("mlp.fc1.bias"),
+                },
+                "proj": {
+                    "weight": stack("mlp.fc2.weight"),
+                    "bias": stack("mlp.fc2.bias"),
+                },
+            },
+        },
+    }
+
+
 def convert_hf_checkpoint(checkpoint_dir, model_name: str | None = None,
                           out_path=None, dtype: str | None = None) -> dict:
     """Convert an HF checkpoint dir to our npz format + config JSON."""
@@ -271,10 +388,14 @@ def convert_hf_checkpoint(checkpoint_dir, model_name: str | None = None,
     name = model_name or checkpoint_dir.name
     cfg = config_from_name(name)
     hf = _load_hf_tensors(checkpoint_dir)
-    if any(k.startswith("model.layers.") for k in hf):
+    if any("self_attn.dense" in k for k in hf):
+        params = convert_phi_family(hf, cfg)
+    elif any(k.startswith("model.layers.") for k in hf):
         params = convert_llama_family(hf, cfg)
     elif any(k.startswith("gpt_neox.") for k in hf):
         params = convert_neox_family(hf, cfg)
+    elif any(k.startswith("transformer.h.") for k in hf):
+        params = convert_falcon_family(hf, cfg, name)
     else:
         raise NotImplementedError(
             f"unrecognised checkpoint family; keys like {sorted(hf)[:3]}"
