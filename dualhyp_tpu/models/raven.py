@@ -228,7 +228,13 @@ def _mha(leaf, x, n_head, pos_emb=None, mask=None):
         scores = einsum("bhtd,bhsd->bhts", q.astype(jnp.float32),
                         k.astype(jnp.float32)) / math.sqrt(dk)
     if mask is not None:
-        scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+        # (B, S) padding mask or (T, S)/(B, T, S) attention mask
+        if mask.ndim == 2 and mask.shape[0] == b:
+            scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+        elif mask.ndim == 2:
+            scores = jnp.where(mask[None, None], scores, -jnp.inf)
+        else:
+            scores = jnp.where(mask[:, None], scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = einsum("bhts,bhsd->bhtd", w, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, d)

@@ -75,3 +75,36 @@ def test_ctc_head_matches_espnet(rng):
     }
     got = np.asarray(ed.ctc_log_probs(params, jnp.asarray(memory)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@requires_espnet
+def test_transformer_lm_matches_espnet(rng):
+    """Our causal-mask LM forward vs the vendored TransformerLM."""
+    import argparse
+
+    from espnet.nets.pytorch_backend.lm.transformer import TransformerLM
+
+    from dualhyp_tpu.models import espnet_lm
+
+    args = argparse.Namespace(
+        layer=2, unit=32, att_unit=16, embed_unit=8, head=2,
+        dropout_rate=0.0, att_dropout_rate=0.0, emb_dropout_rate=0.0,
+        tie_weights=False, pos_enc="sinusoidal",
+    )
+    torch.manual_seed(0)
+    lm = TransformerLM(20, args)
+    lm.eval()
+
+    cfg = espnet_lm.EspnetLMConfig(
+        n_vocab=20, embed_unit=8, att_unit=16, head=2, unit=32, layer=2
+    )
+    state = {k: v.detach().numpy() for k, v in lm.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, espnet_lm.convert_espnet_lm(state, cfg))
+
+    tokens = np.asarray([[19, 5, 7, 2, 11]], np.int64)
+    with torch.no_grad():
+        # batch_score path: last-position logits
+        ys = torch.from_numpy(tokens)
+        logp, _ = lm.batch_score(ys, [None], None)
+    got = np.asarray(espnet_lm.lm_logprobs(params, cfg, jnp.asarray(tokens, jnp.int32)))
+    np.testing.assert_allclose(got, logp.numpy(), rtol=2e-3, atol=2e-3)
