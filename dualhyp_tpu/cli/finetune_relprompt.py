@@ -51,6 +51,11 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=1337)
     parser.add_argument("--feature_dir", type=str, default=None)
     parser.add_argument("--synthetic_features", action="store_true")
+    parser.add_argument(
+        "--whisper_checkpoint", type=str, default=None,
+        help="HF whisper dir: compute audio features on-device with the JAX "
+             "encoder (visual features still need --feature_dir)",
+    )
     common.add_model_args(parser)
     common.add_data_args(parser)
     common.add_mesh_args(parser)
@@ -59,6 +64,8 @@ def build_parser():
 
 def feature_loader(args, cfg):
     """Returns fn(example, rng) -> (audio_feats, visual_feats) numpy."""
+    if getattr(args, "whisper_checkpoint", None):
+        return _whisper_feature_loader(args, cfg)
     if args.feature_dir:
         feature_dir = Path(args.feature_dir)
 
@@ -82,9 +89,47 @@ def feature_loader(args, cfg):
         return synth
     raise SystemExit(
         "RelPrompt training needs encoder features: pass --feature_dir "
-        "(precomputed Whisper/BRAVEn features) or --synthetic_features "
+        "(precomputed Whisper/BRAVEn features), --whisper_checkpoint "
+        "(on-device audio features), or --synthetic_features "
         "(pipeline validation only)"
     )
+
+
+def _whisper_feature_loader(args, cfg):
+    """Frozen Whisper-large features computed on device with the JAX encoder
+    (== the reference's frozen audio_encoder, finetune/relprompt.py:56-61,
+    347-351); waveform loading + corruption replay happen host-side.
+    Visual features come from --feature_dir when present, else zeros."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_asr import load_whisper
+    from dualhyp_tpu.data import corruption
+    from dualhyp_tpu.models import whisper as w
+
+    (enc_params, enc_cfg), _, _ = load_whisper(args.whisper_checkpoint)
+    encode = jax.jit(lambda mel: w.encode(enc_params, enc_cfg, mel))
+    feature_dir = Path(args.feature_dir) if args.feature_dir else None
+
+    def load(example, rng):
+        rec = example.records[0]
+        audio = corruption.load_wav(rec["Clean_Wav"])
+        if rec.get("Audio_Corruption") and rec.get("Noise_Wav"):
+            noise = corruption.load_wav(rec["Noise_Wav"])
+            audio = corruption.add_audio_noise(audio, noise, rec["Audio_Corruption"])
+        mel = w.log_mel_spectrogram(audio, enc_cfg.n_mels)
+        audio_feats = np.asarray(encode(jnp.asarray(mel[None])))[0]
+        if feature_dir is not None:
+            with np.load(feature_dir / f"{example.uid}.npz") as z:
+                visual = z["visual"]
+        else:
+            n_v = len(example.video_bin_labels or [1])
+            visual = np.zeros(
+                (n_v * cfg.classifier_pool_size, cfg.raven_dim), np.float32
+            )
+        return audio_feats, visual
+
+    return load
 
 
 def build_feature_batch(examples, loader, rng, cfg):

@@ -1,0 +1,185 @@
+"""Offline joint audio-visual (AVSR) n-best hypothesis generation.
+
+Equivalent of the reference's generator (ref: data/make_json_avsr.py +
+data/auto_avsr/lightning_av.py:72-95): per utterance — load waveform and
+mouth-ROI, REUSE the audio corruption config from an existing ASR JSON when
+provided (ref: make_json_avsr.py:96-140, keeps corruption aligned across
+modalities), apply visual occlusion, run both frontends, fuse the encoder
+streams (models/avsr.py), then the shared joint CTC/attention beam search.
+
+  python -m dualhyp_tpu.cli.make_json_avsr --config conf/avsr_config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def transcribe_avsr_nbest(video, audio, params, video_cfg, audio_cfg,
+                          dec_params, dec_cfg, ctc_params, token_list, *,
+                          beam_size=40, ctc_weight=0.1, penalty=0.0,
+                          n_best=5, max_len=100):
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_vsr import spm_detokenize
+    from dualhyp_tpu.infer.beam_search import BeamHypothesis, nbest_texts
+    from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
+    from dualhyp_tpu.infer.joint_beam_search import joint_beam_search
+    from dualhyp_tpu.models import avsr, espnet_decoder as ed, raven
+
+    video_feats = raven.conv3d_frontend(
+        params["video_frontend"], jnp.asarray(video[None, None], jnp.float32)
+    )
+    audio_feats = avsr.conv1d_frontend(
+        params["audio_frontend"], jnp.asarray(audio[None], jnp.float32)
+    )
+    memory = avsr.avsr_encode(
+        params, video_cfg, audio_cfg, video_feats, audio_feats
+    )
+
+    sos = eos = len(token_list) - 1
+    blank = 0
+    ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
+    scorer = CTCPrefixScorer(ctc_lp, blank=blank, eos=eos) if ctc_weight > 0 else None
+
+    step = jax.jit(
+        lambda toks, mem: jax.nn.log_softmax(
+            ed.decode_logits(dec_params, dec_cfg, toks, mem)[:, -1], axis=-1
+        )
+    )
+
+    def att_fn(tokens):
+        n = tokens.shape[0]
+        mem = jnp.broadcast_to(memory, (n,) + memory.shape[1:])
+        return step(jnp.asarray(tokens, jnp.int32), mem)
+
+    hyps = joint_beam_search(
+        att_fn, scorer, sos=sos, eos=eos, beam_size=beam_size,
+        weights={"decoder": 1.0 - ctc_weight, "ctc": ctc_weight,
+                 "length_bonus": penalty},
+        max_len=max_len, blank=blank,
+    )
+    beam_hyps = [BeamHypothesis(h.result_tokens(sos, eos), h.score) for h in hyps]
+    detok = lambda toks: spm_detokenize([token_list[t] for t in toks])
+    return nbest_texts(beam_hyps, detok, n=n_best)
+
+
+def make_json(cfg: dict, shard_index=0, num_shards=1):
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.ckpt.io import load_params
+    from dualhyp_tpu.cli.make_json_vsr import load_mouthroi, load_token_list
+    from dualhyp_tpu.data import corruption
+    from dualhyp_tpu.infer.evaluate import word_error_rate
+    from dualhyp_tpu.models import espnet_decoder as ed, raven
+
+    token_list = load_token_list(cfg["token_list"])
+    video_cfg = raven.RavenEncoderConfig(**cfg.get("video_encoder", {}))
+    audio_cfg = raven.RavenEncoderConfig(**cfg.get("audio_encoder", {}))
+    dec_cfg = ed.EspnetDecoderConfig(odim=len(token_list), **cfg.get("decoder", {}))
+
+    weights = load_params(cfg["model_checkpoint"])
+    params = jax.tree_util.tree_map(jnp.asarray, weights)
+    dec_params = params["decoder"]
+    ctc_params = params["ctc"]
+
+    # audio corruption reuse from a previously generated ASR JSON
+    # (ref: make_json_avsr.py:96-140)
+    corr_by_uid = {}
+    if cfg.get("asr_json"):
+        with open(cfg["asr_json"], encoding="utf-8") as fp:
+            for rec in json.load(fp):
+                corr_by_uid[rec["Uid"]] = rec
+
+    manifest = Path(cfg["manifest"])  # <uid>\t<wav>\t<roi>\t<caption>
+    out_path = Path(cfg["output_file"])
+    if num_shards > 1:
+        out_path = out_path.with_name(out_path.stem + f"_{shard_index:02d}.json")
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+
+    records, done = [], set()
+    if cfg.get("resume") and out_path.is_file():
+        with open(out_path, encoding="utf-8") as fp:
+            records = json.load(fp)
+        done = {r["Uid"] for r in records}
+
+    with open(manifest, encoding="utf-8") as fp:
+        lines = [l.strip() for l in fp if l.strip()][shard_index::num_shards]
+
+    rng = np.random.default_rng(cfg.get("seed", 0) + shard_index)
+    occ_type = cfg.get("occ_type", "pixelate")
+
+    for idx, line in enumerate(lines):
+        uid, wav_path, roi_path, caption = line.split("\t")
+        if uid in done:
+            continue
+        try:
+            audio = corruption.load_wav(wav_path)
+            prior = corr_by_uid.get(uid)
+            if prior and prior.get("Audio_Corruption") and prior.get("Noise_Wav"):
+                noise = corruption.load_wav(prior["Noise_Wav"])
+                audio = corruption.add_audio_noise(
+                    audio, noise, prior["Audio_Corruption"]
+                )
+            video = load_mouthroi(roi_path)
+            corrupted, vcfg = corruption.occlude_sequence(
+                video, occ_type, rng=rng, return_config=True
+            )
+            processed = corruption.eval_pipeline(corrupted.astype(np.float32))
+            texts, scores = transcribe_avsr_nbest(
+                processed, audio, params, video_cfg, audio_cfg,
+                dec_params, dec_cfg, ctc_params, token_list,
+                beam_size=int(cfg.get("beam_size", 40)),
+                ctc_weight=float(cfg.get("ctc_weight", 0.1)),
+                n_best=int(cfg.get("n_best", 5)),
+            )
+            if not texts:
+                continue
+            records.append(
+                {
+                    "Dataset": cfg.get("dataset_name", ""),
+                    "Uid": uid,
+                    "Caption": caption,
+                    "Clean_Wav": wav_path,
+                    "Mouthroi": roi_path,
+                    "nhyps": {"hyps": texts, "scores": scores},
+                    "Audio_Corruption": (prior or {}).get("Audio_Corruption"),
+                    "Visual_Corruption": vcfg,
+                    "WER_1st-hyp": word_error_rate([texts[0]], [caption.lower()]),
+                }
+            )
+        except Exception as exc:
+            print(f"skip {uid}: {type(exc).__name__}: {exc}")
+            continue
+        if (idx + 1) % int(cfg.get("dump_every", 25)) == 0:
+            with open(out_path, "w", encoding="utf-8") as fp:
+                json.dump(records, fp, indent=1, ensure_ascii=False)
+    with open(out_path, "w", encoding="utf-8") as fp:
+        json.dump(records, fp, indent=1, ensure_ascii=False)
+    print(f"wrote {len(records)} records to {out_path}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--shard_index", type=int, default=0)
+    parser.add_argument("--num_shards", type=int, default=1)
+    args = parser.parse_args(argv)
+    with open(args.config, encoding="utf-8") as fp:
+        if args.config.endswith((".yaml", ".yml")):
+            import yaml
+
+            cfg = yaml.safe_load(fp)
+        else:
+            cfg = json.load(fp)
+    make_json(cfg, args.shard_index, args.num_shards)
+
+
+if __name__ == "__main__":
+    main()
