@@ -165,6 +165,18 @@ def abs_positions(t: int, d: int) -> np.ndarray:
     return pe
 
 
+def legacy_rel_positions(t: int, d: int, max_len: int = 5000) -> np.ndarray:
+    """Old-style pe: the first T rows of a reversed max_len table, i.e.
+    positions max_len-1 .. max_len-T (embedding.py LegacyRelPositionalEncoding
+    with reverse=True and its 5000-length cache)."""
+    positions = np.arange(max_len - 1, max_len - 1 - t, -1, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32) * -(math.log(10000.0) / d))
+    pe = np.zeros((t, d), np.float32)
+    pe[:, 0::2] = np.sin(positions * div)
+    pe[:, 1::2] = np.cos(positions * div)
+    return pe
+
+
 def rel_positions(t: int, d: int) -> np.ndarray:
     """(2T-1, d): positive positions reversed then negatives
     (ref: embedding.py:172-218)."""
@@ -206,7 +218,16 @@ def _rel_shift(x):
     return x[:, :, :, : t2 // 2 + 1]
 
 
-def _mha(leaf, x, n_head, pos_emb=None, mask=None):
+def _legacy_rel_shift(x):
+    """Old-style shift over a (B, H, T, T) matrix (ref: attention.py:133-150)."""
+    b, h, t1, t2 = x.shape
+    zero_pad = jnp.zeros((b, h, t1, 1), x.dtype)
+    x_padded = jnp.concatenate([zero_pad, x], axis=-1)
+    x_padded = x_padded.reshape(b, h, t2 + 1, t1)
+    return x_padded[:, :, 1:].reshape(b, h, t1, t2)
+
+
+def _mha(leaf, x, n_head, pos_emb=None, mask=None, legacy=False):
     b, t, d = x.shape
     dk = d // n_head
     q = _split_heads(_linear(leaf["linear_q"], x), n_head)
@@ -223,7 +244,8 @@ def _mha(leaf, x, n_head, pos_emb=None, mask=None):
                            k.astype(jnp.float32))
         matrix_bd = einsum("bhtd,bhsd->bhts", q_v.astype(jnp.float32),
                            jnp.broadcast_to(p, (b,) + p.shape[1:]).astype(jnp.float32))
-        scores = (matrix_ac + _rel_shift(matrix_bd)) / math.sqrt(dk)
+        shift = _legacy_rel_shift if legacy else _rel_shift
+        scores = (matrix_ac + shift(matrix_bd)) / math.sqrt(dk)
     else:
         scores = einsum("bhtd,bhsd->bhts", q.astype(jnp.float32),
                         k.astype(jnp.float32)) / math.sqrt(dk)
@@ -284,7 +306,8 @@ def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask):
     # MHA
     n = _ln(leaf["norm_mha"], x)
     x = x + _mha(leaf["self_attn"], n, cfg.attention_heads,
-                 pos_emb=pos_emb, mask=mask)
+                 pos_emb=pos_emb, mask=mask,
+                 legacy=cfg.attn_layer_type == "legacy_rel_mha")
     # conformer convolution
     if cfg.use_cnn_module:
         x = x + _conv_module(leaf["conv_module"], _ln(leaf["norm_conv"], x))
@@ -308,6 +331,8 @@ def encode(params: dict, cfg: RavenEncoderConfig, feats, mask=None):
     x = x * math.sqrt(d)
     if cfg.attn_layer_type == "rel_mha":
         pos_emb = jnp.asarray(rel_positions(t, d))
+    elif cfg.attn_layer_type == "legacy_rel_mha":
+        pos_emb = jnp.asarray(legacy_rel_positions(t, d))
     else:
         x = x + jnp.asarray(abs_positions(t, d)).astype(x.dtype)
         pos_emb = None

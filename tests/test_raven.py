@@ -37,6 +37,7 @@ def _np_state(module):
     ("rel_mha", False, False),   # BRAVEn/RAVEn transformer style
     ("rel_mha", True, True),     # auto_avsr conformer style
     ("mha", False, False),
+    ("legacy_rel_mha", False, False),
 ])
 def test_encoder_matches_espnet(rng, attn_type, macaron, cnn):
     from espnet.nets.pytorch_backend.transformer.encoder import Encoder
