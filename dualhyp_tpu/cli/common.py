@@ -109,6 +109,35 @@ def dataset_class_for(args):
     return hypotheses.HypothesesDataset
 
 
+def check_valid_checkpoint_dir(checkpoint_dir) -> None:
+    """Actionable error listing what's missing (== ger/utils.py:239-270)."""
+    checkpoint_dir = Path(checkpoint_dir)
+    problems = []
+    if not checkpoint_dir.is_dir():
+        problems.append(f"checkpoint dir {checkpoint_dir} does not exist")
+    else:
+        has_weights = (
+            (checkpoint_dir / "dualhyp_model.npz").is_file()
+            or list(checkpoint_dir.glob("*.safetensors"))
+        )
+        if not has_weights:
+            problems.append(
+                "no weights: expected dualhyp_model.npz (converted) or HF "
+                "*.safetensors files"
+            )
+        if not (checkpoint_dir / "tokenizer.json").is_file() and not (
+            checkpoint_dir / "tokenizer_config.json"
+        ).is_file():
+            problems.append("no tokenizer files (tokenizer.json / tokenizer_config.json)")
+    if problems:
+        raise FileNotFoundError(
+            f"invalid checkpoint dir {str(checkpoint_dir)!r}:\n  - "
+            + "\n  - ".join(problems)
+            + "\n\nDownload + convert one with:\n  python -m dualhyp_tpu.cli."
+            f"download --repo_id <org>/<name>"
+        )
+
+
 def load_base_params(checkpoint_dir, cfg):
     """Converted base weights if present; otherwise convert on the fly;
     otherwise random init with a warning."""

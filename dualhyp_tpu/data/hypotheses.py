@@ -177,6 +177,14 @@ class HypothesesDataset:
     def __len__(self):
         return len(self.idx2uid)
 
+    def get_max_seq_length(self):
+        """(max_len, max_len, argmax) over packed examples, + mean printout
+        (ref: av_dataset.py:294-305) — used to budget decode/cache sizes."""
+        lengths = [len(self[i].input_ids) for i in range(len(self))]
+        max_len = max(lengths)
+        print(f"mean length = {sum(lengths) / len(lengths)}")
+        return max_len, max_len, lengths.index(max_len)
+
     # ---- record selection ----
     def _draw(self, uid):
         return (self.rng.choice(self.uid2sample[uid]),)

@@ -36,3 +36,23 @@ def make_mesh(
     )
     grid = np.asarray(devices).reshape(data, fsdp, tensor)
     return Mesh(grid, AXES)
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: one call per host before any jax use.
+
+    On TPU pods jax auto-discovers everything (call with no args); args are
+    for CPU/GPU multi-process runs. Replaces the NCCL/torch.distributed init
+    underneath the reference's Fabric strategies."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
