@@ -64,9 +64,72 @@ def load_whisper(checkpoint_dir, n_mels=128):
     return (enc, enc_cfg), (dec, dec_cfg), tokenizer
 
 
+class CachedWhisperStepper:
+    """KV-cached logits_fn for `beam_search_nbest`.
+
+    The beam search supplies full prefixes each step; this wrapper keeps the
+    self-attention cache rows aligned with the live beams by matching each
+    row's parent prefix (beams are extensions of last-step beams), gathers
+    the parent cache rows, and advances one cached decoder step — O(T)
+    instead of re-running the O(T^2) full prefix like the uncached path.
+    """
+
+    def __init__(self, dec_params, dec_cfg, features, max_total: int):
+        import jax
+
+        from dualhyp_tpu.models import whisper as w
+
+        self._w = w
+        self.dec_params = dec_params
+        self.dec_cfg = dec_cfg
+        self.cross_kv_single = w.precompute_cross_kv(
+            dec_params, dec_cfg, features
+        )  # (L, 1, S, D) each
+        self.max_total = max_total
+        self.cache = None
+        self.prefix_to_row = {}
+        self._step = jax.jit(
+            lambda toks, pos, cache, cross: w.decode_step_cached(
+                dec_params, dec_cfg, toks, pos, cache, cross
+            ),
+            static_argnames=("pos",),
+        )
+
+    def __call__(self, tokens):
+        import jax.numpy as jnp
+        import numpy as np
+
+        w = self._w
+        tokens = np.asarray(tokens)
+        b, t = tokens.shape
+        cross = tuple(
+            jnp.broadcast_to(c, (c.shape[0], b) + c.shape[2:])
+            for c in self.cross_kv_single
+        )
+        if self.cache is None:
+            # prefill: replay the shared prefix token by token
+            cache = w.init_self_cache(self.dec_cfg, b, self.max_total)
+            for pos in range(t):
+                logits, cache = self._step(
+                    jnp.asarray(tokens[:, pos]), pos, cache, cross
+                )
+        else:
+            parents = [self.prefix_to_row[tuple(row[:-1])] for row in tokens]
+            gathered = {
+                k: jnp.asarray(np.asarray(v)[:, parents])
+                for k, v in self.cache.items()
+            }
+            logits, cache = self._step(
+                jnp.asarray(tokens[:, -1]), t - 1, gathered, cross
+            )
+        self.cache = cache
+        self.prefix_to_row = {tuple(row): i for i, row in enumerate(tokens)}
+        return logits
+
+
 def transcribe_nbest(audio, encoder, decoder, tokenizer, *, beam_size=50,
                      n_best=5, max_new_tokens=120, normalizer=None,
-                     language="en"):
+                     language="en", use_cache=True):
     """One utterance -> (texts, scores). audio: float32 16 kHz waveform."""
     import jax
     import jax.numpy as jnp
@@ -87,14 +150,19 @@ def transcribe_nbest(audio, encoder, decoder, tokenizer, *, beam_size=50,
     eot = tokenizer.convert_tokens_to_ids("<|endoftext|>")
     prefix = [t for t in (sot, lang, task, no_ts) if t is not None and t >= 0]
 
-    step = jax.jit(
-        lambda toks, feats: w.decode_logits(dec_params, dec_cfg, toks, feats)[:, -1]
-    )
+    if use_cache:
+        logits_fn = CachedWhisperStepper(
+            dec_params, dec_cfg, features, len(prefix) + max_new_tokens
+        )
+    else:
+        step = jax.jit(
+            lambda toks, feats: w.decode_logits(dec_params, dec_cfg, toks, feats)[:, -1]
+        )
 
-    def logits_fn(tokens):
-        n = tokens.shape[0]
-        feats = jnp.broadcast_to(features, (n,) + features.shape[1:])
-        return step(tokens, feats)
+        def logits_fn(tokens):
+            n = tokens.shape[0]
+            feats = jnp.broadcast_to(features, (n,) + features.shape[1:])
+            return step(tokens, feats)
 
     hyps = beam_search_nbest(
         logits_fn,

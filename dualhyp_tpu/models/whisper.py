@@ -369,6 +369,107 @@ def decode_logits(params: dict, cfg: WhisperDecoderConfig, tokens, audio_feature
     ).astype(jnp.float32)
 
 
+# ---- cached decoding (one-token steps against self-attn KV + precomputed
+# cross-attn KV; the reference caches per-module via forward hooks,
+# ref: model.py:186-199 install_kv_cache_hooks) ----
+
+def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig, audio_features):
+    """Cross-attention K/V from encoder output, once per utterance.
+    Returns (k, v) each (L, B, S, n_state)."""
+    xa = audio_features
+
+    def per_layer(leaf, _):
+        k = _linear(leaf["cross"]["key"], xa)
+        v = _linear(leaf["cross"]["value"], xa)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(
+        lambda carry, leaf: (None, per_layer(leaf, None)[1]), None, params["blocks"]
+    )
+    return ks, vs
+
+
+def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,
+                    dtype=jnp.float32):
+    shape = (cfg.n_layer, batch, max_len, cfg.n_state)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
+                       cache: dict, cross_kv):
+    """One decode step. tokens: (B,) int32 current tokens at position `pos`
+    (scalar — beams advance in lockstep). Returns (logits (B, V), cache)."""
+    b = tokens.shape[0]
+    s = cfg.n_state
+    h = cfg.n_head
+    hd = s // h
+    x = jnp.take(params["token_embedding"], tokens[:, None], axis=0)
+    x = x + jax.lax.dynamic_slice_in_dim(
+        params["positional_embedding"], pos, 1, axis=0
+    )
+    cross_k, cross_v = cross_kv
+    kv_len = pos + 1
+    max_len = cache["k"].shape[2]
+    valid = jnp.arange(max_len)[None, :] < kv_len  # (1, max_len)
+
+    def split(t, n):
+        return t.reshape(t.shape[0], n, h, hd).transpose(0, 2, 1, 3)
+
+    def body(carry, scanned):
+        hcur = carry
+        leaf, ck_layer, cv_layer, xk, xv = scanned
+        n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
+        k_new = _linear(leaf["attn"]["key"], n)
+        v_new = _linear(leaf["attn"]["value"], n)
+        ck_layer = jax.lax.dynamic_update_slice_in_dim(
+            ck_layer, k_new.astype(ck_layer.dtype), pos, axis=1
+        )
+        cv_layer = jax.lax.dynamic_update_slice_in_dim(
+            cv_layer, v_new.astype(cv_layer.dtype), pos, axis=1
+        )
+        q = split(_linear(leaf["attn"]["query"], n), 1)
+        k = split(ck_layer, max_len)
+        v = split(cv_layer, max_len)
+        scale = hd ** -0.25
+        logits = einsum(
+            "bhtd,bhsd->bhts",
+            (q * scale).astype(jnp.float32),
+            (k * scale).astype(jnp.float32),
+        )
+        logits = jnp.where(valid[:, None, None, :], logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+        att = einsum("bhts,bhsd->bhtd", w, v).transpose(0, 2, 1, 3).reshape(b, 1, s)
+        hcur = hcur + _linear(leaf["attn"]["out"], att)
+
+        # cross attention over precomputed memory K/V
+        n = layer_norm(hcur, leaf["cross_ln"]["scale"], leaf["cross_ln"]["bias"])
+        qx = split(_linear(leaf["cross"]["query"], n), 1)
+        kx = split(xk, xk.shape[1])
+        vx = split(xv, xv.shape[1])
+        logits = einsum(
+            "bhtd,bhsd->bhts",
+            (qx * scale).astype(jnp.float32),
+            (kx * scale).astype(jnp.float32),
+        )
+        w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+        att = einsum("bhts,bhsd->bhtd", w, vx).transpose(0, 2, 1, 3).reshape(b, 1, s)
+        hcur = hcur + _linear(leaf["cross"]["out"], att)
+
+        n = layer_norm(hcur, leaf["mlp_ln"]["scale"], leaf["mlp_ln"]["bias"])
+        hcur = hcur + _linear(
+            leaf["mlp"]["fc2"],
+            jax.nn.gelu(_linear(leaf["mlp"]["fc1"], n), approximate=False),
+        )
+        return hcur, (ck_layer, cv_layer)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["blocks"], cache["k"], cache["v"], cross_k, cross_v)
+    )
+    x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    logits = einsum("btd,vd->btv", x, params["token_embedding"].astype(x.dtype))
+    return logits[:, 0].astype(jnp.float32), {"k": new_k, "v": new_v}
+
+
 def convert_hf_whisper_decoder(hf: Dict[str, np.ndarray],
                                cfg: WhisperDecoderConfig) -> dict:
     def get(name):

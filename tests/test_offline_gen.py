@@ -198,3 +198,36 @@ def test_transcribe_vsr_nbest_tiny(rng):
     )
     assert len(texts) == 5
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_cached_beam_search_matches_uncached(rng):
+    """CachedWhisperStepper must give identical n-best to full recompute."""
+    import jax
+
+    from dualhyp_tpu.cli.make_json_asr import transcribe_nbest
+    from dualhyp_tpu.models import whisper as w
+
+    enc_cfg = w.WhisperEncoderConfig(n_mels=80, n_ctx=1500, n_state=32, n_head=4, n_layer=1)
+    dec_cfg = w.WhisperDecoderConfig(n_vocab=64, n_ctx=64, n_state=32, n_head=4, n_layer=2)
+    enc = w.init_encoder(enc_cfg, jax.random.key(0))
+    dec = w.init_decoder(dec_cfg, jax.random.key(1))
+
+    class FakeTok:
+        def convert_tokens_to_ids(self, token):
+            return {"<|startoftranscript|>": 60, "<|en|>": 61,
+                    "<|transcribe|>": 62, "<|notimestamps|>": 63,
+                    "<|endoftext|>": 59}.get(token, -1)
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{int(t)}" for t in ids if t < 59)
+
+    audio = rng.normal(size=(16000,)).astype(np.float32) * 0.05
+    kwargs = dict(beam_size=4, n_best=5, max_new_tokens=6)
+    t_cached, s_cached = transcribe_nbest(
+        audio, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), use_cache=True, **kwargs
+    )
+    t_full, s_full = transcribe_nbest(
+        audio, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), use_cache=False, **kwargs
+    )
+    assert t_cached == t_full
+    np.testing.assert_allclose(s_cached, s_full, rtol=1e-4)

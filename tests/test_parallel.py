@@ -115,3 +115,25 @@ def test_lora_merge_preserves_outputs():
         np.asarray(merged["blocks"]["attn"]["qkv"]["weight"]),
         np.asarray(params["blocks"]["attn"]["qkv"]["weight"]),
     )
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    """Megatron-style TP over the tensor axis: outputs must match the
+    replicated model (XLA inserts the collectives)."""
+    cfg = helpers.tiny_llama_config(n_embd=64, n_head=8, n_query_groups=2,
+                                    intermediate_size=128)
+    params = gpt.init(cfg, jax.random.key(4))
+    idx = jnp.asarray(np.arange(64).reshape(4, 16) % cfg.vocab_size, jnp.int32)
+    want = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+
+    mesh = make_mesh(data=2, fsdp=1, tensor=2, devices=jax.devices()[:4])
+    sharded, shardings = shard_params(params, mesh)
+    spec = shardings["blocks"]["mlp"]["fc_1"]["weight"].spec
+    assert "tensor" in str(spec), spec
+
+    fwd = jax.jit(
+        lambda p, i: gpt.forward(p, cfg, i, compute_dtype=jnp.float32),
+        in_shardings=(shardings, batch_sharding(mesh)),
+    )
+    got = np.asarray(fwd(sharded, jax.device_put(idx, batch_sharding(mesh))))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)

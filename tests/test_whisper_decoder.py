@@ -112,3 +112,25 @@ def test_nbest_texts_dedupe_and_pad():
     assert len(texts) == 5
     assert texts[0] == "1 2" and texts[1] == "3"
     assert len(set(texts[:2])) == 2  # deduped before padding
+
+
+def test_cached_decode_matches_full_forward(rng):
+    """decode_step_cached over positions == full decode_logits rows."""
+    import jax
+
+    cfg = w.WhisperDecoderConfig(n_vocab=50, n_ctx=16, n_state=32, n_head=4, n_layer=2)
+    params = w.init_decoder(cfg, jax.random.key(5))
+    audio = jnp.asarray(rng.normal(size=(2, 7, 32)).astype(np.float32))
+    tokens = np.asarray([[49, 3, 8, 1, 20], [49, 9, 2, 7, 5]], np.int32)
+
+    full = np.asarray(w.decode_logits(params, cfg, jnp.asarray(tokens), audio))
+
+    cross_kv = w.precompute_cross_kv(params, cfg, audio)
+    cache = w.init_self_cache(cfg, 2, 8)
+    for t in range(tokens.shape[1]):
+        logits, cache = w.decode_step_cached(
+            params, cfg, jnp.asarray(tokens[:, t]), t, cache, cross_kv
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), full[:, t], rtol=2e-4, atol=2e-4
+        )
