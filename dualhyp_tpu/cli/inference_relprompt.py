@@ -39,6 +39,7 @@ def build_parser():
     parser.add_argument("--time_window", type=float, default=0.4)
     parser.add_argument("--feature_dir", type=str, default=None)
     parser.add_argument("--synthetic_features", action="store_true")
+    parser.add_argument("--whisper_checkpoint", type=str, default=None)
     common.add_model_args(parser)
     common.add_data_args(parser)
     return parser
