@@ -106,3 +106,28 @@ def test_pallas_splash_attention_matches_xla(rng):
     with use_backend("pallas"):
         got = np.asarray(ops.causal_attention(q, k, v))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_first_party_flash_fwd_matches_xla(rng):
+    """Our own online-softmax flash forward vs the XLA reference."""
+    from dualhyp_tpu.ops.pallas import flash_fwd
+
+    b, hq, g, t, d = 1, 4, 2, 512, 64
+    q = jnp.asarray(rng.normal(size=(b, hq, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, g, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, g, t, d)).astype(np.float32))
+    want = np.asarray(ops.causal_attention(q, k, v))
+    got = np.asarray(flash_fwd.causal_attention_fwd(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_first_party_flash_fwd_unaligned_falls_back(rng):
+    from dualhyp_tpu.ops.pallas import flash_fwd
+
+    q = jnp.asarray(rng.normal(size=(1, 4, 48, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 48, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 48, 32)).astype(np.float32))
+    want = np.asarray(ops.causal_attention(q, k, v))
+    got = np.asarray(flash_fwd.causal_attention_fwd(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
