@@ -137,3 +137,16 @@ def test_tensor_parallel_forward_matches_replicated():
     )
     got = np.asarray(fwd(sharded, jax.device_put(idx, batch_sharding(mesh))))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_orbax_roundtrip(tmp_path):
+    from dualhyp_tpu.ckpt.io import load_params_orbax, save_params_orbax
+
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(5))
+    save_params_orbax(tmp_path / "orbax_ckpt", params)
+    loaded = load_params_orbax(tmp_path / "orbax_ckpt", like=params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
