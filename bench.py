@@ -19,13 +19,17 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_TOKENS_PER_SEC = 3000.0  # see BENCH_NOTES.md
 
 
-def build_trainer(cfg, micro_batch, seq_len):
+def build_trainer(cfg, micro_batch, seq_len, remat=True):
     from dualhyp_tpu.models import gpt
     from dualhyp_tpu.train import TrainConfig, Trainer
 
@@ -37,7 +41,7 @@ def build_trainer(cfg, micro_batch, seq_len):
         compute_dtype="bfloat16",
         frozen_dtype="bfloat16",
         lm_head_chunk_size=128,
-        remat=True,
+        remat=remat,
     )
     trainer = Trainer(cfg, tcfg, params)
     rng = np.random.default_rng(0)
@@ -105,12 +109,15 @@ def main():
 
     best = 0.0
     best_cfg = None
-    candidates = [(micro_batch, seq_len)]
+    # measured on v5e-1: mb=6 no-remat 12.5k > mb=8/16 remat 11.9k; larger
+    # no-remat batches OOM (see CLAUDE.md perf notes)
+    candidates = [(micro_batch, seq_len, True)]
     if on_accel:
-        candidates.append((16, 1024))
-    for mb, sl in candidates:
+        candidates = [(6, 1024, False)]
+        fallback = (16, 1024, True)
+    for mb, sl, remat in candidates:
         try:
-            trainer, batch = build_trainer(cfg, mb, sl)
+            trainer, batch = build_trainer(cfg, mb, sl, remat=remat)
             step_time = time_steps(trainer, batch)
             tps = mb * sl / step_time
             if tps > best:
@@ -118,6 +125,12 @@ def main():
             del trainer, batch
         except Exception as exc:  # OOM etc: keep the best completed config
             print(f"# bench candidate mb={mb} failed: {exc}", file=sys.stderr)
+    if on_accel and best_cfg is None:
+        mb, sl, remat = fallback
+        trainer, batch = build_trainer(cfg, mb, sl, remat=remat)
+        step_time = time_steps(trainer, batch)
+        best, best_cfg = mb * sl / step_time, (mb, sl, step_time)
+        del trainer, batch
 
     if best_cfg is None:
         raise SystemExit("no bench configuration completed")
