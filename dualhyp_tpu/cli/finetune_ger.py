@@ -44,7 +44,11 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=1337)
     parser.add_argument("--mode", type=str, default="lora",
                         choices=["lora", "adapter", "adapter_v2", "full"])
-    parser.add_argument("--remat", action="store_true", default=True)
+    parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="activation rematerialisation (--no-remat with "
+                             "small micro batches is ~5%% faster on v5e but "
+                             "needs the activations to fit HBM)")
     common.add_model_args(parser)
     common.add_data_args(parser)
     common.add_mesh_args(parser)
