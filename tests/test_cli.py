@@ -142,3 +142,20 @@ def test_finetune_and_inference_relprompt_cli(tiny_checkpoint, corpus_files,
     with open(predictions[0]) as fp:
         rows = json.load(fp)
     assert "mask_acc" in rows[-1]
+
+
+def test_generate_cli(tiny_checkpoint, capsys):
+    from dualhyp_tpu.cli import generate as gen_cli
+
+    gen_cli.main(
+        [
+            "--prompt", "the quick brown",
+            "--llm_checkpoint", str(tiny_checkpoint),
+            "--max_new_tokens", "4",
+            "--num_samples", "1",
+            "--top_k", "1",
+            "--quantize", "int8",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "tok/s" in out
