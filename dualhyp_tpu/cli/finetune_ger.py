@@ -72,6 +72,7 @@ def main(argv=None):
     logger.info(f"CLI arguments: {vars(args)}")
 
     checkpoint_dir = Path(args.llm_checkpoint)
+    common.check_valid_checkpoint_dir(checkpoint_dir)
     tokenizer = common.load_tokenizer(checkpoint_dir)
     model_cfg = common.model_config_from_args(args)
     max_input_length = common.max_input_length_from_checkpoint(checkpoint_dir)

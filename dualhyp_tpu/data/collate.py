@@ -62,17 +62,26 @@ def pad_batch(examples, buckets: Sequence[int] = DEFAULT_BUCKETS,
 def epoch_batches(dataset, batch_size: int, *, shuffle: bool, seed: int,
                   epoch: int, buckets: Sequence[int] = DEFAULT_BUCKETS,
                   drop_last: bool = False,
-                  length_sorted: bool = False) -> Iterable[dict]:
+                  length_sorted: bool = False,
+                  process_index: int = 0,
+                  process_count: int = 1) -> Iterable[dict]:
     """Yield padded batches for one epoch.
 
     `length_sorted=True` groups similarly-sized examples (after a seeded
     shuffle of group order) to minimise padding waste — a TPU-side
     improvement over the reference's unsorted sampler.
+
+    Multi-host: every process shuffles with the SAME seed (deterministic),
+    then takes its `process_index::process_count` slice — the per-host data
+    sharding the reference gets from Lightning's DistributedSampler
+    (reference seeds 1337+rank per process, ref: finetune/ger.py:135).
     """
     order = list(range(len(dataset)))
     rng = random.Random(seed + epoch)
     if shuffle:
         rng.shuffle(order)
+    if process_count > 1:
+        order = order[process_index::process_count]
     examples = [dataset[i] for i in order]
     if length_sorted:
         examples.sort(key=lambda e: len(e.input_ids))
