@@ -35,6 +35,7 @@ def build_checkpoint(ckpt_dir: Path):
         vocab[w] = len(vocab)
     tok = HFTok(WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = WhitespaceSplit()
+    tok.add_special_tokens(["</s>"])
     tok.save(str(ckpt_dir / "tokenizer.json"))
     (ckpt_dir / "tokenizer_config.json").write_text(
         json.dumps({"tokenizer_class": "PreTrainedTokenizerFast",

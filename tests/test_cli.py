@@ -25,7 +25,7 @@ def _write_tokenizer(ckpt_dir: Path):
         vocab.setdefault(w, len(vocab))
     tok = HFTok(WordLevel(vocab, unk_token="<unk>"))
     tok.pre_tokenizer = WhitespaceSplit()
-    tok.add_special_tokens(["<<C>>", "<<M>>", "<<N>>"])
+    tok.add_special_tokens(["</s>", "<s>", "<<C>>", "<<M>>", "<<N>>"])
     tok.save(str(ckpt_dir / "tokenizer.json"))
     with open(ckpt_dir / "tokenizer_config.json", "w") as fp:
         json.dump(

@@ -27,6 +27,9 @@ class WordTokenizer:
         return 1
 
     def encode(self, text):
+        # real tokenizers split registered special tokens even when glued to
+        # the previous word (e.g. "caption</s>"); mimic that here
+        text = text.replace("</s>", " </s> ")
         ids = []
         for tok in text.replace("\n", " \n ").split(" "):
             if not tok:
