@@ -37,6 +37,9 @@ def build_parser():
     parser.add_argument("--max_new_tokens", type=int, default=150)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_k", type=int, default=1)
+    parser.add_argument("--quantize", choices=[None, "int8"], default=None,
+                        help="int8 weight quantization (2x faster decode at "
+                             "batch 1; replaces the reference's bnb/gptq path)")
     common.add_model_args(parser)
     common.add_data_args(parser)
     return parser
@@ -121,6 +124,13 @@ def main(argv=None):
     params = common.load_base_params(checkpoint_dir, model_cfg)
     finetuned = load_params(args.model_path)
     params = _overlay(params, finetuned)
+    if args.quantize == "int8":
+        from dualhyp_tpu.models.gpt import merge_lora
+        from dualhyp_tpu.ops.quant import quantize_tree
+
+        if model_cfg.any_lora:
+            params = merge_lora(params, model_cfg)
+        params = quantize_tree(params)
 
     dataset_cls = common.dataset_class_for(args)
     dataset = dataset_cls(
