@@ -50,3 +50,22 @@ def test_quantized_model_forward_close(rng):
     assert agree >= 0.9, agree
     cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want))
     assert cos > 0.99, cos
+
+
+def test_int8_decode_agrees_with_fp(rng):
+    """Greedy decode with int8 weights should mostly agree token-wise."""
+    from dualhyp_tpu.infer.decode import generate
+
+    cfg = helpers.tiny_llama_config(
+        n_embd=256, n_head=8, n_query_groups=2, intermediate_size=512,
+        vocab_size=96, padding_multiple=16,
+    )
+    params = gpt.init(cfg, jax.random.key(3))
+    qparams = quant.quantize_tree(params)
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(2, 8)).astype(np.int32))
+    lengths = jnp.asarray([8, 8], jnp.int32)
+    kw = dict(max_new_tokens=8, temperature=0.2, top_k=1, compute_dtype=jnp.float32)
+    t_fp, _ = generate(params, cfg, ids, lengths, **kw)
+    t_q, _ = generate(qparams, cfg, ids, lengths, **kw)
+    agree = (np.asarray(t_fp) == np.asarray(t_q)).mean()
+    assert agree >= 0.8, agree
