@@ -23,7 +23,6 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_TOKENS_PER_SEC = 3000.0  # see BENCH_NOTES.md

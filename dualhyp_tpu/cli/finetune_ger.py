@@ -59,7 +59,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     out_dir = Path(f"./runs/{args.exp_name}")
 
-    from dualhyp_tpu.ckpt.io import save_adapter_only, save_params
+    from dualhyp_tpu.ckpt.io import save_params
     from dualhyp_tpu.data import collate
     from dualhyp_tpu.models import gpt
     from dualhyp_tpu.parallel import make_mesh, shard_params

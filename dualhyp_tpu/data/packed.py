@@ -12,7 +12,6 @@ File format: magic | version | dtype code | chunk_size, then raw tokens.
 
 from __future__ import annotations
 
-import os
 import random
 import struct
 from pathlib import Path

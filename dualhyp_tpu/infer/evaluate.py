@@ -14,7 +14,7 @@ prefix, keep the first line, strip whitespace (ref: inference/ger.py:86-88).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> int:

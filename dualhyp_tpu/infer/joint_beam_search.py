@@ -18,7 +18,7 @@ max_len is reached. Returns all finished hypotheses sorted by score
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import numpy as np

@@ -16,8 +16,6 @@ samples/frame at 16 kHz == 25 fps video alignment) or precomputed.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dualhyp_tpu.models import raven
-from dualhyp_tpu.models.raven import _linear, _ln
+from dualhyp_tpu.models.raven import _linear
 
 
 @dataclass(frozen=True)

@@ -23,7 +23,6 @@ Dtype policy: master params float32; matmuls/activations run in
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

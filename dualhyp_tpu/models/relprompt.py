@@ -11,7 +11,6 @@ ref: ger/relprompt.py:215-230). Convolutions run through
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ numerically equivalent (verified in tests/test_pallas.py).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

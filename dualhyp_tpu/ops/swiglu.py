@@ -11,7 +11,6 @@ checkpoints map 1:1.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from dualhyp_tpu.ops.linalg import einsum
 

@@ -26,8 +26,7 @@ import numpy as np
 import optax
 
 from dualhyp_tpu.config import GPTConfig
-from dualhyp_tpu.models import gpt, relprompt
-from dualhyp_tpu.ops.cross_entropy import chunked_cross_entropy
+from dualhyp_tpu.models import relprompt
 from dualhyp_tpu.train.trainer import (
     TrainConfig,
     Trainer,

@@ -24,11 +24,7 @@ in TPU-native form:
 
 from __future__ import annotations
 
-import math
-import time
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Callable, Optional
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
