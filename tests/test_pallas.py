@@ -131,3 +131,46 @@ def test_first_party_flash_fwd_unaligned_falls_back(rng):
     want = np.asarray(ops.causal_attention(q, k, v))
     got = np.asarray(flash_fwd.causal_attention_fwd(q, k, v))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_first_party_flash_vjp_matches_xla(rng):
+    """Hand-written flash fwd+bwd kernels: value AND gradients vs XLA."""
+    from dualhyp_tpu.ops.attention import _causal_attention_xla
+    from dualhyp_tpu.ops.pallas.flash_vjp import flash_attention
+
+    b, hq, g, t, d = 1, 4, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, hq, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, g, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, g, t, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(b, hq, t, d)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_ours(q, k, v):
+        return (flash_attention(q, k, v, scale) * w).sum()
+
+    def loss_xla(q, k, v):
+        return (_causal_attention_xla(q, k, v, scale) * w).sum()
+
+    val_o, grads_o = jax.value_and_grad(loss_ours, argnums=(0, 1, 2))(q, k, v)
+    val_x, grads_x = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(val_o), float(val_x), rtol=1e-3)
+    for go, gx, name in zip(grads_o, grads_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(go), np.asarray(gx), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_first_party_flash_vjp_unaligned_grads(rng):
+    from dualhyp_tpu.ops.attention import _causal_attention_xla
+    from dualhyp_tpu.ops.pallas.flash_vjp import flash_attention
+
+    q = jnp.asarray(rng.normal(size=(1, 4, 24, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 24, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 24, 16)).astype(np.float32))
+    scale = 0.25
+
+    go = jax.grad(lambda q: (flash_attention(q, k, v, scale) ** 2).sum())(q)
+    gx = jax.grad(lambda q: (_causal_attention_xla(q, k, v, scale) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(gx), rtol=1e-4, atol=1e-4)
