@@ -65,8 +65,11 @@ def generate(
     """prompt_ids: (B, T) right-padded int32; prompt_lengths: (B,).
 
     Returns (tokens (B, T + max_new_tokens), total_lengths (B,)) where
-    total_lengths includes the prompt and, when hit, the EOS token
-    (the reference also returns through EOS, ref: generate/base.py:79-80).
+    total_lengths counts the prompt plus generated tokens EXCLUDING the
+    EOS token: the reference returns `idx[:input_pos]` on EOS, and
+    `input_pos` points at the slot the EOS was written to, dropping it
+    (ref: generate/base.py:78-80 — its "include the EOS token" comment is
+    wrong; verified token-for-token in tests/test_reference_parity.py).
     """
     b, t = prompt_ids.shape
     max_seq = t + max_new_tokens
@@ -89,13 +92,14 @@ def generate(
     done = jnp.zeros((b,), bool) if eos_id is None else (first == eos_id)
 
     # write the first generated token at each sequence's prompt end
+    # (EOS tokens are neither written nor counted, matching the reference)
     def write_at(buf, tok, pos):
         return jax.vmap(
             lambda row, v, p: jax.lax.dynamic_update_slice(row, v[None], (p,))
         )(buf, tok, pos)
 
-    tokens = write_at(tokens, first, prompt_lengths)
-    lengths = prompt_lengths + 1
+    tokens = write_at(tokens, jnp.where(done, 0, first), prompt_lengths)
+    lengths = prompt_lengths + jnp.where(done, 0, 1)
 
     def cond(state):
         step, _, _, _, done, _, _ = state
@@ -112,9 +116,10 @@ def generate(
         rng, key = jax.random.split(rng)
         tok = sample_token(logits, temperature=temperature, top_k=top_k, rng=key)
         newly_done = done if eos_id is None else (done | (tok == eos_id))
-        # finished sequences stop advancing (write 0, freeze length + cache)
-        tokens = write_at(tokens, jnp.where(done, 0, tok), lengths)
-        lengths = jnp.where(done, lengths, lengths + 1)
+        # finished sequences (and the EOS token itself) stop advancing
+        # (write 0, freeze length + cache)
+        tokens = write_at(tokens, jnp.where(newly_done, 0, tok), lengths)
+        lengths = jnp.where(newly_done, lengths, lengths + 1)
         cache = jax.tree_util.tree_map(
             lambda new, old: jnp.where(
                 done.reshape((1, b) + (1,) * (new.ndim - 2)), old, new

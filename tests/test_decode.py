@@ -16,9 +16,9 @@ def _greedy_reference(params, cfg, prompt, max_new, eos_id=None):
             params, cfg, jnp.asarray([seq], jnp.int32), compute_dtype=jnp.float32
         )
         tok = int(jnp.argmax(logits[0, -1]))
-        seq.append(tok)
         if eos_id is not None and tok == eos_id:
-            break
+            break  # reference drops the EOS token (generate/base.py:78-80)
+        seq.append(tok)
     return seq
 
 
@@ -75,7 +75,7 @@ def test_generate_stops_at_eos_and_batches_ragged():
     got2 = list(np.asarray(tokens)[1][: int(lengths[1])])
     assert got1 == want1
     assert got2 == want2
-    assert got1[-1] == first  # EOS included, like the reference
+    assert first not in got1[len(p1):]  # EOS excluded, like the reference
 
 
 def test_edit_distance_and_wer():
