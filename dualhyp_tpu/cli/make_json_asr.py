@@ -179,10 +179,12 @@ def transcribe_nbest(audio, encoder, decoder, tokenizer, *, beam_size=50,
 
 def make_json(cfg: dict, shard_index=0, num_shards=1):
     from dualhyp_tpu.data import corruption
-    from dualhyp_tpu.data.normalizer import EnglishTextNormalizer
+    from dualhyp_tpu.data.normalizer import HypothesisNormalizer
     from dualhyp_tpu.infer.evaluate import word_error_rate
 
-    normalizer = EnglishTextNormalizer()
+    # full reference normalize(): whisper normalizer + digits->words +
+    # '%'->' percent' (ref: data/make_json_asr.py:244-252)
+    normalizer = HypothesisNormalizer()
     encoder, decoder, tokenizer = load_whisper(cfg["model_checkpoint"])
 
     manifest = Path(cfg["manifest"])  # lines: <uid>\t<wav_path>\t<caption>
@@ -225,12 +227,14 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             )
             if not texts:
                 continue
+            # the reference stores the NORMALIZED caption
+            # (ref: make_json_asr.py:131-137 load_caption -> normalize)
             caption_norm = normalizer(caption)
             records.append(
                 {
                     "Dataset": cfg.get("dataset_name", ""),
                     "Uid": uid,
-                    "Caption": caption,
+                    "Caption": caption_norm,
                     "Clean_Wav": wav_path,
                     "Noise_Wav": noise_path,
                     "SNR": corr["snr"],

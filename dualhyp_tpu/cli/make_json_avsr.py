@@ -22,7 +22,7 @@ import numpy as np
 def transcribe_avsr_nbest(video, audio, params, video_cfg, audio_cfg,
                           dec_params, dec_cfg, ctc_params, token_list, *,
                           beam_size=40, ctc_weight=0.1, penalty=0.0,
-                          n_best=5, max_len=100):
+                          n_best=5, max_len=100, normalizer=None):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +66,7 @@ def transcribe_avsr_nbest(video, audio, params, video_cfg, audio_cfg,
     )
     beam_hyps = [BeamHypothesis(h.result_tokens(sos, eos), h.score) for h in hyps]
     detok = lambda toks: spm_detokenize([token_list[t] for t in toks])
-    return nbest_texts(beam_hyps, detok, n=n_best)
+    return nbest_texts(beam_hyps, detok, n=n_best, normalizer=normalizer)
 
 
 def make_json(cfg: dict, shard_index=0, num_shards=1):
@@ -76,9 +76,12 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     from dualhyp_tpu.ckpt.io import load_params
     from dualhyp_tpu.cli.make_json_vsr import load_mouthroi, load_token_list
     from dualhyp_tpu.data import corruption
+    from dualhyp_tpu.data.normalizer import HypothesisNormalizer
     from dualhyp_tpu.infer.evaluate import word_error_rate
     from dualhyp_tpu.models import espnet_decoder as ed, raven
 
+    # same normalize() as the ASR path (ref: make_json_avsr.py:304-311)
+    normalizer = HypothesisNormalizer()
     token_list = load_token_list(cfg["token_list"])
     video_cfg = raven.RavenEncoderConfig(**cfg.get("video_encoder", {}))
     audio_cfg = raven.RavenEncoderConfig(**cfg.get("audio_encoder", {}))
@@ -138,20 +141,22 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
                 beam_size=int(cfg.get("beam_size", 40)),
                 ctc_weight=float(cfg.get("ctc_weight", 0.1)),
                 n_best=int(cfg.get("n_best", 5)),
+                normalizer=normalizer,
             )
             if not texts:
                 continue
+            caption_norm = normalizer(caption)
             records.append(
                 {
                     "Dataset": cfg.get("dataset_name", ""),
                     "Uid": uid,
-                    "Caption": caption,
+                    "Caption": caption_norm,
                     "Clean_Wav": wav_path,
                     "Mouthroi": roi_path,
                     "nhyps": {"hyps": texts, "scores": scores},
                     "Audio_Corruption": (prior or {}).get("Audio_Corruption"),
                     "Visual_Corruption": vcfg,
-                    "WER_1st-hyp": word_error_rate([texts[0]], [caption.lower()]),
+                    "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
                 }
             )
         except Exception as exc:

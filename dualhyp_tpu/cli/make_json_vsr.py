@@ -50,7 +50,7 @@ def transcribe_vsr_nbest(video, frontend_params, enc_params, enc_cfg,
                          dec_params, dec_cfg, ctc_params, token_list, *,
                          beam_size=40, ctc_weight=0.1, lm_weight=0.0,
                          penalty=0.0, n_best=5, max_len=100,
-                         lm_logprobs_fn=None):
+                         lm_logprobs_fn=None, normalizer=None):
     """video: (T, H, W) preprocessed ROI. Returns (texts, scores)."""
     import jax
     import jax.numpy as jnp
@@ -103,7 +103,7 @@ def transcribe_vsr_nbest(video, frontend_params, enc_params, enc_cfg,
         BeamHypothesis(h.result_tokens(sos, eos), h.score) for h in hyps
     ]
     detok = lambda toks: spm_detokenize([token_list[t] for t in toks])
-    return nbest_texts(beam_hyps, detok, n=n_best)
+    return nbest_texts(beam_hyps, detok, n=n_best, normalizer=normalizer)
 
 
 def make_json(cfg: dict, shard_index=0, num_shards=1):
@@ -111,9 +111,13 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     import jax.numpy as jnp
 
     from dualhyp_tpu.data import corruption
+    from dualhyp_tpu.data.normalizer import HypothesisNormalizer
     from dualhyp_tpu.infer.evaluate import word_error_rate
     from dualhyp_tpu.models import espnet_decoder as ed
     from dualhyp_tpu.models import raven
+
+    # same normalize() as the ASR path (ref: make_json_vsr.py:221-228)
+    normalizer = HypothesisNormalizer()
 
     token_list = load_token_list(cfg["token_list"])
     enc_cfg = raven.RavenEncoderConfig(**cfg.get("encoder", {}))
@@ -167,19 +171,21 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
                 ctc_weight=float(cfg.get("ctc_weight", 0.1)),
                 penalty=float(cfg.get("penalty", 0.0)),
                 n_best=int(cfg.get("n_best", 5)),
+                normalizer=normalizer,
             )
             if not texts:
                 continue
+            caption_norm = normalizer(caption)
             records.append(
                 {
                     "Dataset": cfg.get("dataset_name", ""),
                     "Uid": uid,
-                    "Caption": caption,
+                    "Caption": caption_norm,
                     "Mouthroi": roi_path,
                     "Noise_Category": occ_type,
                     "nhyps": {"hyps": texts, "scores": scores},
                     "Visual_Corruption": vcfg,
-                    "WER_1st-hyp": word_error_rate([texts[0]], [caption.lower()]),
+                    "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
                 }
             )
         except Exception as exc:

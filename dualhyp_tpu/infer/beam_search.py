@@ -104,7 +104,11 @@ def nbest_texts(hypotheses: List[BeamHypothesis], detokenize: Callable,
         if normalizer is not None:
             text = normalizer(text)
         text = text.strip()
-        if not text or text in seen:
+        if not text:
+            # the reference substitutes '<UNK>' for empty normalized texts
+            # (ref: make_json_asr.py:189-191)
+            text = "<UNK>"
+        if text in seen:
             continue
         seen.add(text)
         texts.append(text)

@@ -8,20 +8,23 @@ from dualhyp_tpu.data.normalizer import EnglishTextNormalizer, number_to_words
 
 
 def test_number_to_words():
+    # num2words('en') cardinal style (ref: data/make_json_asr.py:7, 248)
     assert number_to_words(0) == "zero"
     assert number_to_words(17) == "seventeen"
-    assert number_to_words(42) == "forty two"
+    assert number_to_words(42) == "forty-two"
     assert number_to_words(100) == "one hundred"
-    assert number_to_words(215) == "two hundred fifteen"
-    assert number_to_words(3042) == "three thousand forty two"
+    assert number_to_words(215) == "two hundred and fifteen"
+    assert number_to_words(3042) == "three thousand and forty-two"
     assert number_to_words(1_000_000) == "one million"
 
 
 def test_normalizer_basics():
+    # whisper's EnglishTextNormalizer spells numbers as DIGITS; the
+    # digits->words pass is HypothesisNormalizer's job
     n = EnglishTextNormalizer()
     assert n("Hello, World!") == "hello world"
     assert n("I can't go") == "i can not go"
-    assert n("Mr. Smith has 2 dogs") == "mister smith has two dogs"
+    assert n("Mr. Smith has 2 dogs") == "mister smith has 2 dogs"
     assert n("this [noise] is (uh) fine") == "this is fine"
     assert n("we're   done") == "we are done"
 
