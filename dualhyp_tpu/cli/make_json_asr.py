@@ -126,28 +126,110 @@ class CachedWhisperStepper:
         return logits
 
 
-def transcribe_nbest(audio, encoder, decoder, tokenizer, *, beam_size=50,
-                     n_best=5, max_new_tokens=120, normalizer=None,
-                     language="en", use_cache=True):
-    """One utterance -> (texts, scores). audio: float32 16 kHz waveform."""
+def _token_id(tokenizer, token):
+    t = tokenizer.convert_tokens_to_ids(token)
+    if t is None:
+        return -1
+    unk = getattr(tokenizer, "unk_token_id", None)
+    if unk is not None and t == unk and token != getattr(tokenizer, "unk_token", ""):
+        return -1
+    return t
+
+
+def build_logit_rules(tokenizer, prefix_len, *, eot, no_ts, enc_n_ctx,
+                      suppress_blank=True, suppress_tokens="-1",
+                      without_timestamps=False, max_initial_timestamp=1.0):
+    """DecodingTask logit rule set (ref: data/whisper/decoding.py:594-610,
+    656-693). Returns (suppress_ids, blank_ids, timestamp_rules); rules
+    whose token ids the tokenizer lacks degrade to None (tiny test
+    tokenizers)."""
+    from dualhyp_tpu.infer.beam_search import TimestampRules, non_speech_token_ids
+
+    encode_fn = None
+    if hasattr(tokenizer, "encode"):
+        def encode_fn(text):
+            try:
+                return tokenizer.encode(text, add_special_tokens=False)
+            except TypeError:
+                return tokenizer.encode(text)
+
+    blank_ids = None
+    if suppress_blank and encode_fn is not None:
+        blank_ids = list(encode_fn(" ")) + [eot]
+
+    suppress = None
+    if suppress_tokens:
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+        suppress_tokens = list(suppress_tokens)
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            if encode_fn is not None:
+                suppress_tokens.extend(non_speech_token_ids(encode_fn))
+        for token in ("<|transcribe|>", "<|translate|>",
+                      "<|startoftranscript|>", "<|startofprev|>",
+                      "<|startoflm|>", "<|nospeech|>"):
+            tid = _token_id(tokenizer, token)
+            if tid >= 0:
+                suppress_tokens.append(tid)
+        suppress = sorted(set(suppress_tokens)) or None
+
+    ts_rules = None
+    if not without_timestamps:
+        ts_begin = _token_id(tokenizer, "<|0.00|>")
+        if ts_begin >= 0:
+            precision = 30.0 / enc_n_ctx  # CHUNK_LENGTH / n_audio_ctx
+            max_idx = (
+                round(max_initial_timestamp / precision)
+                if max_initial_timestamp is not None else None
+            )
+            ts_rules = TimestampRules(
+                timestamp_begin=ts_begin,
+                eot=eot,
+                no_timestamps=no_ts if no_ts >= 0 else None,
+                max_initial_timestamp_index=max_idx,
+            )
+    return suppress, blank_ids, ts_rules
+
+
+def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
+                          max_new_tokens=224, language="en", use_cache=True,
+                          suppress_blank=True, suppress_tokens="-1",
+                          without_timestamps=False, max_initial_timestamp=1.0,
+                          patience=None, length_penalty=None):
+    """Whisper DecodingTask beam over one mel: returns (hyps, prefix, detok)
+    with every beam, ranked (ref: data/whisper/decoding.py:556-821).
+
+    Defaults mirror the reference DecodingOptions: blank + non-speech
+    suppression on, timestamps on, sample_len 224
+    (ref: data/whisper/decoding.py:94-125, 586-610)."""
     import jax
     import jax.numpy as jnp
 
-    from dualhyp_tpu.infer.beam_search import beam_search_nbest, nbest_texts
+    from dualhyp_tpu.infer.beam_search import beam_search_nbest
     from dualhyp_tpu.models import whisper as w
 
     enc_params, enc_cfg = encoder
     dec_params, dec_cfg = decoder
 
-    mel = w.log_mel_spectrogram(w.pad_or_trim(audio), enc_cfg.n_mels)
     features = w.encode(enc_params, enc_cfg, jnp.asarray(mel[None]))
 
-    sot = tokenizer.convert_tokens_to_ids("<|startoftranscript|>")
-    lang = tokenizer.convert_tokens_to_ids(f"<|{language}|>")
-    task = tokenizer.convert_tokens_to_ids("<|transcribe|>")
-    no_ts = tokenizer.convert_tokens_to_ids("<|notimestamps|>")
-    eot = tokenizer.convert_tokens_to_ids("<|endoftext|>")
-    prefix = [t for t in (sot, lang, task, no_ts) if t is not None and t >= 0]
+    sot = _token_id(tokenizer, "<|startoftranscript|>")
+    lang = _token_id(tokenizer, f"<|{language}|>")
+    task = _token_id(tokenizer, "<|transcribe|>")
+    no_ts = _token_id(tokenizer, "<|notimestamps|>")
+    eot = _token_id(tokenizer, "<|endoftext|>")
+    sot_seq = (sot, lang, task, no_ts) if without_timestamps else (
+        sot, lang, task
+    )
+    prefix = [t for t in sot_seq if t >= 0]
+
+    suppress, blank_ids, ts_rules = build_logit_rules(
+        tokenizer, len(prefix), eot=eot, no_ts=no_ts, enc_n_ctx=enc_cfg.n_ctx,
+        suppress_blank=suppress_blank, suppress_tokens=suppress_tokens,
+        without_timestamps=without_timestamps,
+        max_initial_timestamp=max_initial_timestamp,
+    )
 
     if use_cache:
         logits_fn = CachedWhisperStepper(
@@ -169,9 +251,31 @@ def transcribe_nbest(audio, encoder, decoder, tokenizer, *, beam_size=50,
         beam_size=beam_size,
         eos_id=eot,
         max_new_tokens=max_new_tokens,
+        suppress_tokens=suppress,
+        suppress_blank_ids=blank_ids,
+        timestamp_rules=ts_rules,
+        patience=patience,
+        length_penalty=length_penalty,
     )
+    ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
     detok = lambda toks: tokenizer.decode(
-        [t for t in toks if t != eot], skip_special_tokens=True
+        [t for t in toks
+         if t != eot and (ts_begin is None or t < ts_begin)],
+        skip_special_tokens=True,
+    )
+    return hyps, prefix, detok
+
+
+def transcribe_nbest(audio, encoder, decoder, tokenizer, *, n_best=5,
+                     normalizer=None, **opts):
+    """One utterance -> (texts, scores). audio: float32 16 kHz waveform."""
+    from dualhyp_tpu.infer.beam_search import nbest_texts
+    from dualhyp_tpu.models import whisper as w
+
+    enc_cfg = encoder[1]
+    mel = w.log_mel_spectrogram(w.pad_or_trim(audio), enc_cfg.n_mels)
+    hyps, prefix, detok = decode_beams_from_mel(
+        mel, encoder, decoder, tokenizer, **opts
     )
     return nbest_texts(hyps, detok, n=n_best, normalizer=normalizer,
                        prefix_len=len(prefix))
@@ -224,6 +328,9 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
                 beam_size=int(cfg.get("beam_size", 50)),
                 n_best=int(cfg.get("n_best", 5)),
                 normalizer=normalizer,
+                patience=cfg.get("patience"),
+                length_penalty=cfg.get("length_penalty"),
+                without_timestamps=bool(cfg.get("without_timestamps", False)),
             )
             if not texts:
                 continue

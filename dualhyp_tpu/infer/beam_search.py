@@ -1,4 +1,4 @@
-"""Beam search returning ALL final beams (n-best).
+"""Whisper-protocol beam search returning ALL final beams (n-best).
 
 The reference's key Whisper modification is a decoder that returns every
 beam hypothesis, not just the best (CustomDecodingResult.texts +
@@ -6,16 +6,27 @@ CustomReturnAllSamplesRanker, ref: data/whisper/decoding.py:81-92, 203-224,
 802-821); the offline generator dedupes/normalises those into the top-5
 n-best lists (ref: data/make_json_asr.py:162-210).
 
-This module implements that capability generically: `beam_search_nbest`
-drives any `logits_fn(tokens (B, T)) -> (B, V)` with a jit-compiled scoring
-step and host-side beam bookkeeping (per-step candidate selection is
-O(beam * V) on device via top_k; the python loop only reorders indices).
+This module implements the full DecodingTask beam semantics:
+
+  * logit rules applied to raw logits each step, in reference order
+    (ref: decoding.py:739-741, 594-610): SuppressBlank at the first sampled
+    position (:464-471), SuppressTokens incl. the non-speech list
+    (:474-479, tokenizer.py:242-275), and ApplyTimestampRules (:482-547)
+  * BeamSearchDecoder update/finalize with `patience`
+    (max_candidates = round(beam * patience), ref: decoding.py:338-441)
+  * CustomReturnAllSamplesRanker scoring: sum_logprob / n_sampled (or the
+    Google-NMT penalty ((5+n)/6)**alpha), and the recorded
+    avg_logprob = sum_logprob / (n_sampled + 1) (ref: decoding.py:203-224,
+    812-813)
+
+Device work per step is one batched `logits_fn` call; the rule filters and
+beam bookkeeping are numpy on host (vocab-size vectorised).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, List, Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,12 +35,105 @@ import numpy as np
 
 @dataclass
 class BeamHypothesis:
-    tokens: List[int]
+    tokens: List[int]  # full sequence incl. prefix, EXCLUDING the final eot
     score: float  # sum of log-probs
+    sample_begin: int = 0  # prefix length (sot sequence)
 
     @property
+    def n_sampled(self) -> int:
+        return max(len(self.tokens) - self.sample_begin, 0)
+
+    def ranking_score(self, length_penalty: Optional[float] = None) -> float:
+        """Score used to order the returned beams
+        (ref: decoding.py:203-224)."""
+        n = max(self.n_sampled, 1)
+        penalty = float(n) if length_penalty is None else ((5 + n) / 6) ** length_penalty
+        return self.score / penalty
+
+    @property
+    def avg_logprob(self) -> float:
+        """Recorded hypothesis score (ref: decoding.py:812-813)."""
+        return self.score / (self.n_sampled + 1)
+
+    # kept for non-whisper callers (ESPnet-joint paths)
+    @property
     def normalized_score(self) -> float:
-        return self.score / max(len(self.tokens), 1)
+        return self.avg_logprob
+
+
+@dataclass(frozen=True)
+class TimestampRules:
+    """ApplyTimestampRules parameters (ref: decoding.py:482-547)."""
+
+    timestamp_begin: int
+    eot: int
+    no_timestamps: Optional[int] = None
+    max_initial_timestamp_index: Optional[int] = None
+
+
+def non_speech_token_ids(encode_fn: Callable[[str], List[int]]) -> List[int]:
+    """Derive the '-1' suppress list: speaker tags / annotation symbols
+    (ref: data/whisper/tokenizer.py:242-275). `encode_fn` maps a string to
+    token ids without special tokens (tiktoken- or HF-style)."""
+    symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+    symbols += (
+        "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
+    )
+    miscellaneous = set("♩♪♫♬♭♮♯")
+
+    result = {encode_fn(" -")[0], encode_fn(" '")[0]}
+    for symbol in symbols + list(miscellaneous):
+        for tokens in [encode_fn(symbol), encode_fn(" " + symbol)]:
+            if len(tokens) == 1 or symbol in miscellaneous:
+                result.add(tokens[0])
+    return sorted(result)
+
+
+def _apply_timestamp_rules(
+    logits: np.ndarray,
+    tokens: np.ndarray,
+    rules: TimestampRules,
+    sample_begin: int,
+) -> None:
+    """In-place ApplyTimestampRules on (n_beams, V) logits
+    (ref: decoding.py:493-547)."""
+    tb = rules.timestamp_begin
+    if rules.no_timestamps is not None:
+        logits[:, rules.no_timestamps] = -np.inf
+
+    for k in range(tokens.shape[0]):
+        seq = tokens[k, sample_begin:].tolist()
+        last_was_ts = len(seq) >= 1 and seq[-1] >= tb
+        penultimate_was_ts = len(seq) < 2 or seq[-2] >= tb
+        if last_was_ts:
+            if penultimate_was_ts:  # has to be non-timestamp
+                logits[k, tb:] = -np.inf
+            else:  # cannot be normal text tokens
+                logits[k, : rules.eot] = -np.inf
+        timestamps = [t for t in seq if t >= tb]
+        if timestamps:
+            # timestamps must not decrease; force nonzero-length segments
+            if last_was_ts and not penultimate_was_ts:
+                timestamp_last = timestamps[-1]
+            else:
+                timestamp_last = timestamps[-1] + 1
+            logits[k, tb:timestamp_last] = -np.inf
+
+    if tokens.shape[1] == sample_begin:
+        # the first sampled token must be a timestamp
+        logits[:, :tb] = -np.inf
+        if rules.max_initial_timestamp_index is not None:
+            last_allowed = tb + rules.max_initial_timestamp_index
+            logits[:, last_allowed + 1 :] = -np.inf
+
+    # if the total timestamp probability beats every text token, force one
+    logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    ts_logprob = np.asarray(
+        jax.nn.logsumexp(jnp.asarray(logprobs[:, tb:]), axis=-1)
+    )
+    max_text = logprobs[:, :tb].max(axis=-1)
+    force = ts_logprob > max_text
+    logits[force, :tb] = -np.inf
 
 
 def beam_search_nbest(
@@ -39,57 +143,99 @@ def beam_search_nbest(
     beam_size: int,
     eos_id: int,
     max_new_tokens: int,
-    suppress_tokens: Optional[List[int]] = None,
-    length_normalize: bool = True,
+    suppress_tokens: Optional[Sequence[int]] = None,
+    suppress_blank_ids: Optional[Sequence[int]] = None,
+    timestamp_rules: Optional[TimestampRules] = None,
+    patience: Optional[float] = None,
+    length_penalty: Optional[float] = None,
 ) -> List[BeamHypothesis]:
-    """Returns all finished (or exhausted) beams, best first.
+    """Returns all finished (or exhausted) beams, best first by the
+    length-normalised ranking score.
 
     logits_fn: takes int32 tokens (n_beams, T) and returns (n_beams, V)
     next-token logits (the caller closes over model params / audio features
     and may cache whatever it likes).
+
+    suppress_blank_ids: token ids blocked at the first sampled position
+    (encode(" ") + [eot], ref: decoding.py:464-471). suppress_tokens:
+    blocked at every step (ref: decoding.py:474-479).
     """
-    live: List[BeamHypothesis] = [BeamHypothesis(list(prefix), 0.0)]
-    finished: List[BeamHypothesis] = []
+    sample_begin = len(prefix)
+    max_candidates = int(round(beam_size * (patience or 1.0)))
+    assert max_candidates > 0, f"invalid beam_size/patience: {beam_size}/{patience}"
+
+    live: List[BeamHypothesis] = [BeamHypothesis(list(prefix), 0.0, sample_begin)]
+    finished: Dict[Tuple[int, ...], float] = {}
+    suppress = list(suppress_tokens) if suppress_tokens else None
+    blank = list(suppress_blank_ids) if suppress_blank_ids else None
 
     for _ in range(max_new_tokens):
         if not live:
             break
         tokens = np.asarray([h.tokens for h in live], np.int32)
-        logits = np.asarray(logits_fn(jnp.asarray(tokens)))
-        logprobs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
-        logprobs = np.asarray(logprobs)
-        if suppress_tokens:
-            logprobs[:, suppress_tokens] = -np.inf
+        logits = np.array(logits_fn(jnp.asarray(tokens)), np.float32, copy=True)
 
-        # candidate pool: every live beam x top (beam_size+1) tokens
+        # logit rules in reference order (ref: decoding.py:594-610, 739-741)
+        if blank is not None and tokens.shape[1] == sample_begin:
+            logits[:, blank] = -np.inf
+        if suppress is not None:
+            logits[:, suppress] = -np.inf
+        if timestamp_rules is not None:
+            _apply_timestamp_rules(logits, tokens, timestamp_rules, sample_begin)
+
+        logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+
+        # candidate pool: every live beam x top (beam_size+1) tokens,
+        # ranked together (ref: decoding.py:368-395)
         k = min(beam_size + 1, logprobs.shape[-1])
         top_idx = np.argpartition(-logprobs, k - 1, axis=-1)[:, :k]
-        candidates = []
+        # within-beam candidates ordered by logprob (stable tie order)
+        order = np.argsort(-np.take_along_axis(logprobs, top_idx, axis=-1),
+                           axis=-1, kind="stable")
+        top_idx = np.take_along_axis(top_idx, order, axis=-1)
+
+        candidates: List[Tuple[float, BeamHypothesis, int]] = []
         for b, hyp in enumerate(live):
             for t in top_idx[b]:
                 candidates.append(
-                    (hyp.score + float(logprobs[b, t]), hyp.tokens, int(t))
+                    (hyp.score + float(logprobs[b, t]), hyp, int(t))
                 )
         candidates.sort(key=lambda c: -c[0])
 
         new_live: List[BeamHypothesis] = []
-        for score, toks, tok in candidates:
+        newly_finished: List[Tuple[Tuple[int, ...], float]] = []
+        for score, hyp, tok in candidates:
             if tok == eos_id:
-                finished.append(BeamHypothesis(toks + [tok], score))
+                newly_finished.append((tuple(hyp.tokens), score))
             else:
-                new_live.append(BeamHypothesis(toks + [tok], score))
-            if len(new_live) >= beam_size:
-                break
+                new_live.append(
+                    BeamHypothesis(hyp.tokens + [tok], score, sample_begin)
+                )
+                if len(new_live) == beam_size:
+                    break
         live = new_live
-        if len(finished) >= beam_size:
+
+        # candidate list capped at max_candidates (ref: decoding.py:413-422)
+        for seq, score in newly_finished:
+            if len(finished) >= max_candidates:
+                break
+            finished.setdefault(seq, score)
+        if len(finished) >= max_candidates:
             break
 
-    finished.extend(live)  # unfinished beams still count as hypotheses
-    key = (lambda h: -h.normalized_score) if length_normalize else (
-        lambda h: -h.score
-    )
-    finished.sort(key=key)
-    return finished
+    results = [
+        BeamHypothesis(list(seq), score, sample_begin)
+        for seq, score in finished.items()
+    ]
+    if len(results) < beam_size:
+        # top up with unfinished beams, best first (ref: decoding.py:427-437)
+        for hyp in sorted(live, key=lambda h: -h.score):
+            results.append(hyp)
+            if len(results) >= beam_size:
+                break
+
+    results.sort(key=lambda h: -h.ranking_score(length_penalty))
+    return results
 
 
 def nbest_texts(hypotheses: List[BeamHypothesis], detokenize: Callable,
@@ -112,7 +258,7 @@ def nbest_texts(hypotheses: List[BeamHypothesis], detokenize: Callable,
             continue
         seen.add(text)
         texts.append(text)
-        scores.append(hyp.normalized_score)
+        scores.append(hyp.avg_logprob)
         if len(texts) == n:
             break
     while texts and len(texts) < n:  # pad by repetition

@@ -594,3 +594,103 @@ def convert_hf_whisper_encoder(hf: Dict[str, np.ndarray],
             "bias": get("layer_norm.bias"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# weight conversion (OpenAI / vendored-fork .pt layout)
+# ---------------------------------------------------------------------------
+
+def convert_openai_whisper_encoder(sd: Dict[str, np.ndarray],
+                                   cfg: WhisperEncoderConfig) -> dict:
+    """OpenAI whisper checkpoint layout (the layout the reference's
+    whisper.load_model consumes, ref: data/whisper/__init__.py:99-156,
+    model.py:143-175) -> our encoder tree."""
+    def get(name):
+        for prefix in ("encoder.", "model.encoder.", ""):
+            if prefix + name in sd:
+                return np.asarray(sd[prefix + name])
+        raise KeyError(name)
+
+    L = cfg.n_layer
+
+    def stack(fmt):
+        return np.stack([get(fmt.format(i)) for i in range(L)])
+
+    def ln(name):
+        return {"scale": stack(name + ".weight"), "bias": stack(name + ".bias")}
+
+    def attn(prefix):
+        return {
+            "query": {"weight": stack(prefix + ".query.weight"),
+                      "bias": stack(prefix + ".query.bias")},
+            "key": {"weight": stack(prefix + ".key.weight")},
+            "value": {"weight": stack(prefix + ".value.weight"),
+                      "bias": stack(prefix + ".value.bias")},
+            "out": {"weight": stack(prefix + ".out.weight"),
+                    "bias": stack(prefix + ".out.bias")},
+        }
+
+    return {
+        "conv1": {"weight": get("conv1.weight"), "bias": get("conv1.bias")},
+        "conv2": {"weight": get("conv2.weight"), "bias": get("conv2.bias")},
+        "blocks": {
+            "attn_ln": ln("blocks.{}.attn_ln"),
+            "attn": attn("blocks.{}.attn"),
+            "mlp_ln": ln("blocks.{}.mlp_ln"),
+            "mlp": {
+                "fc1": {"weight": stack("blocks.{}.mlp.0.weight"),
+                        "bias": stack("blocks.{}.mlp.0.bias")},
+                "fc2": {"weight": stack("blocks.{}.mlp.2.weight"),
+                        "bias": stack("blocks.{}.mlp.2.bias")},
+            },
+        },
+        "ln_post": {"scale": get("ln_post.weight"), "bias": get("ln_post.bias")},
+    }
+
+
+def convert_openai_whisper_decoder(sd: Dict[str, np.ndarray],
+                                   cfg: WhisperDecoderConfig) -> dict:
+    """OpenAI whisper checkpoint layout -> our decoder tree."""
+    def get(name):
+        for prefix in ("decoder.", "model.decoder.", ""):
+            if prefix + name in sd:
+                return np.asarray(sd[prefix + name])
+        raise KeyError(name)
+
+    L = cfg.n_layer
+
+    def stack(fmt):
+        return np.stack([get(fmt.format(i)) for i in range(L)])
+
+    def ln(name):
+        return {"scale": stack(name + ".weight"), "bias": stack(name + ".bias")}
+
+    def attn(prefix):
+        return {
+            "query": {"weight": stack(prefix + ".query.weight"),
+                      "bias": stack(prefix + ".query.bias")},
+            "key": {"weight": stack(prefix + ".key.weight")},
+            "value": {"weight": stack(prefix + ".value.weight"),
+                      "bias": stack(prefix + ".value.bias")},
+            "out": {"weight": stack(prefix + ".out.weight"),
+                    "bias": stack(prefix + ".out.bias")},
+        }
+
+    return {
+        "token_embedding": get("token_embedding.weight"),
+        "positional_embedding": get("positional_embedding"),
+        "blocks": {
+            "attn_ln": ln("blocks.{}.attn_ln"),
+            "attn": attn("blocks.{}.attn"),
+            "cross_ln": ln("blocks.{}.cross_attn_ln"),
+            "cross": attn("blocks.{}.cross_attn"),
+            "mlp_ln": ln("blocks.{}.mlp_ln"),
+            "mlp": {
+                "fc1": {"weight": stack("blocks.{}.mlp.0.weight"),
+                        "bias": stack("blocks.{}.mlp.0.bias")},
+                "fc2": {"weight": stack("blocks.{}.mlp.2.weight"),
+                        "bias": stack("blocks.{}.mlp.2.bias")},
+            },
+        },
+        "ln": {"scale": get("ln.weight"), "bias": get("ln.bias")},
+    }

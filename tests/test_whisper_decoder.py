@@ -74,15 +74,16 @@ def test_beam_search_nbest_on_known_distribution():
 
     hyps = beam_search_nbest(
         logits_fn, [2], beam_size=4, eos_id=eos, max_new_tokens=4,
-        length_normalize=False,
     )
     assert hyps, "no hypotheses returned"
-    # exhaustive check over all sequences of <=4 steps from prefix [2]
+    # exhaustive check over all sequences of <=4 steps from prefix [2];
+    # sequences exclude the eos token (reference DecodingTask semantics)
+    # and rank by score / n_sampled (CustomReturnAllSamplesRanker)
     def enumerate_seqs():
         out = []
         def rec(seq, score, depth):
             if seq[-1] == eos:
-                out.append((score, seq))
+                out.append((score, seq[:-1]))
                 return
             if depth == 4:
                 out.append((score, seq))
@@ -90,7 +91,7 @@ def test_beam_search_nbest_on_known_distribution():
             for t in range(vocab):
                 rec(seq + [t], score + table[seq[-1], t], depth + 1)
         rec([2], 0.0, 0)
-        return sorted(out, key=lambda x: -x[0])
+        return sorted(out, key=lambda x: -(x[0] / max(len(x[1]) - 1, 1)))
 
     best_score, best_seq = enumerate_seqs()[0]
     assert hyps[0].tokens == best_seq

@@ -1,0 +1,200 @@
+"""Whisper decoding-rule parity vs the vendored fork's DecodingTask.
+
+Runs the reference's own beam search (BeamSearchDecoder + SuppressBlank +
+SuppressTokens + ApplyTimestampRules + CustomReturnAllSamplesRanker,
+ref: data/whisper/decoding.py) on a tiny random-weight vendored Whisper and
+asserts our `decode_beams_from_mel` returns the identical beam texts,
+token sequences, and avg_logprobs from the converted weights.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_REF_DATA = Path("/root/reference/data")
+_available = (_REF_DATA / "whisper" / "decoding.py").is_file()
+
+requires_vendored = pytest.mark.skipif(
+    not _available, reason="vendored whisper unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def vendored():
+    if not _available:
+        pytest.skip("vendored whisper unavailable")
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.jit = lambda *a, **k: (lambda f: f)
+        numba.njit = numba.jit
+        sys.modules["numba"] = numba
+    if str(_REF_DATA) not in sys.path:
+        sys.path.insert(0, str(_REF_DATA))
+    import whisper as vw
+
+    return vw
+
+
+class VendoredTokAdapter:
+    """Adapt the vendored tiktoken tokenizer to the HF-ish interface our
+    transcribe path expects."""
+
+    def __init__(self, tok):
+        self._tok = tok
+        self._special = dict(tok.encoding._special_tokens)
+
+    def convert_tokens_to_ids(self, token):
+        return self._special.get(token, -1)
+
+    def encode(self, text, add_special_tokens=False):
+        return self._tok.encoding.encode(text)
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self._tok.decode(list(ids))
+
+
+def _tiny_model(vendored, seed=0):
+    import torch
+
+    dims = vendored.ModelDimensions(
+        n_mels=80, n_audio_ctx=64, n_audio_state=32, n_audio_head=4,
+        n_audio_layer=1, n_vocab=51865, n_text_ctx=48, n_text_state=32,
+        n_text_head=4, n_text_layer=1,
+    )
+    torch.manual_seed(seed)
+    model = vendored.Whisper(dims).eval().float()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0.0, 0.2)
+    return model, dims
+
+
+def _our_model(model, dims):
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.models import whisper as w
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    enc_cfg = w.WhisperEncoderConfig(
+        n_mels=dims.n_mels, n_ctx=dims.n_audio_ctx, n_state=dims.n_audio_state,
+        n_head=dims.n_audio_head, n_layer=dims.n_audio_layer,
+    )
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=dims.n_vocab, n_ctx=dims.n_text_ctx, n_state=dims.n_text_state,
+        n_head=dims.n_text_head, n_layer=dims.n_text_layer,
+    )
+    enc = jax.tree_util.tree_map(
+        jnp.asarray, w.convert_openai_whisper_encoder(sd, enc_cfg)
+    )
+    dec = jax.tree_util.tree_map(
+        jnp.asarray, w.convert_openai_whisper_decoder(sd, dec_cfg)
+    )
+    return (enc, enc_cfg), (dec, dec_cfg)
+
+
+@requires_vendored
+@pytest.mark.parametrize(
+    "opts",
+    [
+        dict(),  # reference defaults: timestamps + blank + non-speech
+        dict(without_timestamps=True),
+        dict(patience=2.0),
+        dict(length_penalty=0.6),
+        dict(suppress_tokens=None, suppress_blank=False,
+             without_timestamps=True),
+    ],
+    ids=["defaults", "no_timestamps", "patience2", "length_penalty",
+         "no_suppression"],
+)
+def test_beam_texts_match_vendored_decoding_task(vendored, rng, opts):
+    import torch
+
+    from dualhyp_tpu.cli.make_json_asr import decode_beams_from_mel
+
+    model, dims = _tiny_model(vendored, seed=0)
+    encoder, decoder = _our_model(model, dims)
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    adapter = VendoredTokAdapter(tok)
+
+    mel = rng.normal(size=(dims.n_mels, dims.n_audio_ctx * 2)).astype(
+        np.float32
+    )
+    beam_size, sample_len = 5, 12
+
+    ref_opts = vendored.DecodingOptions(
+        language="en",
+        beam_size=beam_size,
+        fp16=False,
+        sample_len=sample_len,
+        without_timestamps=opts.get("without_timestamps", False),
+        patience=opts.get("patience"),
+        length_penalty=opts.get("length_penalty"),
+        suppress_tokens=(
+            "-1" if "suppress_tokens" not in opts else opts["suppress_tokens"]
+        ),
+        suppress_blank=opts.get("suppress_blank", True),
+    )
+    ref = vendored.decode(model, torch.from_numpy(mel), ref_opts)
+
+    hyps, prefix, detok = decode_beams_from_mel(
+        mel, encoder, decoder, adapter,
+        beam_size=beam_size, max_new_tokens=sample_len, **opts,
+    )
+    our_tokens = [h.tokens[len(prefix):] for h in hyps]
+    our_texts = [detok(t).strip() for t in our_tokens]
+    our_avg = [h.avg_logprob for h in hyps]
+
+    assert len(our_texts) == len(ref.texts)
+    # token-for-token: the vendored result tokens exclude prefix and eot too
+    assert our_tokens == ref.tokens
+    assert our_texts == ref.texts
+    np.testing.assert_allclose(our_avg, ref.avg_logprob, rtol=1e-4, atol=1e-6)
+
+
+@requires_vendored
+def test_non_speech_tokens_match_vendored(vendored):
+    from dualhyp_tpu.infer.beam_search import non_speech_token_ids
+
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    ours = non_speech_token_ids(lambda s: tok.encoding.encode(s))
+    assert tuple(ours) == tok.non_speech_tokens
+
+
+@requires_vendored
+def test_suppress_list_matches_decoding_task(vendored):
+    """The assembled default suppress set must equal the reference
+    DecodingTask._get_suppress_tokens() (ref: decoding.py:656-693)."""
+    import torch
+
+    from dualhyp_tpu.cli.make_json_asr import build_logit_rules
+
+    model, dims = _tiny_model(vendored, seed=1)
+    task = vendored.decoding.DecodingTask(
+        model, vendored.DecodingOptions(language="en", beam_size=2, fp16=False)
+    )
+    ref_suppress = task._get_suppress_tokens()
+
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    adapter = VendoredTokAdapter(tok)
+    suppress, blank_ids, ts_rules = build_logit_rules(
+        adapter, 3, eot=tok.eot, no_ts=tok.no_timestamps,
+        enc_n_ctx=dims.n_audio_ctx,
+    )
+    assert tuple(suppress) == ref_suppress
+    assert blank_ids == tok.encode(" ") + [tok.eot]
+    assert ts_rules is not None
+    assert ts_rules.timestamp_begin == tok.timestamp_begin
+    # max_initial_timestamp_index: 1.0s / (30/n_audio_ctx) per reference
+    assert ts_rules.max_initial_timestamp_index == round(
+        1.0 / (30.0 / dims.n_audio_ctx)
+    )
