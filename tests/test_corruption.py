@@ -73,3 +73,68 @@ def test_blur_and_pixelate_change_pixels(rng):
     assert not np.allclose(c.image_pixelate(img), img)
     assert c.image_blur(img).shape == img.shape
     assert c.image_pixelate(img).shape == img.shape
+
+
+def test_coco_overlay_replay_and_geometry(rng):
+    """coco overlays: alpha-composited patch at the anchor; identical config
+    -> identical occluded pixel geometry (ref: visual_corruption.py:180-262)."""
+    video = (rng.random((12, 96, 96)) * 255).astype(np.float32)
+    lm = np.zeros((12, 68, 2), np.float32)
+    lm[:, :, 0] = 48  # x
+    lm[:, :, 1] = 60  # y (lower lip)
+    g = np.random.default_rng(7)
+    corrupted, cfg = c.occlude_sequence(
+        video, "coco", rng=g, return_config=True, landmarks=lm
+    )
+    for key in ("occlude_img", "occluder_size", "start_pt_idx", "offset",
+                "occ_len", "start_fr", "total_len"):
+        assert key in cfg, key
+    s, n = cfg["start_fr"], cfg["occ_len"]
+    # untouched outside the span
+    np.testing.assert_array_equal(corrupted[:s], video[:s])
+    np.testing.assert_array_equal(corrupted[s + n:], video[s + n:])
+    if n:
+        assert not np.allclose(corrupted[s], video[s])
+        # partial occlusion: some pixels unchanged (alpha mask geometry)
+        assert np.any(np.isclose(corrupted[s], video[s]))
+
+    # deterministic replay (no rng): bitwise identical twice
+    r1, _ = c.occlude_sequence(video, "coco", occlude_config=cfg, landmarks=lm)
+    r2, _ = c.occlude_sequence(video, "coco", occlude_config=cfg, landmarks=lm)
+    np.testing.assert_array_equal(r1, r2)
+    # replay touches the same frames as generation
+    changed_gen = [not np.allclose(corrupted[i], video[i]) for i in range(12)]
+    changed_rep = [not np.allclose(r1[i], video[i]) for i in range(12)]
+    assert changed_gen == changed_rep
+
+
+def test_hands_overlay_pinned_below_center(rng):
+    """hands overlays sit in the fixed y>=20 band
+    (ref: visual_corruption.py:264-288)."""
+    video = np.full((6, 96, 96), 100.0, np.float32)
+    g = np.random.default_rng(3)
+    corrupted, cfg = c.occlude_sequence(
+        video, "hands", rng=g, return_config=True, fixlen=1.0
+    )
+    assert cfg["occluder_size"] == 96
+    diff = np.abs(corrupted[0] - video[0])
+    assert diff[:20].max() == 0.0  # rows above the band untouched
+    assert diff[20:].max() > 1.0
+
+    replayed, _ = c.occlude_sequence(video, "hands", occlude_config=cfg)
+    replayed2, _ = c.occlude_sequence(video, "hands", occlude_config=cfg)
+    np.testing.assert_array_equal(replayed, replayed2)
+
+
+def test_procedural_occluders_deterministic():
+    img1, m1 = c.procedural_occluder("proc_coco_3.jpeg", "coco")
+    img2, m2 = c.procedural_occluder("proc_coco_3.jpeg", "coco")
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(m1, m2)
+    img3, m3 = c.procedural_occluder("proc_coco_4.jpeg", "coco")
+    assert not np.array_equal(m1, m3)
+    # mask covers a sensible fraction
+    frac = (m1 > 0).mean()
+    assert 0.2 < frac < 0.8
+    hand_img, hand_mask = c.procedural_occluder("proc_hands_0.jpeg", "hands")
+    assert (hand_mask > 0).mean() > 0.15
