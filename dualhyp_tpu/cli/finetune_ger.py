@@ -65,7 +65,6 @@ def main(argv=None):
     from dualhyp_tpu.parallel import make_mesh, shard_params
     from dualhyp_tpu.train import TrainConfig, Trainer
     from dualhyp_tpu.utils import SpeedMonitor, StepLogger, setup_run_logger
-    from dualhyp_tpu.utils.monitor import estimate_train_flops_per_token
 
     logger = setup_run_logger(out_dir)
     step_logger = StepLogger(out_dir)
@@ -132,7 +131,10 @@ def main(argv=None):
         mode=args.mode,
     )
     monitor = SpeedMonitor()
-    trainer = Trainer(model_cfg, tcfg, params, mesh=mesh, monitor=monitor)
+    trainer = Trainer(
+        model_cfg, tcfg, params, mesh=mesh, monitor=monitor,
+        logger=step_logger,
+    )
     mask = gpt.trainable_mask(trainer.params, model_cfg)
     logger.info(
         f"trainable params: {gpt.count_params(trainer.params, mask):,} / "
@@ -160,18 +162,10 @@ def main(argv=None):
             length_sorted=True,
         ):
             rng, key = jax.random.split(rng)
+            # monitor + CSV step logging happen inside train_step
             loss, lr = trainer.train_step(batch, max_iters, warmup_steps, key)
             opt_step += 1
             window_losses.append(loss)
-            tokens = int(np.prod(batch["input_ids"].shape))
-            monitor.on_step(
-                tokens=tokens,
-                samples=batch["input_ids"].shape[0],
-                flops=tokens
-                * estimate_train_flops_per_token(
-                    model_cfg, batch["input_ids"].shape[1]
-                ),
-            )
             if opt_step % max(args.log_interval // tcfg.grad_accum, 1) == 0:
                 stats = monitor.stats()
                 avg = sum(window_losses) / len(window_losses)
@@ -181,7 +175,6 @@ def main(argv=None):
                     f"tok/s {stats.get('tokens_per_sec', 0):,.0f} "
                     f"mfu {stats.get('mfu', 0):.3f}"
                 )
-                step_logger.log(opt_step, loss=avg, lr=lr, **stats)
             if opt_step % max(args.save_interval // tcfg.grad_accum, 1) == 0:
                 best_val = _validate_and_save(
                     trainer, val_ds, tcfg, out_dir, best_val, logger, model_cfg

@@ -171,6 +171,12 @@ class RelPromptTrainer(Trainer):
             (jnp.float32(lr_llm), jnp.float32(lr_cls)),
             rng,
         )
+        self.opt_step += 1
+        ids = batch["input_ids"]
+        self._record_step(
+            float(total), lr_llm, tokens=int(np.prod(ids.shape)),
+            samples=int(ids.shape[0]), seq_len=int(ids.shape[-1]),
+        )
         return {
             "loss": float(total),
             "llm_loss": float(llm),
@@ -191,12 +197,10 @@ class RelPromptTrainer(Trainer):
             targets = batch["labels"][:, 1:]
             if (targets != -1).sum() == 0:
                 continue
-            loss, _ = self._eval_fn(
-                self.trainable,
-                self.frozen,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["labels"]),
+            ids, labels = self._shard_batch(
+                batch["input_ids"], batch["labels"], batch_axis=0
             )
+            loss, _ = self._eval_fn(self.trainable, self.frozen, ids, labels)
             llm_losses.append(float(loss))
             for key, pool, tkey in (
                 ("audio_features", audio_pool, "audio_mask_targets"),

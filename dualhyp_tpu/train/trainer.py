@@ -137,8 +137,10 @@ class Trainer:
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.mesh = mesh
-        self.monitor = monitor
-        self.logger = logger
+        self.monitor = monitor  # SpeedMonitor: updated from train_step itself
+        self.logger = logger  # StepLogger: CSV row every log_interval steps
+        self.opt_step = 0
+        self._window_losses = []
 
         mask = select_mask(params, model_cfg, train_cfg.mode)
         self.trainable, self.frozen = partition(params, mask)
@@ -271,22 +273,56 @@ class Trainer:
             )
         )
 
+    # ---- sharding helpers ----
+    def _shard_batch(self, ids, labels, batch_axis: int):
+        """Place host arrays with the batch dim sharded over data x fsdp —
+        the SAME layout for train and eval steps."""
+        ids, labels = jnp.asarray(ids), jnp.asarray(labels)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = [None] * ids.ndim
+            axes[batch_axis] = ("data", "fsdp")
+            spec = NamedSharding(self.mesh, P(*axes))
+            ids = jax.device_put(ids, spec)
+            labels = jax.device_put(labels, spec)
+        return ids, labels
+
+    # ---- observability (wired into the step, not bolted on by callers) ----
+    def _record_step(self, loss: float, lr: float, tokens: int, samples: int,
+                     seq_len: int):
+        if self.monitor is not None:
+            from dualhyp_tpu.utils.monitor import estimate_train_flops_per_token
+
+            self.monitor.on_step(
+                tokens=tokens,
+                samples=samples,
+                flops=tokens
+                * estimate_train_flops_per_token(self.model_cfg, seq_len),
+            )
+        if self.logger is not None:
+            self._window_losses.append(loss)
+            interval = max(self.cfg.log_interval // self.cfg.grad_accum, 1)
+            if self.opt_step % interval == 0:
+                avg = sum(self._window_losses) / len(self._window_losses)
+                self._window_losses.clear()
+                stats = self.monitor.stats() if self.monitor is not None else {}
+                self.logger.log(self.opt_step, loss=avg, lr=lr, **stats)
+
     # ---- public API ----
     def train_step(self, batch, max_iters, warmup_steps, rng):
         """One optimizer step over a superbatch dict from collate.
 
         batch['input_ids'] has shape (accum*micro, T)."""
         accum = self.cfg.grad_accum
-        ids = batch["input_ids"].reshape(accum, self.cfg.micro_batch_size, -1)
-        labels = batch["labels"].reshape(accum, self.cfg.micro_batch_size, -1)
-        ids, labels = jnp.asarray(ids), jnp.asarray(labels)
-        if self.mesh is not None:
-            # micro-batch dim shards over data x fsdp
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            spec = NamedSharding(self.mesh, P(None, ("data", "fsdp")))
-            ids = jax.device_put(ids, spec)
-            labels = jax.device_put(labels, spec)
+        ids = np.asarray(batch["input_ids"]).reshape(
+            accum, self.cfg.micro_batch_size, -1
+        )
+        labels = np.asarray(batch["labels"]).reshape(
+            accum, self.cfg.micro_batch_size, -1
+        )
+        # micro-batch dim shards over data x fsdp
+        ids, labels = self._shard_batch(ids, labels, batch_axis=1)
         # advance the micro-iteration clock; LR uses the last micro step's
         # value like the reference loop does at optimizer.step time
         self.micro_iter += accum
@@ -300,22 +336,27 @@ class Trainer:
             jnp.float32(lr),
             rng,
         )
-        return float(loss), lr
+        self.opt_step += 1
+        loss = float(loss)
+        self._record_step(
+            loss, lr, tokens=int(ids.size), samples=int(accum * ids.shape[1]),
+            seq_len=int(ids.shape[-1]),
+        )
+        return loss, lr
 
     def evaluate(self, batches) -> float:
         """Mean validation loss, skipping all-masked batches
-        (ref: finetune/ger.py:338-348)."""
+        (ref: finetune/ger.py:338-348). Eval batches shard over the mesh
+        exactly like train micro-batches."""
         losses = []
         for batch in batches:
-            targets = batch["labels"][:, 1:]
+            targets = np.asarray(batch["labels"])[:, 1:]
             if (targets != -1).sum() == 0:
                 continue
-            loss, _ = self._eval_fn(
-                self.trainable,
-                self.frozen,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["labels"]),
+            ids, labels = self._shard_batch(
+                batch["input_ids"], batch["labels"], batch_axis=0
             )
+            loss, _ = self._eval_fn(self.trainable, self.frozen, ids, labels)
             losses.append(float(loss))
         return sum(losses) / max(len(losses), 1)
 
