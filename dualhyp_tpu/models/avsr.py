@@ -54,50 +54,81 @@ def avsr_encode(params: dict, video_cfg: RavenEncoderConfig,
     return mlp_head(params["fusion"], fused_in)
 
 
-def conv1d_frontend(params: dict, audio):
-    """Raw-waveform audio frontend (ref: data/raven/espnet/.../
-    conv1d_extractor.py + resnet1d): strided 1-D ResNet producing one
-    512-d frame per 640 samples (25 fps at 16 kHz).
-
-    Implemented as: conv(k=80, s=4) + BN + swish, 4 residual stages with
-    stride-2 downsampling (total /640 with the final avgpool-to-frame).
-    """
-    x = audio[:, None, :]  # (B, 1, S)
-    x = jax.lax.conv_general_dilated(
-        x, params["conv0"]["weight"].astype(x.dtype), (4,), ((38, 38),),
+def _conv1d(weight, x, stride, pad):
+    return jax.lax.conv_general_dilated(
+        x, weight.astype(x.dtype), (stride,), ((pad, pad),),
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
-    x = swish(_bn(params["bn0"], x, axis=1))
-    for i, leaf in sorted(params["stages"].items()):
-        x = _res1d_block(leaf, x, stride=2)
-    # pool to 25 fps frames: remaining ratio after /4 and 4x /2 == /64 ->
-    # average each group of 10 to land at 640 samples/frame
-    b, c, t = x.shape
-    frame = 10
-    t_out = t // frame
-    x = x[:, :, : t_out * frame].reshape(b, c, t_out, frame).mean(-1)
-    return x.swapaxes(1, 2)  # (B, T, C)
 
 
 def _res1d_block(leaf, x, stride):
+    """BasicBlock1D (ref: auto_avsr espnet backbones/modules/
+    resnet1d.py:45-109): conv3(s) -> bn -> swish -> conv3 -> bn,
+    (+ conv1x1/bn downsample residual), swish."""
     residual = x
-    out = jax.lax.conv_general_dilated(
-        x, leaf["conv1"]["weight"].astype(x.dtype), (stride,), ((1, 1),),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    out = swish(_bn(leaf["bn1"], out, axis=1))
-    out = jax.lax.conv_general_dilated(
-        out, leaf["conv2"]["weight"].astype(x.dtype), (1,), ((1, 1),),
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    out = _bn(leaf["bn2"], out, axis=1)
+    out = swish(_bn(leaf["bn1"], _conv1d(leaf["conv1"]["weight"], x, stride, 1),
+                    axis=1))
+    out = _bn(leaf["bn2"], _conv1d(leaf["conv2"]["weight"], out, 1, 1), axis=1)
     if "downsample" in leaf:
         residual = _bn(
             leaf["downsample"]["bn"],
-            jax.lax.conv_general_dilated(
-                x, leaf["downsample"]["conv"]["weight"].astype(x.dtype),
-                (stride,), ((0, 0),), dimension_numbers=("NCH", "OIH", "NCH"),
-            ),
+            _conv1d(leaf["downsample"]["conv"]["weight"], x, stride, 0),
             axis=1,
         )
     return swish(out + residual)
+
+
+def conv1d_frontend(params: dict, audio):
+    """Raw-waveform audio frontend == Conv1dResNet/ResNet1D (ref: auto_avsr
+    espnet backbones/conv1d_extractor.py + modules/resnet1d.py:111-215):
+    conv(k=80, s=4, p=38) + BN + swish, four 2-block residual stages
+    (strides 1/2/2/2), then avgpool(20) — one 512-d frame per 640 samples
+    (25 fps at 16 kHz). audio: (B, S) waveform."""
+    s = audio.shape[-1] // 640 * 640
+    x = audio[:, None, :s]  # (B, 1, S), trimmed to whole frames
+    x = swish(_bn(params["bn1"], _conv1d(params["conv1"]["weight"], x, 4, 38),
+                  axis=1))
+    strides = {"layer1": 1, "layer2": 2, "layer3": 2, "layer4": 2}
+    for name in ("layer1", "layer2", "layer3", "layer4"):
+        blocks = params[name]
+        for bi in sorted(blocks, key=int):
+            x = _res1d_block(blocks[bi], x, strides[name] if bi == "0" else 1)
+    b, c, t = x.shape
+    t_out = t // 20
+    x = x[:, :, : t_out * 20].reshape(b, c, t_out, 20).mean(-1)  # AvgPool1d(20)
+    return x.swapaxes(1, 2)  # (B, T, 512)
+
+
+def convert_conv1d_frontend(state, prefix: str = "") -> dict:
+    """Conv1dResNet state_dict -> our tree (trunk.conv1/bn1,
+    trunk.layerN.M.{conv1,bn1,conv2,bn2,downsample.0/1})."""
+    from dualhyp_tpu.models.raven import _nest
+
+    trunk = _nest(state, prefix)["trunk"]
+    params = {"conv1": trunk["conv1"], "bn1": trunk["bn1"]}
+    for li in range(1, 5):
+        layer = trunk[f"layer{li}"]
+        blocks = {}
+        for bi, block in layer.items():
+            leaf = {
+                "conv1": block["conv1"], "bn1": block["bn1"],
+                "conv2": block["conv2"], "bn2": block["bn2"],
+            }
+            if "downsample" in block:
+                leaf["downsample"] = {
+                    "conv": block["downsample"]["0"],
+                    "bn": block["downsample"]["1"],
+                }
+            blocks[bi] = leaf
+        params[f"layer{li}"] = blocks
+    return params
+
+
+def convert_mlp_head(state, prefix: str = "") -> dict:
+    """MLPHead state_dict -> our tree (fc1, bn1|norm1, fc2)
+    (ref: auto_avsr espnet nets_utils.py:505-526)."""
+    from dualhyp_tpu.models.raven import _nest
+
+    tree = _nest(state, prefix)
+    norm = tree.get("bn1", tree.get("norm1"))
+    return {"fc1": tree["fc1"], "norm": norm, "fc2": tree["fc2"]}

@@ -325,8 +325,12 @@ def encode(params: dict, cfg: RavenEncoderConfig, feats, mask=None):
     Use `conv3d_frontend` first for raw (B, 1, T, H, W) mouth ROIs.
     """
     x = _linear(params["embed"]["linear"], feats)
-    x = _ln(params["embed"]["norm"], x)
-    x = jax.nn.relu(x)
+    if "norm" in params["embed"]:
+        # raven 'linear' input layer: Linear -> LayerNorm -> ReLU; the
+        # auto_avsr conv1d/conv3d encoders embed with a bare Linear
+        # (ref: auto_avsr espnet transformer/encoder.py:109-112)
+        x = _ln(params["embed"]["norm"], x)
+        x = jax.nn.relu(x)
     t, d = x.shape[1], cfg.attention_dim
     x = x * math.sqrt(d)
     if cfg.attn_layer_type == "rel_mha":
@@ -368,8 +372,11 @@ def convert_espnet_encoder(state: Dict[str, np.ndarray], cfg: RavenEncoderConfig
     (embed.0 Linear, embed.1 LayerNorm) and per-layer modules."""
     tree = _nest(state, prefix)
     embed = tree["embed"]
+    embed_leaves = {"linear": embed["0"]}
+    if "1" in embed and "weight" in embed["1"]:
+        embed_leaves["norm"] = embed["1"]  # raven linear input layer only
     params = {
-        "embed": {"linear": embed["0"], "norm": embed["1"]},
+        "embed": embed_leaves,
         "layers": {},
     }
     encoders = tree["encoders"]
