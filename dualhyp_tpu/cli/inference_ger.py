@@ -40,6 +40,10 @@ def build_parser():
     parser.add_argument("--quantize", choices=[None, "int8"], default=None,
                         help="int8 weight quantization (2x faster decode at "
                              "batch 1; replaces the reference's bnb/gptq path)")
+    parser.add_argument("--dry_run", action="store_true",
+                        help="validate the hypotheses JSON ingest (schema, "
+                             "prompt packing, token lengths) and exit "
+                             "without loading model weights")
     common.add_model_args(parser)
     common.add_data_args(parser)
     return parser
@@ -112,6 +116,39 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
     return records, metrics
 
 
+def dry_run_ingest(args, tokenizer) -> dict:
+    """Load the hypotheses JSON through the full dataset path (uid grouping,
+    prompt packing, label masking) without touching model weights — run this
+    against the released DualHyp JSONs the moment they are available to
+    confirm schema compatibility before spending accelerator time."""
+    dataset_cls = common.dataset_class_for(args)
+    dataset = dataset_cls(
+        "test",
+        args.test_path,
+        tokenizer=tokenizer,
+        nhyps_key=args.nhyps_key,
+        max_nhyps=args.max_nhyps,
+        prompts_format=args.prompts_format,
+        apply_chat_template=args.apply_chat_template,
+        language=args.language,
+        seed=args.seed,
+    )
+    lengths = []
+    for i in range(len(dataset)):
+        ex = dataset[i]
+        assert ex.ground_truth is not None
+        lengths.append(len(ex.input_ids_no_response))
+    info = {
+        "examples": len(dataset),
+        "prompt_tokens_min": int(min(lengths)) if lengths else 0,
+        "prompt_tokens_p50": int(np.median(lengths)) if lengths else 0,
+        "prompt_tokens_max": int(max(lengths)) if lengths else 0,
+        "dataset_class": dataset_cls.__name__,
+    }
+    print(json.dumps(info))
+    return info
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -120,6 +157,9 @@ def main(argv=None):
 
     checkpoint_dir = Path(args.llm_checkpoint)
     tokenizer = common.load_tokenizer(checkpoint_dir)
+    if args.dry_run:
+        dry_run_ingest(args, tokenizer)
+        return
     model_cfg = common.model_config_from_args(args)
     params = common.load_base_params(checkpoint_dir, model_cfg)
     finetuned = load_params(args.model_path)

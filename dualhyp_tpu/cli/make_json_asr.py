@@ -196,7 +196,8 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
                           max_new_tokens=224, language="en", use_cache=True,
                           suppress_blank=True, suppress_tokens="-1",
                           without_timestamps=False, max_initial_timestamp=1.0,
-                          patience=None, length_penalty=None):
+                          patience=None, length_penalty=None,
+                          stepper="device"):
     """Whisper DecodingTask beam over one mel: returns (hyps, prefix, detok)
     with every beam, ranked (ref: data/whisper/decoding.py:556-821).
 
@@ -231,23 +232,7 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
         max_initial_timestamp=max_initial_timestamp,
     )
 
-    if use_cache:
-        logits_fn = CachedWhisperStepper(
-            dec_params, dec_cfg, features, len(prefix) + max_new_tokens
-        )
-    else:
-        step = jax.jit(
-            lambda toks, feats: w.decode_logits(dec_params, dec_cfg, toks, feats)[:, -1]
-        )
-
-        def logits_fn(tokens):
-            n = tokens.shape[0]
-            feats = jnp.broadcast_to(features, (n,) + features.shape[1:])
-            return step(tokens, feats)
-
-    hyps = beam_search_nbest(
-        logits_fn,
-        prefix,
+    beam_kwargs = dict(
         beam_size=beam_size,
         eos_id=eot,
         max_new_tokens=max_new_tokens,
@@ -257,6 +242,34 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
         patience=patience,
         length_penalty=length_penalty,
     )
+    if not use_cache and stepper == "device":
+        stepper = "full"  # legacy flag: full-prefix recompute stepper
+    if stepper == "device":
+        # one jitted call per step: KV gather + decode + logit rules +
+        # top(beam+1) all stay on device (infer/whisper_device_beam.py)
+        from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
+
+        hyps = device_beam_search(
+            dec_params, dec_cfg, features, prefix, **beam_kwargs
+        )
+    else:
+        if use_cache and stepper != "full":
+            logits_fn = CachedWhisperStepper(
+                dec_params, dec_cfg, features, len(prefix) + max_new_tokens
+            )
+        else:
+            step = jax.jit(
+                lambda toks, feats: w.decode_logits(
+                    dec_params, dec_cfg, toks, feats
+                )[:, -1]
+            )
+
+            def logits_fn(tokens):
+                n = tokens.shape[0]
+                feats = jnp.broadcast_to(features, (n,) + features.shape[1:])
+                return step(tokens, feats)
+
+        hyps = beam_search_nbest(logits_fn, prefix, **beam_kwargs)
     ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
     detok = lambda toks: tokenizer.decode(
         [t for t in toks

@@ -263,12 +263,50 @@ def _base_linear(leaves, x):
     return mlp_ops.linear(x, leaves["weight"], leaves.get("bias"))
 
 
+def _use_fused_lora(leaves) -> bool:
+    """Fused LoRA Pallas kernel (opt-in: DUALHYP_LORA_IMPL=fused).
+
+    Measured negative result on v5e-1 (TinyLlama-1.1B train step, mb=6,
+    seq 1024): fused 12.1k tok/s/chip at the best tiling
+    (bm/bn/bk 1024/512/512; 10.9k at 256/256/512) vs 12.6k for the XLA
+    composition — the rank-16 branch rides along for free but the Pallas
+    base matmul cannot beat XLA's tuned matmul at these shapes, so the
+    default stays XLA (see BENCH_NOTES.md)."""
+    import os
+
+    from dualhyp_tpu.ops import backend as _backend
+    from dualhyp_tpu.ops import quant
+
+    if quant.Q_KEY in leaves or "lora_A" not in leaves:
+        return False
+    if os.environ.get("DUALHYP_LORA_IMPL", "xla") != "fused":
+        return False
+    return _backend.get_backend() == "pallas"
+
+
 def _apply_linear(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
     """torch-layout linear with optional LoRA branch and adapter-v2 wrap.
 
     lora_gate: scalar 0/1 multiplier implementing `lora_start_layer`
     (ref: ger/lora.py:572-581) under the depth scan.
     """
+    if _use_fused_lora(leaves):
+        from dualhyp_tpu.ops.pallas import lora_kernel
+
+        xin = _dropout(x, cfg.lora_dropout, rng) if (
+            rng is not None and cfg.lora_dropout > 0.0
+        ) else None
+        y = lora_kernel.lora_linear(
+            x, leaves["weight"], leaves["lora_A"], leaves["lora_B"],
+            cfg.lora_scaling, xin=xin, gate=lora_gate,
+        )
+        if "bias" in leaves:
+            y = y + leaves["bias"].astype(y.dtype)
+        if "adapter_scale" in leaves:
+            y = (y + leaves["adapter_bias"].astype(y.dtype)) * leaves[
+                "adapter_scale"
+            ].astype(y.dtype)
+        return y
     y = _base_linear(leaves, x)
     if "lora_A" in leaves:
         a = leaves["lora_A"].astype(x.dtype)
@@ -294,6 +332,26 @@ def _apply_qkv(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
     scattered into the fused output rows via `lora_qkv_row_index`
     (zero-padding, ref: ger/lora.py:272-312).
     """
+    if _use_fused_lora(leaves) and all(cfg.enable_lora_qkv):
+        from dualhyp_tpu.ops.pallas import lora_kernel
+
+        b_bd = lora_kernel.lora_qkv_block_b(
+            leaves["lora_B"], lora_qkv_shapes(cfg), cfg.lora_r
+        )
+        xin = _dropout(x, cfg.lora_dropout, rng) if (
+            rng is not None and cfg.lora_dropout > 0.0
+        ) else None
+        y = lora_kernel.lora_linear(
+            x, leaves["weight"], leaves["lora_A"], b_bd,
+            cfg.lora_scaling, xin=xin, gate=lora_gate,
+        )
+        if "bias" in leaves:
+            y = y + leaves["bias"].astype(y.dtype)
+        if "adapter_scale" in leaves:
+            y = (y + leaves["adapter_bias"].astype(y.dtype)) * leaves[
+                "adapter_scale"
+            ].astype(y.dtype)
+        return y
     y = _base_linear(leaves, x)
     if "lora_A" in leaves:
         shapes = lora_qkv_shapes(cfg)

@@ -441,18 +441,32 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         att = einsum("bhts,bhsd->bhtd", w, v).transpose(0, 2, 1, 3).reshape(b, 1, s)
         hcur = hcur + _linear(leaf["attn"]["out"], att)
 
-        # cross attention over precomputed memory K/V
+        # cross attention over precomputed memory K/V; a batch-1 memory is
+        # shared across all beam rows WITHOUT materialising per-beam copies
+        # (beam-50 whisper-large cross KV would be ~50 GB otherwise)
         n = layer_norm(hcur, leaf["cross_ln"]["scale"], leaf["cross_ln"]["bias"])
         qx = split(_linear(leaf["cross"]["query"], n), 1)
-        kx = split(xk, xk.shape[1])
-        vx = split(xv, xv.shape[1])
-        logits = einsum(
-            "bhtd,bhsd->bhts",
-            (qx * scale).astype(jnp.float32),
-            (kx * scale).astype(jnp.float32),
-        )
-        w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-        att = einsum("bhts,bhsd->bhtd", w, vx).transpose(0, 2, 1, 3).reshape(b, 1, s)
+        if xk.shape[0] == 1 and b != 1:
+            kx = split(xk, xk.shape[1])[0]  # (h, S, hd)
+            vx = split(xv, xv.shape[1])[0]
+            logits = einsum(
+                "bhtd,hsd->bhts",
+                (qx * scale).astype(jnp.float32),
+                (kx * scale).astype(jnp.float32),
+            )
+            w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            att = einsum("bhts,hsd->bhtd", w, vx)
+        else:
+            kx = split(xk, xk.shape[1])
+            vx = split(xv, xv.shape[1])
+            logits = einsum(
+                "bhtd,bhsd->bhts",
+                (qx * scale).astype(jnp.float32),
+                (kx * scale).astype(jnp.float32),
+            )
+            w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            att = einsum("bhts,bhsd->bhtd", w, vx)
+        att = att.transpose(0, 2, 1, 3).reshape(b, 1, s)
         hcur = hcur + _linear(leaf["cross"]["out"], att)
 
         n = layer_norm(hcur, leaf["mlp_ln"]["scale"], leaf["mlp_ln"]["bias"])

@@ -1,0 +1,106 @@
+"""Beam-50 Whisper n-best generation timing on real hardware.
+
+Random weights at the real whisper-large-v3 shape (the reference's
+hypothesis generator runs beam_size=50, ref: data/make_json_asr.py:185-186,
+conf BEAM_SIZE) — throughput depends on shapes, not weight values.
+
+Run: python scripts/bench_whisper_beam.py [--beam 50] [--steps 32]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--beam", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=32,
+                    help="sampled tokens per utterance (typical LRS2 length)")
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    args = ap.parse_args()
+
+    from dualhyp_tpu.infer.beam_search import TimestampRules
+    from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
+    from dualhyp_tpu.models import whisper as w
+
+    if args.tiny:
+        enc_cfg = w.WhisperEncoderConfig(n_mels=80, n_ctx=64, n_state=64,
+                                         n_head=4, n_layer=2)
+        dec_cfg = w.WhisperDecoderConfig(n_vocab=1024, n_ctx=64, n_state=64,
+                                         n_head=4, n_layer=2)
+    else:
+        enc_cfg = w.WhisperEncoderConfig()  # large-v3
+        dec_cfg = w.WhisperDecoderConfig()
+
+    dtype = jnp.bfloat16
+    enc = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype), w.init_encoder(enc_cfg, jax.random.key(0))
+    )
+    dec = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype), w.init_decoder(dec_cfg, jax.random.key(1))
+    )
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.normal(size=(1, enc_cfg.n_mels, enc_cfg.n_ctx * 2)), dtype
+    )
+
+    encode = jax.jit(lambda m: w.encode(enc, enc_cfg, m, compute_dtype=dtype))
+    feats = jax.block_until_ready(encode(mel))
+    t0 = time.perf_counter()
+    feats = jax.block_until_ready(encode(mel))
+    t_encode = time.perf_counter() - t0
+
+    sot = dec_cfg.n_vocab - 8
+    prefix = [sot, sot + 1, sot + 2]
+    ts_begin = dec_cfg.n_vocab - 1500 if not args.tiny else dec_cfg.n_vocab - 32
+    rules = TimestampRules(timestamp_begin=ts_begin, eot=sot - 1,
+                           no_timestamps=sot + 3,
+                           max_initial_timestamp_index=50)
+    suppress = list(range(20)) + [sot, sot + 1, sot + 2]
+
+    def run():
+        return device_beam_search(
+            dec, dec_cfg, feats, prefix,
+            beam_size=args.beam,
+            eos_id=sot - 1,
+            max_new_tokens=args.steps,
+            suppress_tokens=suppress,
+            suppress_blank_ids=[220, sot - 1],
+            timestamp_rules=rules,
+            cache_dtype=dtype,
+        )
+
+    hyps = run()  # compile + warm
+    t0 = time.perf_counter()
+    hyps = run()
+    t_beam = time.perf_counter() - t0
+    n_steps = len(prefix) + args.steps - 1
+
+    print(
+        f"device beam search: beam={args.beam} model="
+        f"{'tiny' if args.tiny else 'large-v3'}"
+    )
+    print(f"  encode 30s mel: {t_encode*1e3:.1f} ms")
+    print(
+        f"  beam decode {args.steps} tokens: {t_beam*1e3:.1f} ms "
+        f"({t_beam/n_steps*1e3:.2f} ms/step, {len(hyps)} hyps)"
+    )
+    print(
+        f"  total per 30s utterance: {(t_encode + t_beam)*1e3:.1f} ms"
+    )
+
+
+if __name__ == "__main__":
+    main()

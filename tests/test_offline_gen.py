@@ -227,7 +227,7 @@ def test_cached_beam_search_matches_uncached(rng):
     audio = rng.normal(size=(16000,)).astype(np.float32) * 0.05
     kwargs = dict(beam_size=4, n_best=5, max_new_tokens=6)
     t_cached, s_cached = transcribe_nbest(
-        audio, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), use_cache=True, **kwargs
+        audio, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), stepper="cached", **kwargs
     )
     t_full, s_full = transcribe_nbest(
         audio, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), use_cache=False, **kwargs

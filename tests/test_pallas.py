@@ -174,3 +174,94 @@ def test_first_party_flash_vjp_unaligned_grads(rng):
     go = jax.grad(lambda q: (flash_attention(q, k, v, scale) ** 2).sum())(q)
     gx = jax.grad(lambda q: (_causal_attention_xla(q, k, v, scale) ** 2).sum())(q)
     np.testing.assert_allclose(np.asarray(go), np.asarray(gx), rtol=1e-4, atol=1e-4)
+
+
+def test_lora_kernel_forward_and_grad_parity(rng):
+    """Fused LoRA matmul == the XLA composition, values and gradients."""
+    from dualhyp_tpu.ops.pallas.lora_kernel import lora_linear
+
+    d, o, r, rows = 96, 160, 4, 20
+    x = jnp.asarray(rng.normal(size=(2, rows // 2, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(o, d)) * 0.1, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(r, d)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(o, r)) * 0.1, jnp.float32)
+    scaling = 2.0
+
+    def ref(x, a, b):
+        return x @ w.T + scaling * (x @ a.T) @ b.T
+
+    want = np.asarray(ref(x, a, b))
+    got = np.asarray(lora_linear(x, w, a, b, scaling))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradients wrt x, a, b
+    def loss_fused(x, a, b):
+        return (lora_linear(x, w, a, b, scaling) ** 2).sum()
+
+    def loss_ref(x, a, b):
+        return (ref(x, a, b) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(x, a, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, a, b)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+    # gate semantics: gate=0 kills the delta, keeps the base
+    gated = np.asarray(lora_linear(x, w, a, b, scaling, gate=jnp.float32(0)))
+    np.testing.assert_allclose(gated, np.asarray(x @ w.T), rtol=1e-5, atol=1e-5)
+
+    # separate lora-branch input (dropout path)
+    xin = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    got2 = np.asarray(lora_linear(x, w, a, b, scaling, xin=xin))
+    want2 = np.asarray(x @ w.T + scaling * (xin @ a.T) @ b.T)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
+def test_lora_fused_model_forward_matches_xla(rng):
+    """Whole-model forward + grads: DUALHYP_LORA_IMPL fused vs xla."""
+    import os
+
+    from dualhyp_tpu.models import gpt
+    from dualhyp_tpu.ops import use_backend
+    from tests import helpers
+
+    cfg = helpers.tiny_llama_config(
+        lora_r=4, lora_alpha=8, lora_query=True, lora_key=True,
+        lora_value=True, lora_projection=True, lora_mlp=True,
+    )
+    params = gpt.init(cfg, jax.random.key(2))
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(2, 24)), jnp.int32)
+
+    def loss_fn(p):
+        logits = gpt.forward(p, cfg, ids, compute_dtype=jnp.float32)
+        return (logits ** 2).mean()
+
+    with use_backend("xla"):
+        want = np.asarray(gpt.forward(params, cfg, ids, compute_dtype=jnp.float32))
+        g_want = jax.grad(loss_fn)(params)
+
+    os.environ["DUALHYP_LORA_IMPL"] = "fused"
+    try:
+        with use_backend("pallas"):
+            got = np.asarray(
+                gpt.forward(params, cfg, ids, compute_dtype=jnp.float32)
+            )
+            g_got = jax.grad(loss_fn)(params)
+    finally:
+        os.environ.pop("DUALHYP_LORA_IMPL", None)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    for path in (
+        ("blocks", "attn", "qkv", "lora_A"),
+        ("blocks", "attn", "qkv", "lora_B"),
+        ("blocks", "mlp", "fc_1", "lora_B"),
+        ("blocks", "attn", "proj", "lora_A"),
+    ):
+        gw, gg = g_want, g_got
+        for k in path:
+            gw, gg = gw[k], gg[k]
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=5e-4, atol=1e-5,
+            err_msg="/".join(path),
+        )

@@ -110,7 +110,8 @@ def _our_model(model, dims):
     ids=["defaults", "no_timestamps", "patience2", "length_penalty",
          "no_suppression"],
 )
-def test_beam_texts_match_vendored_decoding_task(vendored, rng, opts):
+@pytest.mark.parametrize("stepper", ["device", "cached"])
+def test_beam_texts_match_vendored_decoding_task(vendored, rng, opts, stepper):
     import torch
 
     from dualhyp_tpu.cli.make_json_asr import decode_beams_from_mel
@@ -144,7 +145,8 @@ def test_beam_texts_match_vendored_decoding_task(vendored, rng, opts):
 
     hyps, prefix, detok = decode_beams_from_mel(
         mel, encoder, decoder, adapter,
-        beam_size=beam_size, max_new_tokens=sample_len, **opts,
+        beam_size=beam_size, max_new_tokens=sample_len, stepper=stepper,
+        **opts,
     )
     our_tokens = [h.tokens[len(prefix):] for h in hyps]
     our_texts = [detok(t).strip() for t in our_tokens]
