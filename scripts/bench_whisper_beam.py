@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--steps", type=int, default=32,
                     help="sampled tokens per utterance (typical LRS2 length)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--n_state", type=int, default=1280)
+    ap.add_argument("--enc_layers", type=int, default=32)
+    ap.add_argument("--dec_layers", type=int, default=32)
     args = ap.parse_args()
 
     from dualhyp_tpu.infer.beam_search import TimestampRules
@@ -40,8 +43,16 @@ def main():
         dec_cfg = w.WhisperDecoderConfig(n_vocab=1024, n_ctx=64, n_state=64,
                                          n_head=4, n_layer=2)
     else:
-        enc_cfg = w.WhisperEncoderConfig()  # large-v3
-        dec_cfg = w.WhisperDecoderConfig()
+        enc_cfg = w.WhisperEncoderConfig(
+            n_mels=128, n_ctx=1500,
+            n_state=args.n_state, n_head=args.n_state // 64,
+            n_layer=args.enc_layers,
+        )
+        dec_cfg = w.WhisperDecoderConfig(
+            n_vocab=51866, n_ctx=448,
+            n_state=args.n_state, n_head=args.n_state // 64,
+            n_layer=args.dec_layers,
+        )
 
     dtype = jnp.bfloat16
     enc = jax.tree_util.tree_map(
@@ -56,8 +67,10 @@ def main():
         rng.normal(size=(1, enc_cfg.n_mels, enc_cfg.n_ctx * 2)), dtype
     )
 
+    print("compiling encoder...", flush=True)
     encode = jax.jit(lambda m: w.encode(enc, enc_cfg, m, compute_dtype=dtype))
     feats = jax.block_until_ready(encode(mel))
+    print("encoder compiled", flush=True)
     t0 = time.perf_counter()
     feats = jax.block_until_ready(encode(mel))
     t_encode = time.perf_counter() - t0
@@ -82,7 +95,9 @@ def main():
             cache_dtype=dtype,
         )
 
+    print("compiling beam step...", flush=True)
     hyps = run()  # compile + warm
+    print("beam step compiled", flush=True)
     t0 = time.perf_counter()
     hyps = run()
     t_beam = time.perf_counter() - t0
