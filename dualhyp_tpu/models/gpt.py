@@ -490,11 +490,14 @@ def _full_prefix_attention(q, ak, av, cfg: GPTConfig):
 # ---------------------------------------------------------------------------
 
 def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
-           cache_kv=None, positions=None, kv_length=None):
+           cache_kv=None, positions=None, kv_length=None, mlp_remat=False):
     """One transformer block. Returns (x, new_cache_kv).
 
     cache_kv: optional (k, v) of shape (B, G, S, D) for decode; positions:
     (B,) per-sequence write slots; kv_length: (B,) valid-cache extents.
+    mlp_remat: rematerialise only the MLP (the widest activations:
+    2 x (B, T, intermediate) gate tensors) while keeping attention saved —
+    a cheaper memory/recompute point than full-block remat.
     """
     lora_gate = (layer_idx >= cfg.lora_start_layer).astype(x.dtype)
     adapter_gate = (layer_idx >= cfg.adapter_start_layer).astype(x.dtype)
@@ -545,13 +548,19 @@ def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
     y = y.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_head * cfg.head_size)
     h = _apply_linear(cfg, leaves["attn"]["proj"], y, lora_gate=lora_gate, rng=rngs[1])
 
+    def mlp_call(lv, h_in, g, r):
+        return _mlp(cfg, lv, h_in, lora_gate=g, rng=r)
+
+    if mlp_remat:
+        mlp_call = jax.checkpoint(mlp_call)
+
     if cfg.parallel_residual:
         n2 = n1 if cfg.shared_attention_norm else _norm(cfg, leaves["norm_2"], x)
-        x = x + h + _mlp(cfg, leaves["mlp"], n2, lora_gate=lora_gate, rng=rngs[2])
+        x = x + h + mlp_call(leaves["mlp"], n2, lora_gate, rngs[2])
     else:
         x = x + h
         n2 = _norm(cfg, leaves["norm_2"], x)
-        x = x + _mlp(cfg, leaves["mlp"], n2, lora_gate=lora_gate, rng=rngs[3])
+        x = x + mlp_call(leaves["mlp"], n2, lora_gate, rngs[3])
     return x, new_cache
 
 
@@ -583,7 +592,7 @@ def forward(
     *,
     rng=None,
     compute_dtype=jnp.bfloat16,
-    remat: bool = False,
+    remat=False,  # False | True/'full' (whole block) | 'mlp' (MLP only)
     return_hidden: bool = False,
 ):
     """Training / evaluation forward pass (no cache). idx: (B, T) int32.
@@ -605,10 +614,11 @@ def forward(
             layer_rng = None
         else:
             leaves, lid, layer_rng = scanned
-        out, _ = _block(cfg, leaves, carry, cos, sin, lid, rng=layer_rng)
+        out, _ = _block(cfg, leaves, carry, cos, sin, lid, rng=layer_rng,
+                        mlp_remat=(remat == "mlp"))
         return out, None
 
-    if remat:
+    if remat is True or remat == "full":
         body = jax.checkpoint(body)
 
     xs = (params["blocks"], layer_ids) if rngs is None else (

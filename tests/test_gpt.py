@@ -133,3 +133,29 @@ def test_batched_decode_with_ragged_lengths():
     )
     np.testing.assert_allclose(np.asarray(logits[0]), want1, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(logits[1]), want2, rtol=2e-4, atol=2e-4)
+
+
+def test_mlp_remat_matches_no_remat(rng):
+    """remat='mlp' must be numerically identical (values and grads)."""
+    from tests import helpers
+
+    cfg = helpers.tiny_llama_config(lora_r=4, lora_alpha=8, lora_query=True,
+                                    lora_value=True, lora_mlp=True)
+    params = gpt.init(cfg, jax.random.key(5))
+    ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(2, 16)), jnp.int32)
+
+    def loss(p, mode):
+        out = gpt.forward(p, cfg, ids, compute_dtype=jnp.float32, remat=mode)
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    for mode in ("mlp", True):
+        np.testing.assert_allclose(
+            float(loss(params, mode)), float(loss(params, False)), rtol=1e-6
+        )
+        g1 = jax.grad(lambda p: loss(p, mode))(params)
+        g0 = jax.grad(lambda p: loss(p, False))(params)
+        np.testing.assert_allclose(
+            np.asarray(g1["blocks"]["mlp"]["fc_1"]["lora_A"]),
+            np.asarray(g0["blocks"]["mlp"]["fc_1"]["lora_A"]),
+            rtol=1e-5, atol=1e-8,
+        )
