@@ -344,6 +344,7 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
                 patience=cfg.get("patience"),
                 length_penalty=cfg.get("length_penalty"),
                 without_timestamps=bool(cfg.get("without_timestamps", False)),
+                stepper=cfg.get("stepper", "device"),
             )
             if not texts:
                 continue

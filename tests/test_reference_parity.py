@@ -86,6 +86,23 @@ def _install_reference_stubs():
     fabric.utilities = utilities
     utilities.load = load
 
+    # speed_monitor / generate.relprompt pull more lightning surface
+    mod("lightning", Callback=object, Fabric=object, LightningModule=object,
+        Trainer=object)
+    accelerators = mod("lightning.fabric.accelerators")
+    xla = mod("lightning.fabric.accelerators.xla", _XLA_GREATER_EQUAL_2_1=False)
+    accelerators.xla = xla
+    fabric.accelerators = accelerators
+    rank0 = lambda fn: fn
+    fr = mod("lightning.fabric.utilities.rank_zero", rank_zero_only=rank0)
+    utilities.rank_zero = fr
+    pytorch = mod("lightning.pytorch")
+    putils = mod("lightning.pytorch.utilities")
+    pr = mod("lightning.pytorch.utilities.rank_zero", rank_zero_only=rank0)
+    pytorch.utilities = putils
+    putils.rank_zero = pr
+    lightning.pytorch = pytorch
+
     xformers = mod("xformers")
     xops = mod("xformers.ops", SwiGLU=object)
     xformers.ops = xops
@@ -102,9 +119,11 @@ def refmods():
     import ger.lora as ref_lora
     import ger.utils as ref_utils
     import generate.base as ref_generate
+    import generate.relprompt as ref_generate_rp
 
     return types.SimpleNamespace(
-        model=ref_model, lora=ref_lora, utils=ref_utils, generate=ref_generate
+        model=ref_model, lora=ref_lora, utils=ref_utils,
+        generate=ref_generate, generate_rp=ref_generate_rp,
     )
 
 
@@ -473,3 +492,103 @@ def test_base_gpt_logits_parity(refmods, rng):
                     compute_dtype=jnp.float32)
     )
     np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-5)
+
+
+@requires_reference
+def test_relprompt_gpt_and_classifier_parity(refmods, rng):
+    """RelPrompt variant vs the reference's own ger.relprompt: resized
+    embeddings (wte grows, lm_head does not), LoRA forward over prompts
+    containing the new mask tokens, and both NoiseMaskClassifiers
+    (ref: ger/relprompt.py:126-147, 182-294)."""
+    import torch
+
+    import ger.relprompt as ref_rp
+
+    from dualhyp_tpu.models import relprompt as rp
+
+    torch.manual_seed(11)
+    cfg_ref = ref_rp.Config(
+        _norm_class="RMSNorm", _mlp_class="LLaMAMLP", **_LLAMA_KW,
+        r=4, alpha=8, dropout=0.0, to_query=True, to_key=True, to_value=True,
+        to_projection=True, to_mlp=False,
+        whisper_dim=24, raven_dim=16, pool_size=2,
+    )
+    model = ref_rp.GPT(cfg_ref).float()
+    model.resize_token_embeddings(3)  # <<C>>/<<M>>/<<N>> rows
+    model.rope_cache = refmods.model.build_rope_cache(
+        seq_len=cfg_ref.block_size, n_elem=cfg_ref.rope_n_elem,
+        dtype=torch.float32, device=torch.device("cpu"),
+    )
+    model.eval()
+
+    cfg = GPTConfig(
+        name="parity-relprompt", norm_class="RMSNorm", mlp_class="LLaMAMLP",
+        **_LLAMA_KW,
+        lora_r=4, lora_alpha=8, lora_query=True, lora_key=True,
+        lora_value=True, lora_projection=True,
+        n_extra_tokens=3, whisper_dim=24, raven_dim=16,
+        classifier_pool_size=2, classifier_hidden_dim=256,
+    )
+    params = _tree_from_reference(model, cfg, lora=True)
+    sd = _sd_numpy(model)
+    assert params["wte"]["weight"].shape[0] == cfg.padded_vocab_size + 3
+    assert params["lm_head"]["weight"].shape[0] == cfg.padded_vocab_size
+
+    def classifier_tree(prefix):
+        return {
+            "conv1": {"weight": jnp.asarray(sd[prefix + ".conv1.weight"]),
+                      "bias": jnp.asarray(sd[prefix + ".conv1.bias"])},
+            "conv2": {"weight": jnp.asarray(sd[prefix + ".conv2.weight"]),
+                      "bias": jnp.asarray(sd[prefix + ".conv2.bias"])},
+            "classifier": {
+                "weight": jnp.asarray(sd[prefix + ".classifier.weight"]),
+                "bias": jnp.asarray(sd[prefix + ".classifier.bias"])},
+        }
+
+    # (a) LLM logits on prompts that USE the appended mask-token rows
+    ids = rng.integers(1, cfg.padded_vocab_size + 3, size=(2, 21)).astype(np.int64)
+    ids[:, 3] = cfg.padded_vocab_size  # <<C>>
+    ids[:, 7] = cfg.padded_vocab_size + 2  # <<N>>
+    with torch.no_grad():
+        ref_logits = model(torch.from_numpy(ids)).numpy()
+    ours = np.asarray(
+        gpt.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                    compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-5)
+
+    # (b) both classifiers on ragged-length features (ceil-mode pooling)
+    for prefix, dim, pool in (
+        ("audio_noise_classifier", 24, 2 * 2),
+        ("visual_noise_classifier", 16, 2),
+    ):
+        feats = rng.normal(size=(2, 13, dim)).astype(np.float32)
+        with torch.no_grad():
+            ref_cls = getattr(model, prefix)(torch.from_numpy(feats)).numpy()
+        got = np.asarray(
+            rp.classifier_forward(
+                classifier_tree(prefix), jnp.asarray(feats), pool
+            )
+        )
+        np.testing.assert_allclose(got, ref_cls, rtol=2e-4, atol=1e-5,
+                                   err_msg=prefix)
+
+    # (c) greedy decode through our batched path with mask tokens in-prompt
+    # generate/base.py binds input_pos into relprompt's audio_query slot;
+    # the reference decodes relprompt models through generate/relprompt.py
+    # (ref: inference/relprompt.py:162-173)
+    prompt = ids[0][:14]
+    ref_tokens = refmods.generate_rp.generate(
+        model, None, None, None, None,
+        torch.from_numpy(prompt), len(prompt) + 8, cfg_ref.block_size,
+        temperature=0.2, top_k=1, eos_id=None,
+    ).numpy()
+    model.reset_cache()
+    tokens, lengths = decode.generate(
+        params, cfg, jnp.asarray(prompt[None], jnp.int32),
+        jnp.asarray([len(prompt)], jnp.int32), max_new_tokens=8,
+        temperature=0.2, top_k=1, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tokens[0, : int(lengths[0])]), ref_tokens
+    )
