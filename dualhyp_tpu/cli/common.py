@@ -91,6 +91,10 @@ def load_tokenizer(checkpoint_dir, prefer_transformers: bool = True):
             )
             if tok.pad_token is None:
                 tok.pad_token = tok.eos_token
+            if "phi-" in str(checkpoint_dir).lower():
+                # phi checkpoints ship the wrong eos in tokenizer_config
+                # (ref: finetune/ger.py:119-120)
+                tok.eos_token = "<|endoftext|>"
             return tok
         except Exception:
             pass
