@@ -46,16 +46,28 @@ def build_parser():
                              "without loading model weights")
     common.add_model_args(parser)
     common.add_data_args(parser)
+    common.add_mesh_args(parser)
     return parser
 
 
 def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                   max_new_tokens=150, temperature=0.2, top_k=1,
-                  compute_dtype=jnp.bfloat16, collect_latency=False):
-    """Batched greedy correction over a dataset. Returns (records, metrics)."""
+                  compute_dtype=jnp.bfloat16, collect_latency=False,
+                  mesh=None):
+    """Batched greedy correction over a dataset. Returns (records, metrics).
+
+    mesh: optional device mesh — the decode batch shards over data x fsdp
+    and params follow their NamedShardings (multi-chip batched serving;
+    the reference decodes batch=1 on one device)."""
     from dualhyp_tpu.data.collate import bucket_length
     from dualhyp_tpu.infer.decode import generate
     from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
+
+    batch_spec = None
+    if mesh is not None and decode_batch % mesh.size == 0:
+        from dualhyp_tpu.parallel import batch_sharding
+
+        batch_spec = batch_sharding(mesh)
 
     eos_id = getattr(tokenizer, "eos_token_id", None)
     examples = [dataset[i] for i in range(len(dataset))]
@@ -79,11 +91,15 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
             ids[i, : len(p)] = p
             lengths[i] = len(p)
         t0 = time.perf_counter()
+        dev_ids, dev_lengths = jnp.asarray(ids), jnp.asarray(lengths)
+        if batch_spec is not None:
+            dev_ids = jax.device_put(dev_ids, batch_spec)
+            dev_lengths = jax.device_put(dev_lengths, batch_spec)
         tokens, total_lengths = generate(
             params,
             model_cfg,
-            jnp.asarray(ids),
-            jnp.asarray(lengths),
+            dev_ids,
+            dev_lengths,
             max_new_tokens=max_new_tokens,
             temperature=temperature,
             top_k=top_k,
@@ -121,6 +137,13 @@ def dry_run_ingest(args, tokenizer) -> dict:
     prompt packing, label masking) without touching model weights — run this
     against the released DualHyp JSONs the moment they are available to
     confirm schema compatibility before spending accelerator time."""
+    mesh = None
+    if jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1:
+        from dualhyp_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor)
+        params, _ = shard_params(params, mesh)
+
     dataset_cls = common.dataset_class_for(args)
     dataset = dataset_cls(
         "test",
@@ -172,6 +195,13 @@ def main(argv=None):
             params = merge_lora(params, model_cfg)
         params = quantize_tree(params)
 
+    mesh = None
+    if jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1:
+        from dualhyp_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor)
+        params, _ = shard_params(params, mesh)
+
     dataset_cls = common.dataset_class_for(args)
     dataset = dataset_cls(
         "test",
@@ -194,6 +224,7 @@ def main(argv=None):
         temperature=args.temperature,
         top_k=args.top_k,
         collect_latency=True,
+        mesh=mesh,
     )
     predict_dir = Path(args.model_path).parent / "predictions"
     predict_dir.mkdir(parents=True, exist_ok=True)

@@ -275,3 +275,37 @@ def test_evaluate_sharded_matches_unsharded_and_monitor_updates(rng):
     assert len(logger.rows) == 2  # log_interval=1
     step, metrics = logger.rows[-1]
     assert step == 2 and "loss" in metrics and "lr" in metrics
+
+
+def test_mesh_parallel_decode_matches_single(rng):
+    """Batched greedy decode with the batch sharded over an 8-device mesh
+    returns the same tokens as unsharded decode."""
+    from dualhyp_tpu.infer.decode import generate
+
+    cfg = helpers.tiny_llama_config(block_size=128)
+    params = gpt.init(cfg, jax.random.key(4))
+    ids = np.zeros((8, 12), np.int32)
+    lengths = np.zeros((8,), np.int32)
+    for i in range(8):
+        n = 6 + (i % 5)
+        ids[i, :n] = rng.integers(1, cfg.vocab_size, size=(n,))
+        lengths[i] = n
+
+    want_tok, want_len = generate(
+        params, cfg, jnp.asarray(ids), jnp.asarray(lengths),
+        max_new_tokens=6, temperature=0.2, top_k=1,
+        compute_dtype=jnp.float32,
+    )
+
+    mesh = make_mesh(data=4, fsdp=2)
+    sharded, _ = shard_params(params, mesh)
+    spec = batch_sharding(mesh)
+    got_tok, got_len = generate(
+        sharded, cfg,
+        jax.device_put(jnp.asarray(ids), spec),
+        jax.device_put(jnp.asarray(lengths), spec),
+        max_new_tokens=6, temperature=0.2, top_k=1,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got_len), np.asarray(want_len))
+    np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(want_tok))
