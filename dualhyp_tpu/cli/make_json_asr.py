@@ -87,11 +87,18 @@ class CachedWhisperStepper:
         self.max_total = max_total
         self.cache = None
         self.prefix_to_row = {}
-        self._step = jax.jit(
-            lambda toks, pos, cache, cross: w.decode_step_cached(
-                dec_params, dec_cfg, toks, pos, cache, cross
+        # params as a jit argument (closing over them bakes the decoder
+        # weights into the HLO as constants -> pathological compiles); pos
+        # is traced (decode_step_cached uses dynamic slices)
+        import jax.numpy as _jnp
+
+        jitted = jax.jit(
+            lambda p, toks, pos, cache, cross: w.decode_step_cached(
+                p, dec_cfg, toks, pos, cache, cross
             ),
-            static_argnames=("pos",),
+        )
+        self._step = lambda toks, pos, cache, cross: jitted(
+            self.dec_params, toks, _jnp.int32(pos), cache, cross
         )
 
     def __call__(self, tokens):

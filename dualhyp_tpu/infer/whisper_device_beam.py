@@ -54,12 +54,14 @@ def _build_step(dec_params, dec_cfg, *, n_vocab, suppress_ids, blank_ids,
         m[ts_rules.no_timestamps] = -np.inf
         ts_static = jnp.asarray(m)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(last_tokens, parents, cache, cross, pos, is_first,
-             last_was_ts, pen_was_ts, ts_last):
+    # dec_params is a jit ARGUMENT - closing over it would bake the full
+    # decoder (1.8 GB for large-v3) into the HLO as constants
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def _step(params, last_tokens, parents, cache, cross, pos, is_first,
+              last_was_ts, pen_was_ts, ts_last):
         cache = {k: v[:, parents] for k, v in cache.items()}
         logits, cache = w.decode_step_cached(
-            dec_params, dec_cfg, last_tokens, pos, cache, cross
+            params, dec_cfg, last_tokens, pos, cache, cross
         )
         logits = logits.astype(jnp.float32)
         if blank_mask is not None:
@@ -92,6 +94,9 @@ def _build_step(dec_params, dec_cfg, *, n_vocab, suppress_ids, blank_ids,
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         scores, ids = jax.lax.top_k(logprobs, k_top)
         return scores, ids, cache
+
+    def step(*args):
+        return _step(dec_params, *args)
 
     return step
 

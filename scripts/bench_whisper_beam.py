@@ -68,11 +68,15 @@ def main():
     )
 
     print("compiling encoder...", flush=True)
-    encode = jax.jit(lambda m: w.encode(enc, enc_cfg, m, compute_dtype=dtype))
-    feats = jax.block_until_ready(encode(mel))
+    # params as ARGUMENTS: closing over them bakes GBs of weights into the
+    # HLO as constants and compile time explodes
+    encode = jax.jit(
+        lambda p, m: w.encode(p, enc_cfg, m, compute_dtype=dtype)
+    )
+    feats = jax.block_until_ready(encode(enc, mel))
     print("encoder compiled", flush=True)
     t0 = time.perf_counter()
-    feats = jax.block_until_ready(encode(mel))
+    feats = jax.block_until_ready(encode(enc, mel))
     t_encode = time.perf_counter() - t0
 
     sot = dec_cfg.n_vocab - 8
