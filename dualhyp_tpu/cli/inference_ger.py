@@ -40,6 +40,14 @@ def build_parser():
     parser.add_argument("--quantize", choices=[None, "int8"], default=None,
                         help="int8 weight quantization (2x faster decode at "
                              "batch 1; replaces the reference's bnb/gptq path)")
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding (greedy "
+                             "only; token-identical — corrections mostly "
+                             "copy hypothesis spans, so drafts verify "
+                             "several tokens per model step)")
+    parser.add_argument("--draft_len", type=int, default=8,
+                        help="speculative draft window (tokens verified "
+                             "per step = draft_len + 1)")
     parser.add_argument("--dry_run", action="store_true",
                         help="validate the hypotheses JSON ingest (schema, "
                              "prompt packing, token lengths) and exit "
@@ -53,15 +61,22 @@ def build_parser():
 def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                   max_new_tokens=150, temperature=0.2, top_k=1,
                   compute_dtype=jnp.bfloat16, collect_latency=False,
-                  mesh=None):
+                  mesh=None, speculative=False, draft_len=8):
     """Batched greedy correction over a dataset. Returns (records, metrics).
 
     mesh: optional device mesh — the decode batch shards over data x fsdp
     and params follow their NamedShardings (multi-chip batched serving;
-    the reference decodes batch=1 on one device)."""
+    the reference decodes batch=1 on one device).
+
+    speculative: prompt-lookup speculative decoding (greedy only — the
+    eval protocol's top_k=1 qualifies); token-identical, several tokens
+    per model step when the correction copies hypothesis spans."""
     from dualhyp_tpu.data.collate import bucket_length
-    from dualhyp_tpu.infer.decode import generate
+    from dualhyp_tpu.infer.decode import generate, generate_lookup
     from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
+
+    if speculative and top_k != 1:
+        raise ValueError("--speculative requires greedy decoding (top_k=1)")
 
     batch_spec = None
     if mesh is not None and decode_batch % mesh.size == 0:
@@ -95,17 +110,29 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
         if batch_spec is not None:
             dev_ids = jax.device_put(dev_ids, batch_spec)
             dev_lengths = jax.device_put(dev_lengths, batch_spec)
-        tokens, total_lengths = generate(
-            params,
-            model_cfg,
-            dev_ids,
-            dev_lengths,
-            max_new_tokens=max_new_tokens,
-            temperature=temperature,
-            top_k=top_k,
-            eos_id=eos_id,
-            compute_dtype=compute_dtype,
-        )
+        if speculative:
+            tokens, total_lengths = generate_lookup(
+                params,
+                model_cfg,
+                dev_ids,
+                dev_lengths,
+                max_new_tokens=max_new_tokens,
+                eos_id=eos_id,
+                draft_len=draft_len,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            tokens, total_lengths = generate(
+                params,
+                model_cfg,
+                dev_ids,
+                dev_lengths,
+                max_new_tokens=max_new_tokens,
+                temperature=temperature,
+                top_k=top_k,
+                eos_id=eos_id,
+                compute_dtype=compute_dtype,
+            )
         tokens = np.asarray(jax.block_until_ready(tokens))
         total_lengths = np.asarray(total_lengths)
         elapsed = time.perf_counter() - t0
@@ -225,6 +252,8 @@ def main(argv=None):
         top_k=args.top_k,
         collect_latency=True,
         mesh=mesh,
+        speculative=args.speculative,
+        draft_len=args.draft_len,
     )
     predict_dir = Path(args.model_path).parent / "predictions"
     predict_dir.mkdir(parents=True, exist_ok=True)

@@ -132,3 +132,168 @@ def generate(
     state = (jnp.int32(0), tokens, lengths, cache, done, first, rng)
     _, tokens, lengths, _, _, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens, lengths
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "eos_id",
+        "draft_len",
+        "ngram",
+        "compute_dtype",
+        "return_steps",
+    ),
+)
+def generate_lookup(
+    params,
+    cfg: GPTConfig,
+    prompt_ids,
+    prompt_lengths,
+    *,
+    max_new_tokens: int = 150,
+    eos_id: Optional[int] = None,
+    draft_len: int = 8,
+    ngram: int = 3,
+    compute_dtype=jnp.bfloat16,
+    return_steps: bool = False,
+):
+    """Greedy decoding with prompt-lookup speculative drafting.
+
+    GER output is mostly copied from the prompt's best hypothesis
+    (the model corrects a few tokens of `nhyps[0]`, ref: data/prompts.py,
+    inference/ger.py:74-88), so drafting the continuation of the last
+    `ngram` tokens' most recent prompt occurrence and verifying all
+    `draft_len` drafts + one bonus token in a single chunked forward pass
+    (`gpt.verify_step`) emits several tokens per weight-streaming step.
+    Batch-1 decode is HBM-bound on weights, so each accepted draft is a
+    nearly-free token.
+
+    Token-identical to `generate(..., top_k=1)` (greedy): drafts are
+    emitted only when they match the argmax, and the bonus token IS the
+    argmax (verified in tests/test_decode.py). Greedy-only — the
+    reference's eval protocol (temperature 0.2, top_k=1,
+    ref: inference/ger.py:74-81) is exactly argmax.
+
+    Returns (tokens (B, T + max_new_tokens), total_lengths (B,)) with the
+    same EOS-exclusive length semantics as `generate`.
+    """
+    assert draft_len >= 1, "draft_len must be >= 1 (use generate() otherwise)"
+    b, t = prompt_ids.shape
+    k_win = draft_len + 1  # drafts + the token being extended
+    # slack beyond block_size so chunk writes never clamp; emitted tokens
+    # always derive from queries at positions < t + max_new_tokens (RoPE
+    # rows past block_size are gathered clamped but only reachable by
+    # never-emitted overflow drafts)
+    max_seq = t + max_new_tokens + k_win
+    assert t + max_new_tokens <= cfg.block_size, (
+        f"{t + max_new_tokens} exceeds block_size {cfg.block_size}"
+    )
+
+    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype)
+    logits, cache = gpt.prefill(
+        params, cfg, prompt_ids, prompt_lengths, cache, compute_dtype=compute_dtype
+    )
+
+    tokens = jnp.zeros((b, max_seq), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
+
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done = jnp.zeros((b,), bool) if eos_id is None else (first == eos_id)
+
+    def write_at(buf, tok, pos):
+        return jax.vmap(
+            lambda row, v, p: jax.lax.dynamic_update_slice(row, v[None], (p,))
+        )(buf, tok, pos)
+
+    tokens = write_at(tokens, jnp.where(done, 0, first), prompt_lengths)
+    lengths = prompt_lengths + jnp.where(done, 0, 1)
+    emitted = jnp.where(done, 0, 1)
+
+    def propose(tokens_b, length_b):
+        """Longest-suffix lookup with n-gram fallback: draft the
+        continuation of the longest matching suffix n-gram (n = ngram..1),
+        preferring the most recent occurrence. (S,) i32, scalar -> (D,)."""
+        draft = jnp.zeros((draft_len,), jnp.int32)
+        have = jnp.bool_(False)
+        for n in range(ngram, 0, -1):
+            ctx = jax.lax.dynamic_slice(
+                tokens_b, (jnp.maximum(length_b - n, 0),), (n,)
+            )
+            n_win = max_seq - n + 1
+            win = jnp.stack(
+                [jax.lax.slice(tokens_b, (m,), (m + n_win,)) for m in range(n)],
+                axis=1,
+            )  # (n_win, n)
+            jpos = jnp.arange(n_win)
+            # continuation must start strictly inside the generated-so-far
+            # text (the suffix occurrence itself is excluded)
+            ok = jnp.all(win == ctx[None, :], axis=1) & (jpos + n <= length_b - 1)
+            j = jnp.max(jnp.where(ok, jpos, -1))
+            d = jax.lax.dynamic_slice(
+                tokens_b, (jnp.maximum(j, 0) + n,), (draft_len,)
+            )
+            take = ~have & (j >= 0)
+            draft = jnp.where(take, d, draft)
+            have = have | (j >= 0)
+        return draft
+
+    def cond(state):
+        tokens, lengths, emitted, cache, done, last, steps = state
+        return jnp.any(~done & (emitted < max_new_tokens))
+
+    def body(state):
+        tokens, lengths, emitted, cache, done, last, steps = state
+        active = ~done & (emitted < max_new_tokens)
+
+        draft = jax.vmap(propose)(tokens, lengths)  # (B, D)
+        chunk = jnp.concatenate([last[:, None], draft], axis=1)  # (B, K)
+        start = lengths - 1
+        logits, cache = gpt.verify_step(
+            params, cfg, chunk, start, cache, compute_dtype=compute_dtype
+        )
+        out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
+
+        # accepted prefix of the draft (token i accepted iff it equals the
+        # argmax continuation AND all earlier drafts were accepted)
+        acc = jnp.cumprod((draft == out[:, :draft_len]).astype(jnp.int32), axis=1)
+        n_acc = jnp.sum(acc, axis=1)  # (B,) in [0, D]
+
+        iidx = jnp.arange(k_win)[None, :]
+        cand_ok = iidx <= n_acc[:, None]  # emittable candidates out[:, :n_acc+1]
+        if eos_id is None:
+            first_eos = jnp.full((b,), k_win)
+        else:
+            eos_hit = cand_ok & (out == eos_id)
+            first_eos = jnp.min(jnp.where(eos_hit, iidx, k_win), axis=1)
+        emit = jnp.minimum(first_eos, n_acc + 1)  # EOS neither written nor counted
+        emit = jnp.minimum(emit, max_new_tokens - emitted)
+        emit = jnp.where(active, emit, 0)
+        newly_done = done | (active & (first_eos <= n_acc))
+
+        # blend the emitted prefix of `out` into each row's window at lengths
+        def blend(tokens_b, out_b, length_b, emit_b):
+            cur = jax.lax.dynamic_slice(tokens_b, (length_b,), (k_win,))
+            new = jnp.where(jnp.arange(k_win) < emit_b, out_b, cur)
+            return jax.lax.dynamic_update_slice(tokens_b, new, (length_b,))
+
+        tokens = jax.vmap(blend)(tokens, out, lengths, emit)
+        # last emitted token continues the sequence next step; its KV is
+        # either already cached (accepted draft) or rewritten value-
+        # identically by the next chunk (bonus token at slot lengths-1)
+        next_last = jax.vmap(
+            lambda out_b, e: out_b[jnp.maximum(e - 1, 0)]
+        )(out, emit)
+        last = jnp.where(emit > 0, next_last, last)
+        lengths = lengths + emit
+        emitted = emitted + emit
+        return tokens, lengths, emitted, cache, newly_done, last, steps + 1
+
+    state = (tokens, lengths, emitted, cache, done, first, jnp.int32(0))
+    tokens, lengths, emitted, _, _, _, steps = jax.lax.while_loop(
+        cond, body, state
+    )
+    if return_steps:
+        return tokens[:, : t + max_new_tokens], lengths, (steps, emitted)
+    return tokens[:, : t + max_new_tokens], lengths

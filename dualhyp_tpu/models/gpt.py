@@ -511,19 +511,26 @@ def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
     if positions is None:
         q = rope_ops.apply_rope(q, cos[:t], sin[:t])
         k = rope_ops.apply_rope(k, cos[:t], sin[:t])
-    else:
+    elif t == 1:
         # per-sequence positions (decode): gather rope rows per batch element
         cos_b = jnp.take(cos, positions, axis=0)[:, None, :]  # (B, 1, n_elem)
         sin_b = jnp.take(sin, positions, axis=0)[:, None, :]
         q = rope_ops.apply_rope(q, cos_b[:, None], sin_b[:, None])
         k = rope_ops.apply_rope(k, cos_b[:, None], sin_b[:, None])
+    else:
+        # chunked decode (speculative verify): token i sits at positions+i
+        pos = positions[:, None] + jnp.arange(t)[None, :]  # (B, T)
+        cos_b = jnp.take(cos, pos, axis=0)[:, None]  # (B, 1, T, n_elem)
+        sin_b = jnp.take(sin, pos, axis=0)[:, None]
+        q = rope_ops.apply_rope(q, cos_b, sin_b)
+        k = rope_ops.apply_rope(k, cos_b, sin_b)
 
     new_cache = None
     if cache_kv is None:
         y = attn_ops.causal_attention(q, k, v)
     else:
         ck, cv = cache_kv
-        if t == 1:
+        if positions is not None:
             # scatter this step's k/v into per-sequence slots
             def write(c, new):
                 def upd(c_b, new_b, pos_b):
@@ -533,7 +540,10 @@ def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
                 return jax.vmap(upd)(c, new, positions)
             ck = write(ck, k)
             cv = write(cv, v)
-            y = attn_ops.decode_attention(q, ck, cv, kv_length)
+            if t == 1:
+                y = attn_ops.decode_attention(q, ck, cv, kv_length)
+            else:
+                y = attn_ops.chunk_decode_attention(q, ck, cv, positions)
         else:
             # prefill: write the whole prompt at slot 0 and run causal attn
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
@@ -721,6 +731,48 @@ def decode_step(
     )
     x = _norm(cfg, params["ln_f"], x)
     logits = _head(cfg, params, x[:, 0]).astype(jnp.float32)
+    return logits, {"k": new_k, "v": new_v}
+
+
+def verify_step(
+    params: dict,
+    cfg: GPTConfig,
+    tokens,
+    start,
+    cache: dict,
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Chunked decode step for speculative verification.
+
+    Processes K tokens per sequence at positions start..start+K-1 against
+    the cache in ONE forward pass — at decode batch sizes the step is
+    HBM-bound on weight streaming, so verifying K drafted tokens costs
+    about the same as one `decode_step`.
+
+    tokens: (B, K) int32; start: (B,) int32 (slot of tokens[:, 0]).
+    Returns (logits (B, K, V) fp32, cache). All K tokens' KVs are written
+    into their slots; rejected drafts' entries land beyond the accepted
+    length and are overwritten by the next chunk / masked by the
+    position-limited attention, so no rollback is needed.
+    """
+    x = _embed(cfg, params, tokens, compute_dtype)
+    cos, sin = rope_cache(cfg, compute_dtype)
+
+    layer_ids = jnp.arange(cfg.n_layer)
+
+    def body(carry, scanned):
+        leaves, lid, ck, cv = scanned
+        out, new_cache = _block(
+            cfg, leaves, carry, cos, sin, lid, cache_kv=(ck, cv), positions=start
+        )
+        return out, new_cache
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["blocks"], layer_ids, cache["k"], cache["v"])
+    )
+    x = _norm(cfg, params["ln_f"], x)
+    logits = _head(cfg, params, x).astype(jnp.float32)
     return logits, {"k": new_k, "v": new_v}
 
 

@@ -76,6 +76,32 @@ def causal_attention(q, k, v, scale: float | None = None):
     return _causal_attention_xla(q, k, v, scale)
 
 
+def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = None):
+    """Multi-token decode step (speculative verification).
+
+    q: (B, Hq, K, D) — queries for K consecutive tokens at positions
+    start..start+K-1 per sequence; k_cache, v_cache: (B, G, S, D);
+    start: (B,) int32. Query i attends cache slots <= start[b] + i (its
+    own slot included — the K tokens' KVs are scattered in before the
+    call). Reduces to `decode_attention` semantics at K=1.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, hq, kq, d = q.shape
+    g = k_cache.shape[1]
+    s = k_cache.shape[2]
+    qg = q.reshape(b, g, hq // g, kq, d)
+    logits = einsum(
+        "bgqtd,bgsd->bgqts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+    ) * scale
+    limit = start[:, None] + jnp.arange(kq)[None, :]  # (B, K)
+    valid = jnp.arange(s)[None, None, :] <= limit[:, :, None]  # (B, K, S)
+    logits = jnp.where(valid[:, None, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = einsum("bgqts,bgsd->bgqtd", probs, v_cache)
+    return out.reshape(b, hq, kq, d)
+
+
 def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None):
     """One decode step against a fixed-size cache.
 

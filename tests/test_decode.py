@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dualhyp_tpu.infer import evaluate as ev
-from dualhyp_tpu.infer.decode import generate
+from dualhyp_tpu.infer.decode import generate, generate_lookup
 from dualhyp_tpu.models import gpt
 from tests import helpers
 
@@ -76,6 +76,84 @@ def test_generate_stops_at_eos_and_batches_ragged():
     assert got1 == want1
     assert got2 == want2
     assert first not in got1[len(p1):]  # EOS excluded, like the reference
+
+
+def test_verify_step_matches_sequential_decode():
+    """Chunked verification logits == one-token-at-a-time decode logits."""
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(7))
+    rng = np.random.default_rng(0)
+    b, t, k = 2, 6, 4
+    prompt = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, t)), jnp.int32)
+    lengths = jnp.asarray([t, t - 2], jnp.int32)
+    chunk = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, k)), jnp.int32)
+
+    cache = gpt.init_cache(cfg, b, 32, dtype=jnp.float32)
+    _, cache = gpt.prefill(params, cfg, prompt, lengths, cache,
+                           compute_dtype=jnp.float32)
+    chunk_logits, _ = gpt.verify_step(
+        params, cfg, chunk, lengths, cache, compute_dtype=jnp.float32
+    )
+
+    seq_logits = []
+    seq_cache = cache
+    for i in range(k):
+        li, seq_cache = gpt.decode_step(
+            params, cfg, chunk[:, i], lengths + i, seq_cache,
+            compute_dtype=jnp.float32,
+        )
+        seq_logits.append(li)
+    np.testing.assert_allclose(
+        np.asarray(chunk_logits),
+        np.stack([np.asarray(l) for l in seq_logits], axis=1),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_generate_lookup_matches_generate_greedy():
+    """Prompt-lookup speculative decode is token-identical to greedy
+    generate() — across seeds, ragged batches, EOS, and draft lengths."""
+    for seed in (3, 11):
+        cfg = helpers.tiny_llama_config()
+        params = gpt.init(cfg, jax.random.key(seed))
+        rng = np.random.default_rng(seed)
+        b, t, max_new = 3, 10, 12
+        ids = rng.integers(1, cfg.vocab_size, (b, t)).astype(np.int32)
+        # repeat a bigram inside row 0 so the lookup proposes real drafts
+        ids[0, 4:6] = ids[0, 0:2]
+        lens = np.asarray([t, t - 3, t - 5], np.int32)
+        for row, l in enumerate(lens):
+            ids[row, l:] = 0
+        # an EOS id the model emits for row 0 (its first greedy token)
+        base = generate(
+            params, cfg, jnp.asarray(ids), jnp.asarray(lens),
+            max_new_tokens=max_new, temperature=0.2, top_k=1,
+            compute_dtype=jnp.float32,
+        )
+        eos = int(np.asarray(base[0])[0, lens[0]])
+        for draft_len in (1, 3, 8):
+            for eos_id in (None, eos):
+                want_tok, want_len = generate(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(lens),
+                    max_new_tokens=max_new, temperature=0.2, top_k=1,
+                    eos_id=eos_id, compute_dtype=jnp.float32,
+                )
+                got_tok, got_len = generate_lookup(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(lens),
+                    max_new_tokens=max_new, eos_id=eos_id,
+                    draft_len=draft_len, compute_dtype=jnp.float32,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got_len), np.asarray(want_len),
+                    err_msg=f"seed={seed} draft={draft_len} eos={eos_id}",
+                )
+                for row in range(b):
+                    n = int(want_len[row])
+                    np.testing.assert_array_equal(
+                        np.asarray(got_tok)[row, :n],
+                        np.asarray(want_tok)[row, :n],
+                        err_msg=f"seed={seed} draft={draft_len} eos={eos_id} row={row}",
+                    )
 
 
 def test_edit_distance_and_wer():

@@ -78,5 +78,22 @@ def test_e2e_train_then_infer(corpus):
     assert len(records) == len(test_ds)
     assert {"WER", "gtms", "post_ST_wer", "post_gtms"} <= set(metrics)
     assert metrics["p50_latency_s"] > 0
+
+    # prompt-lookup speculative decoding is token-identical end to end
+    spec_records, spec_metrics = run_inference(
+        trainer.params,
+        cfg,
+        tok,
+        test_ds,
+        decode_batch=2,
+        max_new_tokens=8,
+        compute_dtype=jnp.float32,
+        speculative=True,
+        draft_len=4,
+    )
+    assert [r["inference"] for r in spec_records] == [
+        r["inference"] for r in records
+    ]
+    assert spec_metrics["WER"] == metrics["WER"]
     # untrained tiny model: WER is terrible but must be a valid number
     assert np.isfinite(metrics["WER"])
