@@ -199,6 +199,79 @@ def build_logit_rules(tokenizer, prefix_len, *, eot, no_ts, enc_n_ctx,
     return suppress, blank_ids, ts_rules
 
 
+def _beam_setup(tokenizer, enc_cfg, *, beam_size, max_new_tokens, language,
+                suppress_blank, suppress_tokens, without_timestamps,
+                max_initial_timestamp, patience, length_penalty):
+    """Shared sot-sequence + logit-rule construction for the beam decoders
+    (ref: data/whisper/decoding.py:556-610)."""
+    sot = _token_id(tokenizer, "<|startoftranscript|>")
+    lang = _token_id(tokenizer, f"<|{language}|>")
+    task = _token_id(tokenizer, "<|transcribe|>")
+    no_ts = _token_id(tokenizer, "<|notimestamps|>")
+    eot = _token_id(tokenizer, "<|endoftext|>")
+    sot_seq = (sot, lang, task, no_ts) if without_timestamps else (
+        sot, lang, task
+    )
+    prefix = [t for t in sot_seq if t >= 0]
+
+    suppress, blank_ids, ts_rules = build_logit_rules(
+        tokenizer, len(prefix), eot=eot, no_ts=no_ts, enc_n_ctx=enc_cfg.n_ctx,
+        suppress_blank=suppress_blank, suppress_tokens=suppress_tokens,
+        without_timestamps=without_timestamps,
+        max_initial_timestamp=max_initial_timestamp,
+    )
+    beam_kwargs = dict(
+        beam_size=beam_size,
+        eos_id=eot,
+        max_new_tokens=max_new_tokens,
+        suppress_tokens=suppress,
+        suppress_blank_ids=blank_ids,
+        timestamp_rules=ts_rules,
+        patience=patience,
+        length_penalty=length_penalty,
+    )
+    return prefix, beam_kwargs, eot, ts_rules
+
+
+def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
+                           max_new_tokens=224, language="en",
+                           suppress_blank=True, suppress_tokens="-1",
+                           without_timestamps=False, max_initial_timestamp=1.0,
+                           patience=None, length_penalty=None):
+    """Batched DecodingTask beam over U mels in lockstep: one
+    (U x beam)-row device step per token amortises the per-step host
+    round-trip across utterances. Returns (per-utterance hyps lists,
+    prefix, detok). Semantics per utterance identical to
+    `decode_beams_from_mel(stepper="device")`."""
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import device_beam_search_batch
+    from dualhyp_tpu.models import whisper as w
+
+    enc_params, enc_cfg = encoder
+    dec_params, dec_cfg = decoder
+
+    features = w.encode(enc_params, enc_cfg, jnp.asarray(mels))
+    prefix, beam_kwargs, eot, ts_rules = _beam_setup(
+        tokenizer, enc_cfg, beam_size=beam_size,
+        max_new_tokens=max_new_tokens, language=language,
+        suppress_blank=suppress_blank, suppress_tokens=suppress_tokens,
+        without_timestamps=without_timestamps,
+        max_initial_timestamp=max_initial_timestamp,
+        patience=patience, length_penalty=length_penalty,
+    )
+    all_hyps = device_beam_search_batch(
+        dec_params, dec_cfg, features, prefix, **beam_kwargs
+    )
+    ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
+    detok = lambda toks: tokenizer.decode(
+        [t for t in toks
+         if t != eot and (ts_begin is None or t < ts_begin)],
+        skip_special_tokens=True,
+    )
+    return all_hyps, prefix, detok
+
+
 def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
                           max_new_tokens=224, language="en", use_cache=True,
                           suppress_blank=True, suppress_tokens="-1",
@@ -222,32 +295,13 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
 
     features = w.encode(enc_params, enc_cfg, jnp.asarray(mel[None]))
 
-    sot = _token_id(tokenizer, "<|startoftranscript|>")
-    lang = _token_id(tokenizer, f"<|{language}|>")
-    task = _token_id(tokenizer, "<|transcribe|>")
-    no_ts = _token_id(tokenizer, "<|notimestamps|>")
-    eot = _token_id(tokenizer, "<|endoftext|>")
-    sot_seq = (sot, lang, task, no_ts) if without_timestamps else (
-        sot, lang, task
-    )
-    prefix = [t for t in sot_seq if t >= 0]
-
-    suppress, blank_ids, ts_rules = build_logit_rules(
-        tokenizer, len(prefix), eot=eot, no_ts=no_ts, enc_n_ctx=enc_cfg.n_ctx,
+    prefix, beam_kwargs, eot, ts_rules = _beam_setup(
+        tokenizer, enc_cfg, beam_size=beam_size,
+        max_new_tokens=max_new_tokens, language=language,
         suppress_blank=suppress_blank, suppress_tokens=suppress_tokens,
         without_timestamps=without_timestamps,
         max_initial_timestamp=max_initial_timestamp,
-    )
-
-    beam_kwargs = dict(
-        beam_size=beam_size,
-        eos_id=eot,
-        max_new_tokens=max_new_tokens,
-        suppress_tokens=suppress,
-        suppress_blank_ids=blank_ids,
-        timestamp_rules=ts_rules,
-        patience=patience,
-        length_penalty=length_penalty,
+        patience=patience, length_penalty=length_penalty,
     )
     if not use_cache and stepper == "device":
         stepper = "full"  # legacy flag: full-prefix recompute stepper
@@ -301,6 +355,31 @@ def transcribe_nbest(audio, encoder, decoder, tokenizer, *, n_best=5,
                        prefix_len=len(prefix))
 
 
+def transcribe_nbest_batch(audios, encoder, decoder, tokenizer, *, n_best=5,
+                           normalizer=None, stepper="device", **opts):
+    """U utterances -> list of (texts, scores), decoded in ONE lockstep
+    batched beam (amortises the per-step host round-trip across
+    utterances). Per-utterance results identical to `transcribe_nbest`."""
+    import numpy as np_
+
+    from dualhyp_tpu.infer.beam_search import nbest_texts
+    from dualhyp_tpu.models import whisper as w
+
+    del stepper  # batched path is device-side only
+    enc_cfg = encoder[1]
+    mels = np_.stack(
+        [w.log_mel_spectrogram(w.pad_or_trim(a), enc_cfg.n_mels) for a in audios]
+    )
+    all_hyps, prefix, detok = decode_beams_from_mels(
+        mels, encoder, decoder, tokenizer, **opts
+    )
+    return [
+        nbest_texts(hyps, detok, n=n_best, normalizer=normalizer,
+                    prefix_len=len(prefix))
+        for hyps in all_hyps
+    ]
+
+
 def make_json(cfg: dict, shard_index=0, num_shards=1):
     from dualhyp_tpu.data import corruption
     from dualhyp_tpu.data.normalizer import HypothesisNormalizer
@@ -334,6 +413,65 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     noise = corruption.load_wav(noise_path) if noise_path else None
     dump_every = int(cfg.get("dump_every", 50))
 
+    decode_batch = int(cfg.get("decode_batch", 1))
+    beam_opts = dict(
+        beam_size=int(cfg.get("beam_size", 50)),
+        n_best=int(cfg.get("n_best", 5)),
+        normalizer=normalizer,
+        patience=cfg.get("patience"),
+        length_penalty=cfg.get("length_penalty"),
+        without_timestamps=bool(cfg.get("without_timestamps", False)),
+    )
+
+    def emit(uid, wav_path, caption, corr, texts, scores):
+        if not texts:
+            return
+        # the reference stores the NORMALIZED caption
+        # (ref: make_json_asr.py:131-137 load_caption -> normalize)
+        caption_norm = normalizer(caption)
+        records.append(
+            {
+                "Dataset": cfg.get("dataset_name", ""),
+                "Uid": uid,
+                "Caption": caption_norm,
+                "Clean_Wav": wav_path,
+                "Noise_Wav": noise_path,
+                "SNR": corr["snr"],
+                "nhyps": {"hyps": texts, "scores": scores},
+                "Audio_Corruption": corr,
+                "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
+            }
+        )
+
+    def flush(pending):
+        """Decode a group of loaded utterances; falls back to per-utterance
+        decoding if the batched beam fails so one bad sample can't sink
+        its neighbours (per-sample skip, ref: make_json_asr.py:112-116)."""
+        if len(pending) > 1:
+            try:
+                results = transcribe_nbest_batch(
+                    [p[3] for p in pending], encoder, decoder, tokenizer,
+                    **beam_opts,
+                )
+                for (uid, wav_path, caption, _, corr), (texts, scores) in zip(
+                    pending, results
+                ):
+                    emit(uid, wav_path, caption, corr, texts, scores)
+                return
+            except Exception as exc:
+                print(f"batched decode failed ({type(exc).__name__}: {exc}); "
+                      f"retrying per utterance")
+        for uid, wav_path, caption, audio, corr in pending:
+            try:
+                texts, scores = transcribe_nbest(
+                    audio, encoder, decoder, tokenizer,
+                    stepper=cfg.get("stepper", "device"), **beam_opts,
+                )
+                emit(uid, wav_path, caption, corr, texts, scores)
+            except Exception as exc:  # per-sample skip (ref: :112-116)
+                print(f"skip {uid}: {type(exc).__name__}: {exc}")
+
+    pending = []
     for idx, line in enumerate(lines):
         uid, wav_path, caption = line.split("\t")
         if uid in done_uids:
@@ -343,40 +481,17 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             corr = corruption.sample_audio_corruption(len(audio), rng)
             if noise is not None and cfg.get("corruption_enabled", True):
                 audio = corruption.add_audio_noise(audio, noise, corr)
-            texts, scores = transcribe_nbest(
-                audio, encoder, decoder, tokenizer,
-                beam_size=int(cfg.get("beam_size", 50)),
-                n_best=int(cfg.get("n_best", 5)),
-                normalizer=normalizer,
-                patience=cfg.get("patience"),
-                length_penalty=cfg.get("length_penalty"),
-                without_timestamps=bool(cfg.get("without_timestamps", False)),
-                stepper=cfg.get("stepper", "device"),
-            )
-            if not texts:
-                continue
-            # the reference stores the NORMALIZED caption
-            # (ref: make_json_asr.py:131-137 load_caption -> normalize)
-            caption_norm = normalizer(caption)
-            records.append(
-                {
-                    "Dataset": cfg.get("dataset_name", ""),
-                    "Uid": uid,
-                    "Caption": caption_norm,
-                    "Clean_Wav": wav_path,
-                    "Noise_Wav": noise_path,
-                    "SNR": corr["snr"],
-                    "nhyps": {"hyps": texts, "scores": scores},
-                    "Audio_Corruption": corr,
-                    "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
-                }
-            )
         except Exception as exc:  # per-sample skip (ref: :112-116)
             print(f"skip {uid}: {type(exc).__name__}: {exc}")
             continue
-        if (idx + 1) % dump_every == 0:
-            with open(out_path, "w", encoding="utf-8") as fp:
-                json.dump(records, fp, indent=1, ensure_ascii=False)
+        pending.append((uid, wav_path, caption, audio, corr))
+        if len(pending) >= decode_batch:
+            flush(pending)
+            pending = []
+            if (idx + 1) % dump_every < decode_batch:
+                with open(out_path, "w", encoding="utf-8") as fp:
+                    json.dump(records, fp, indent=1, ensure_ascii=False)
+    flush(pending)
     with open(out_path, "w", encoding="utf-8") as fp:
         json.dump(records, fp, indent=1, ensure_ascii=False)
     print(f"wrote {len(records)} records to {out_path}")
@@ -387,6 +502,9 @@ def main(argv=None):
     parser.add_argument("--config", required=True, help="YAML/JSON config")
     parser.add_argument("--shard_index", type=int, default=0)
     parser.add_argument("--num_shards", type=int, default=1)
+    parser.add_argument("--decode_batch", type=int, default=None,
+                        help="utterances decoded per lockstep batched beam "
+                             "(overrides the config; default 1 = unbatched)")
     args = parser.parse_args(argv)
     with open(args.config, encoding="utf-8") as fp:
         if args.config.endswith((".yaml", ".yml")):
@@ -395,6 +513,8 @@ def main(argv=None):
             cfg = yaml.safe_load(fp)
         else:
             cfg = json.load(fp)
+    if args.decode_batch is not None:
+        cfg["decode_batch"] = args.decode_batch
     make_json(cfg, args.shard_index, args.num_shards)
 
 

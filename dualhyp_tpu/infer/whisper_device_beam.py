@@ -121,16 +121,60 @@ def device_beam_search(
 
     Semantics identical to `beam_search_nbest` driven by a cached stepper
     (and therefore to the reference DecodingTask)."""
+    import jax.numpy as _jnp
+
+    feats = features
+    if feats.ndim == 2:
+        feats = feats[None]
+    return device_beam_search_batch(
+        dec_params, dec_cfg, feats, prefix,
+        beam_size=beam_size, eos_id=eos_id, max_new_tokens=max_new_tokens,
+        suppress_tokens=suppress_tokens, suppress_blank_ids=suppress_blank_ids,
+        timestamp_rules=timestamp_rules, patience=patience,
+        length_penalty=length_penalty, cache_dtype=cache_dtype,
+    )[0]
+
+
+def device_beam_search_batch(
+    dec_params,
+    dec_cfg,
+    features,
+    prefix: List[int],
+    *,
+    beam_size: int,
+    eos_id: int,
+    max_new_tokens: int,
+    suppress_tokens: Optional[Sequence[int]] = None,
+    suppress_blank_ids: Optional[Sequence[int]] = None,
+    timestamp_rules: Optional[TimestampRules] = None,
+    patience: Optional[float] = None,
+    length_penalty: Optional[float] = None,
+    cache_dtype=jnp.float32,
+) -> List[List[BeamHypothesis]]:
+    """Beam search over U utterances at once: one (U x beam_size)-row
+    device step per token amortises the per-step host round-trip (the
+    dominant cost on tunneled TPUs) and fills the MXU better than
+    beam_size-row steps. Utterances advance in lockstep; finished ones
+    keep dead rows until all complete.
+
+    features: (U, S, n_state) encoder outputs (shared prefix — one
+    DecodingOptions per run, like the reference's batched DecodingTask,
+    ref: data/whisper/decoding.py:568-580, 719-747).
+    Returns one List[BeamHypothesis] per utterance, each sorted by
+    `ranking_score` (sum-logprob / length**length_penalty)."""
     from dualhyp_tpu.models import whisper as w
 
+    n_utt = features.shape[0]
+    rows = n_utt * beam_size
     sample_begin = len(prefix)
     max_candidates = int(round(beam_size * (patience or 1.0)))
     assert max_candidates > 0, f"invalid beam_size/patience: {beam_size}/{patience}"
 
-    # batch-1 cross KV shared by all beam rows inside decode_step_cached
+    # (L, U, S, n_state) memory KV: rows map to utterance row // beam_size
+    # inside decode_step_cached's grouped cross-attention path
     cross = w.precompute_cross_kv(dec_params, dec_cfg, features)
     cache = w.init_self_cache(
-        dec_cfg, beam_size, sample_begin + max_new_tokens, dtype=cache_dtype
+        dec_cfg, rows, sample_begin + max_new_tokens, dtype=cache_dtype
     )
     step = _build_step(
         dec_params, dec_cfg,
@@ -141,10 +185,10 @@ def device_beam_search(
         k_top=min(beam_size + 1, dec_cfg.n_vocab),
     )
 
-    identity = jnp.arange(beam_size, dtype=jnp.int32)
-    no_ts = np.zeros((beam_size,), bool)
+    identity = jnp.arange(rows, dtype=jnp.int32)
+    no_ts = np.zeros((rows,), bool)
     tb0 = np.full(
-        (beam_size,),
+        (rows,),
         timestamp_rules.timestamp_begin if timestamp_rules else 0,
         np.int32,
     )
@@ -153,7 +197,7 @@ def device_beam_search(
     # also produces the first sampled step's candidates
     for t in range(sample_begin):
         scores_d, ids_d, cache = step(
-            jnp.full((beam_size,), prefix[t], jnp.int32),
+            jnp.full((rows,), prefix[t], jnp.int32),
             identity,
             cache,
             cross,
@@ -164,76 +208,94 @@ def device_beam_search(
             jnp.asarray(tb0),
         )
 
-    # host-side beam state (reference BeamSearchDecoder.update semantics)
+    # host-side per-utterance beam state (reference BeamSearchDecoder.update)
     live = [
-        {"tokens": list(prefix), "score": 0.0, "alive": i == 0}
-        for i in range(beam_size)
+        [
+            {"tokens": list(prefix), "score": 0.0, "alive": i == 0,
+             "parent": u * beam_size}
+            for i in range(beam_size)
+        ]
+        for u in range(n_utt)
     ]
-    finished: dict = {}
+    finished: List[dict] = [{} for _ in range(n_utt)]
+    utt_done = [False] * n_utt
 
     def ts_scalars():
         lt, pt, tl = [], [], []
         tb = timestamp_rules.timestamp_begin if timestamp_rules else 0
-        for h in live:
-            seq = h["tokens"][sample_begin:]
-            last = len(seq) >= 1 and seq[-1] >= tb
-            pen = len(seq) < 2 or seq[-2] >= tb
-            stamps = [t for t in seq if t >= tb]
-            if stamps:
-                eff = stamps[-1] if (last and not pen) else stamps[-1] + 1
-            else:
-                eff = tb
-            lt.append(last and timestamp_rules is not None)
-            pt.append(pen)
-            tl.append(eff)
+        for hyps in live:
+            for h in hyps:
+                seq = h["tokens"][sample_begin:]
+                last = len(seq) >= 1 and seq[-1] >= tb
+                pen = len(seq) < 2 or seq[-2] >= tb
+                stamps = [t for t in seq if t >= tb]
+                if stamps:
+                    eff = stamps[-1] if (last and not pen) else stamps[-1] + 1
+                else:
+                    eff = tb
+                lt.append(last and timestamp_rules is not None)
+                pt.append(pen)
+                tl.append(eff)
         return (np.asarray(lt), np.asarray(pt), np.asarray(tl, np.int32))
 
     for step_idx in range(max_new_tokens):
         scores = np.asarray(scores_d)
         ids = np.asarray(ids_d)
 
-        # rank ALL candidates together; dict keyed by sequence collapses
-        # duplicates from identical rows (ref: decoding.py:368-379)
-        pool: dict = {}
-        for row, h in enumerate(live):
-            if not h["alive"]:
+        for u in range(n_utt):
+            if utt_done[u]:
                 continue
-            for sc, tok in zip(scores[row], ids[row]):
-                seq = tuple(h["tokens"]) + (int(tok),)
-                if seq not in pool:
-                    pool[seq] = (h["score"] + float(sc), row)
-        ordered = sorted(pool.items(), key=lambda kv: -kv[1][0])
+            # rank ALL candidates together; dict keyed by sequence collapses
+            # duplicates from identical rows (ref: decoding.py:368-379)
+            pool: dict = {}
+            for i, h in enumerate(live[u]):
+                if not h["alive"]:
+                    continue
+                row = u * beam_size + i
+                for sc, tok in zip(scores[row], ids[row]):
+                    seq = tuple(h["tokens"]) + (int(tok),)
+                    if seq not in pool:
+                        pool[seq] = (h["score"] + float(sc), row)
+            ordered = sorted(pool.items(), key=lambda kv: -kv[1][0])
 
-        new_live = []
-        newly_finished = []
-        for seq, (score, row) in ordered:
-            if seq[-1] == eos_id:
-                newly_finished.append((seq[:-1], score))
-            else:
-                new_live.append({"tokens": list(seq), "score": score,
-                                 "alive": True, "parent": row})
-                if len(new_live) == beam_size:
+            new_live = []
+            newly_finished = []
+            for seq, (score, row) in ordered:
+                if seq[-1] == eos_id:
+                    newly_finished.append((seq[:-1], score))
+                else:
+                    new_live.append({"tokens": list(seq), "score": score,
+                                     "alive": True, "parent": row})
+                    if len(new_live) == beam_size:
+                        break
+            for seq, score in newly_finished:
+                if len(finished[u]) >= max_candidates:
                     break
-        for seq, score in newly_finished:
-            if len(finished) >= max_candidates:
-                break
-            finished.setdefault(seq, score)
+                finished[u].setdefault(seq, score)
 
-        done = len(finished) >= max_candidates
-        last_step = step_idx == max_new_tokens - 1
-        # pad to beam_size rows (tiny vocabs); padded rows are dead
-        while len(new_live) < beam_size:
-            proto = new_live[0] if new_live else {
-                "tokens": list(prefix) + [0], "score": -np.inf, "parent": 0,
-            }
-            new_live.append({**proto, "tokens": list(proto["tokens"]),
-                             "alive": False})
-        live = new_live
-        if done or last_step or not any(h["alive"] for h in live):
+            # pad to beam_size rows (tiny vocabs); padded rows are dead
+            while len(new_live) < beam_size:
+                proto = new_live[0] if new_live else {
+                    "tokens": list(prefix) + [0], "score": -np.inf,
+                    "parent": u * beam_size,
+                }
+                new_live.append({**proto, "tokens": list(proto["tokens"]),
+                                 "alive": False})
+            live[u] = new_live
+            if len(finished[u]) >= max_candidates or not any(
+                h["alive"] for h in live[u]
+            ):
+                utt_done[u] = True
+
+        if all(utt_done) or step_idx == max_new_tokens - 1:
             break
 
-        parents = jnp.asarray([h["parent"] for h in live], jnp.int32)
-        last_tokens = jnp.asarray([h["tokens"][-1] for h in live], jnp.int32)
+        parents = jnp.asarray(
+            [h["parent"] for hyps in live for h in hyps], jnp.int32
+        )
+        last_tokens = jnp.asarray(
+            [h["tokens"][-1] for hyps in live for h in hyps], jnp.int32
+        )
         lt, pt, tl = ts_scalars()
         scores_d, ids_d, cache = step(
             last_tokens, parents, cache, cross,
@@ -242,18 +304,21 @@ def device_beam_search(
             jnp.asarray(lt), jnp.asarray(pt), jnp.asarray(tl),
         )
 
-    results = [
-        BeamHypothesis(list(seq), score, sample_begin)
-        for seq, score in finished.items()
-    ]
-    if len(results) < beam_size:
-        for h in sorted(
-            (h for h in live if h["alive"]), key=lambda h: -h["score"]
-        ):
-            results.append(
-                BeamHypothesis(list(h["tokens"]), h["score"], sample_begin)
-            )
-            if len(results) >= beam_size:
-                break
-    results.sort(key=lambda h: -h.ranking_score(length_penalty))
-    return results
+    out: List[List[BeamHypothesis]] = []
+    for u in range(n_utt):
+        results = [
+            BeamHypothesis(list(seq), score, sample_begin)
+            for seq, score in finished[u].items()
+        ]
+        if len(results) < beam_size:
+            for h in sorted(
+                (h for h in live[u] if h["alive"]), key=lambda h: -h["score"]
+            ):
+                results.append(
+                    BeamHypothesis(list(h["tokens"]), h["score"], sample_begin)
+                )
+                if len(results) >= beam_size:
+                    break
+        results.sort(key=lambda h: -h.ranking_score(length_penalty))
+        out.append(results)
+    return out

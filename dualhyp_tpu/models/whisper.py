@@ -456,6 +456,21 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             )
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum("bhts,hsd->bhtd", w, vx)
+        elif xk.shape[0] != b and b % xk.shape[0] == 0:
+            # grouped memory: U utterances x (b // U) beam rows each share
+            # one utterance's cross K/V (multi-utterance batched beam)
+            u = xk.shape[0]
+            rows = b // u
+            kx = split(xk, xk.shape[1])  # (U, h, S, hd)
+            vx = split(xv, xv.shape[1])
+            qg = qx.reshape(u, rows, h, 1, hd)
+            logits = einsum(
+                "ubhtd,uhsd->ubhts",
+                (qg * scale).astype(jnp.float32),
+                (kx * scale).astype(jnp.float32),
+            )
+            w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            att = einsum("ubhts,uhsd->ubhtd", w, vx).reshape(b, h, 1, hd)
         else:
             kx = split(xk, xk.shape[1])
             vx = split(xv, xv.shape[1])

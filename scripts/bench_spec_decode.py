@@ -251,6 +251,31 @@ def part_b():
             f"({tps:.2f} tok/step, {verify_step_t*1000:.1f} ms/verify-step)",
             flush=True,
         )
+
+        # int8 weights + speculative compose: quantization halves the
+        # weight-streaming bytes, speculation cuts the number of streams
+        from dualhyp_tpu.ops.quant import quantize_tree
+
+        qparams = quantize_tree(params)
+        tq, _, (qsteps, qemitted) = generate_lookup(
+            qparams, cfg, ids, lengths, max_new_tokens=max_new,
+            draft_len=8, return_steps=True,
+        )
+        jax.block_until_ready(tq)
+        t0 = time.perf_counter()
+        tq, _, (qsteps, qemitted) = generate_lookup(
+            qparams, cfg, ids, lengths, max_new_tokens=max_new,
+            draft_len=8, return_steps=True,
+        )
+        jax.block_until_ready(tq)
+        qspec = time.perf_counter() - t0
+        print(
+            f"  batch={batch}: int8 + lookup worst-case {qspec*1000:.0f} ms "
+            f"in {int(qsteps)} steps "
+            f"({qspec/max(int(qsteps),1)*1000:.1f} ms/verify-step)",
+            flush=True,
+        )
+        del qparams
     return results
 
 

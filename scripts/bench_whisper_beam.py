@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--steps", type=int, default=32,
                     help="sampled tokens per utterance (typical LRS2 length)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--utterances", type=int, default=4,
+                    help="batched-beam group size to also measure (0 = skip)")
     ap.add_argument("--n_state", type=int, default=1280)
     ap.add_argument("--enc_layers", type=int, default=32)
     ap.add_argument("--dec_layers", type=int, default=32)
@@ -119,6 +121,41 @@ def main():
     print(
         f"  total per 30s utterance: {(t_encode + t_beam)*1e3:.1f} ms"
     )
+
+    if args.utterances > 1:
+        from dualhyp_tpu.infer.whisper_device_beam import (
+            device_beam_search_batch,
+        )
+
+        u = args.utterances
+        mels = jnp.asarray(
+            rng.normal(size=(u, enc_cfg.n_mels, enc_cfg.n_ctx * 2)), dtype
+        )
+        feats_u = jax.block_until_ready(encode(enc, mels))
+
+        def run_batch():
+            return device_beam_search_batch(
+                dec, dec_cfg, feats_u, prefix,
+                beam_size=args.beam,
+                eos_id=sot - 1,
+                max_new_tokens=args.steps,
+                suppress_tokens=suppress,
+                suppress_blank_ids=[220, sot - 1],
+                timestamp_rules=rules,
+                cache_dtype=dtype,
+            )
+
+        print(f"compiling batched beam step (U={u})...", flush=True)
+        _ = run_batch()
+        t0 = time.perf_counter()
+        out = run_batch()
+        t_batch = time.perf_counter() - t0
+        print(
+            f"  batched beam, {u} utterances lockstep: {t_batch*1e3:.1f} ms "
+            f"({t_batch/n_steps*1e3:.2f} ms/step, "
+            f"{t_batch/u*1e3:.1f} ms/utterance, {len(out[0])} hyps) — "
+            f"x{t_beam*u/t_batch:.2f} vs {u} single-utterance beams"
+        )
 
 
 if __name__ == "__main__":

@@ -95,6 +95,46 @@ def test_transcribe_nbest_with_tiny_random_whisper(rng, tmp_path):
     assert all(isinstance(t, str) for t in texts)
 
 
+def test_transcribe_nbest_batch_matches_single(rng):
+    """Lockstep multi-utterance beam returns the same n-best per utterance
+    as independent single-utterance decodes."""
+    import jax
+
+    from dualhyp_tpu.cli.make_json_asr import (
+        transcribe_nbest,
+        transcribe_nbest_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    enc_cfg = w.WhisperEncoderConfig(n_mels=80, n_ctx=1500, n_state=32, n_head=4, n_layer=1)
+    dec_cfg = w.WhisperDecoderConfig(n_vocab=64, n_ctx=64, n_state=32, n_head=4, n_layer=1)
+    enc = w.init_encoder(enc_cfg, jax.random.key(0))
+    dec = w.init_decoder(dec_cfg, jax.random.key(1))
+
+    class FakeTok:
+        def convert_tokens_to_ids(self, token):
+            return {"<|startoftranscript|>": 60, "<|en|>": 61,
+                    "<|transcribe|>": 62, "<|notimestamps|>": 63,
+                    "<|endoftext|>": 59}.get(token, -1)
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{int(t)}" for t in ids if t < 59)
+
+    audios = [
+        rng.normal(size=(16000,)).astype(np.float32) * 0.05 for _ in range(3)
+    ]
+    kwargs = dict(beam_size=4, n_best=5, max_new_tokens=6)
+    batched = transcribe_nbest_batch(
+        audios, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), **kwargs
+    )
+    for audio, (texts, scores) in zip(audios, batched):
+        t1, s1 = transcribe_nbest(
+            audio, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), **kwargs
+        )
+        assert texts == t1
+        np.testing.assert_allclose(scores, s1, rtol=1e-4, atol=1e-4)
+
+
 def test_transcribe_vsr_nbest_tiny(rng):
     """Full VSR path on tiny random weights: frontend -> encoder -> joint
     CTC/attention n-best."""

@@ -160,6 +160,59 @@ def test_beam_texts_match_vendored_decoding_task(vendored, rng, opts, stepper):
 
 
 @requires_vendored
+@pytest.mark.parametrize(
+    "opts",
+    [dict(), dict(without_timestamps=True, patience=2.0)],
+    ids=["defaults", "no_ts_patience"],
+)
+def test_batched_beam_matches_per_utterance(vendored, rng, opts):
+    """Multi-utterance lockstep beam (decode_beams_from_mels) returns
+    per-utterance hypotheses identical to the single-utterance device
+    beam — tokens, texts, and scores."""
+    from dualhyp_tpu.cli.make_json_asr import (
+        decode_beams_from_mel,
+        decode_beams_from_mels,
+    )
+
+    model, dims = _tiny_model(vendored, seed=0)
+    encoder, decoder = _our_model(model, dims)
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    adapter = VendoredTokAdapter(tok)
+
+    mels = rng.normal(size=(3, dims.n_mels, dims.n_audio_ctx * 2)).astype(
+        np.float32
+    )
+    beam_size, sample_len = 5, 12
+
+    batched, prefix, detok = decode_beams_from_mels(
+        mels, encoder, decoder, adapter,
+        beam_size=beam_size, max_new_tokens=sample_len, **opts,
+    )
+    for u in range(mels.shape[0]):
+        single, sprefix, sdetok = decode_beams_from_mel(
+            mels[u], encoder, decoder, adapter,
+            beam_size=beam_size, max_new_tokens=sample_len,
+            stepper="device", **opts,
+        )
+        assert sprefix == prefix
+        assert [h.tokens for h in batched[u]] == [
+            h.tokens for h in single
+        ], f"utterance {u}"
+        # scores accumulate fp32 log-softmax terms whose matmuls tile
+        # differently at U x beam rows — identical to ~1e-4
+        np.testing.assert_allclose(
+            [h.score for h in batched[u]],
+            [h.score for h in single],
+            rtol=1e-4, atol=1e-3,
+        )
+        assert [detok(h.tokens[len(prefix):]) for h in batched[u]] == [
+            sdetok(h.tokens[len(prefix):]) for h in single
+        ]
+
+
+@requires_vendored
 def test_non_speech_tokens_match_vendored(vendored):
     from dualhyp_tpu.infer.beam_search import non_speech_token_ids
 
