@@ -22,6 +22,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# rbg PRNG: the LoRA-dropout masks are the only per-step randomness and
+# threefry key derivation costs ~7% of the train step on v5e (measured,
+# BENCH_NOTES.md); rbg is the TPU-native counter PRNG
+jax.config.update("jax_default_prng_impl", "rbg")
 
 import numpy as np
 

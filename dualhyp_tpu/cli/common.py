@@ -45,6 +45,12 @@ def add_mesh_args(parser: argparse.ArgumentParser):
                         help="parameter-sharding mesh extent (ZeRO-3 equivalent)")
     parser.add_argument("--tensor", type=int, default=1,
                         help="tensor-parallel mesh extent (for >7B configs)")
+    parser.add_argument("--expert", type=int, default=1,
+                        help="expert-parallel mesh extent (MoE configs: "
+                             "experts shard over this axis)")
+    parser.add_argument("--seq", type=int, default=1,
+                        help="sequence-parallel mesh extent (activations "
+                             "shard over tokens; long-context headroom)")
 
 
 def model_config_from_args(args, relprompt: bool = False):

@@ -57,6 +57,14 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    import jax as _jax
+    try:
+        # rbg PRNG: dropout-mask generation is ~7% of the train step with
+        # the default threefry on v5e (BENCH_NOTES.md)
+        _jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     out_dir = Path(f"./runs/{args.exp_name}")
 
     from dualhyp_tpu.ckpt.io import save_params
@@ -80,21 +88,21 @@ def main(argv=None):
     params = common.load_base_params(checkpoint_dir, model_cfg)
 
     mesh = None
-    if jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1:
+    if (jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1
+            or args.expert > 1 or args.seq > 1):
+        model_axes = args.fsdp * args.tensor * args.expert * args.seq
         dp = args.dp
         if dp is None:
             # largest data extent that divides the micro batch
-            avail = jax.device_count() // (args.fsdp * args.tensor)
+            avail = jax.device_count() // model_axes
             dp = 1
             for cand in range(1, avail + 1):
                 if args.micro_batch_size % (cand * args.fsdp) == 0:
                     dp = cand
-            n_used = dp * args.fsdp * args.tensor
-        else:
-            n_used = dp * args.fsdp * args.tensor
+        n_used = dp * model_axes
         mesh = make_mesh(
-            data=dp, fsdp=args.fsdp, tensor=args.tensor,
-            devices=jax.devices()[:n_used],
+            data=dp, fsdp=args.fsdp, tensor=args.tensor, expert=args.expert,
+            seq=args.seq, devices=jax.devices()[:n_used],
         )
         params, _ = shard_params(params, mesh)
         logger.info(f"mesh: {dict(mesh.shape)}")

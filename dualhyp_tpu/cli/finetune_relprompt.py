@@ -164,6 +164,14 @@ def build_feature_batch(examples, loader, rng, cfg):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    import jax as _jax
+    try:
+        # rbg PRNG: dropout-mask generation is ~7% of the train step with
+        # the default threefry on v5e (BENCH_NOTES.md)
+        _jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     out_dir = Path(f"./runs/{args.exp_name}")
 
     from dualhyp_tpu.ckpt.io import save_params
@@ -260,6 +268,7 @@ def main(argv=None):
             out = trainer.train_step(batch, max_iters, warmup_steps, step_key)
             opt_step += 1
             if opt_step % args.log_interval == 0:
+                out = {k: float(v) for k, v in out.items()}  # sync point
                 logger.info(
                     f"step {opt_step}: loss {out['loss']:.4f} "
                     f"llm {out['llm_loss']:.4f} mask {out['mask_loss']:.4f} "

@@ -164,13 +164,6 @@ def dry_run_ingest(args, tokenizer) -> dict:
     prompt packing, label masking) without touching model weights — run this
     against the released DualHyp JSONs the moment they are available to
     confirm schema compatibility before spending accelerator time."""
-    mesh = None
-    if jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1:
-        from dualhyp_tpu.parallel import make_mesh, shard_params
-
-        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor)
-        params, _ = shard_params(params, mesh)
-
     dataset_cls = common.dataset_class_for(args)
     dataset = dataset_cls(
         "test",
@@ -223,10 +216,12 @@ def main(argv=None):
         params = quantize_tree(params)
 
     mesh = None
-    if jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1:
+    if (jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1
+            or args.expert > 1):
         from dualhyp_tpu.parallel import make_mesh, shard_params
 
-        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor)
+        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor,
+                         expert=args.expert)
         params, _ = shard_params(params, mesh)
 
     dataset_cls = common.dataset_class_for(args)

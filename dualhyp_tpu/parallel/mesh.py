@@ -1,10 +1,17 @@
 """Device mesh construction.
 
-One mesh with (data, fsdp, tensor) axes replaces the reference's Lightning
-strategy selection (DDP / FSDP / XLAStrategy, ref: finetune/ger.py:60-78):
-  * pure DP            -> mesh (n, 1, 1)
-  * ZeRO-3-style FSDP  -> mesh (1, n, 1) (params sharded over `fsdp`)
+One mesh with (data, fsdp, tensor, expert) axes replaces the reference's
+Lightning strategy selection (DDP / FSDP / XLAStrategy,
+ref: finetune/ger.py:60-78):
+  * pure DP            -> mesh (n, 1, 1, 1)
+  * ZeRO-3-style FSDP  -> mesh (1, n, 1, 1) (params sharded over `fsdp`)
   * tensor parallel    -> `tensor` axis for the >7B registry configs
+  * expert parallel    -> `expert` axis shards MoE expert weights; the
+    dense-compute top-k combine contracts over experts so XLA psums the
+    partial sums (Mixtral-family configs crash in the reference)
+  * sequence parallel  -> `seq` axis shards the token dim of activations;
+    GSPMD partitions the causal attention (k/v all-gather) and keeps
+    norms/MLP local — long-context headroom the reference lacks
 The batch shards over data x fsdp; XLA inserts the all-gathers /
 reduce-scatters that FSDP does manually in torch.
 """
@@ -17,24 +24,27 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "tensor", "expert", "seq")
 
 
 def make_mesh(
     data: Optional[int] = None,
     fsdp: int = 1,
     tensor: int = 1,
+    expert: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    model_axes = fsdp * tensor * expert * seq
     if data is None:
-        assert n % (fsdp * tensor) == 0, (n, fsdp, tensor)
-        data = n // (fsdp * tensor)
-    assert data * fsdp * tensor == n, (
-        f"mesh {data}x{fsdp}x{tensor} != {n} devices"
+        assert n % model_axes == 0, (n, fsdp, tensor, expert, seq)
+        data = n // model_axes
+    assert data * model_axes == n, (
+        f"mesh {data}x{fsdp}x{tensor}x{expert}x{seq} != {n} devices"
     )
-    grid = np.asarray(devices).reshape(data, fsdp, tensor)
+    grid = np.asarray(devices).reshape(data, fsdp, tensor, expert, seq)
     return Mesh(grid, AXES)
 
 

@@ -27,7 +27,7 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "fsdp")))
 
 
-def _leaf_spec(path: str, leaf, fsdp: int, tensor: int) -> P:
+def _leaf_spec(path: str, leaf, fsdp: int, tensor: int, expert: int = 1) -> P:
     shape = leaf.shape
     ndim = len(shape)
     stacked = path.startswith("blocks/")
@@ -35,6 +35,18 @@ def _leaf_spec(path: str, leaf, fsdp: int, tensor: int) -> P:
     first = 1 if stacked else 0
 
     spec = [None] * ndim
+
+    # MoE expert-stacked weights (L, E, out, in): shard the expert axis —
+    # the dense-compute top-k combine contracts over E, so each device
+    # computes only its experts and XLA psums the weighted partial sums
+    moe_expert = (
+        ndim - first == 3
+        and any(k in path for k in ("mlp/fc_1", "mlp/fc_2", "mlp/proj"))
+    )
+    if moe_expert:
+        if expert > 1 and shape[first] % expert == 0:
+            spec[first] = "expert"
+        first += 1  # out/in dims follow the expert axis
 
     is_tensor_col = tensor > 1 and any(
         k in path for k in ("attn/qkv", "fc_1", "fc_2", "mlp/fc/", "lm_head")
@@ -63,12 +75,13 @@ def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for a gpt.init-style param tree."""
     fsdp = mesh.shape.get("fsdp", 1)
     tensor = mesh.shape.get("tensor", 1)
+    expert = mesh.shape.get("expert", 1)
 
     def spec_for(path, leaf):
         p = "/".join(
             k.key if hasattr(k, "key") else str(getattr(k, "idx", k)) for k in path
         )
-        return NamedSharding(mesh, _leaf_spec(p, leaf, fsdp, tensor))
+        return NamedSharding(mesh, _leaf_spec(p, leaf, fsdp, tensor, expert))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 

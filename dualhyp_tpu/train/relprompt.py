@@ -173,14 +173,16 @@ class RelPromptTrainer(Trainer):
         )
         self.opt_step += 1
         ids = batch["input_ids"]
+        # device scalars: materialising them every step would sync the
+        # pipeline (see Trainer.train_step); callers float() when logging
         self._record_step(
-            float(total), lr_llm, tokens=int(np.prod(ids.shape)),
+            total, lr_llm, tokens=int(np.prod(ids.shape)),
             samples=int(ids.shape[0]), seq_len=int(ids.shape[-1]),
         )
         return {
-            "loss": float(total),
-            "llm_loss": float(llm),
-            "mask_loss": float(m),
+            "loss": total,
+            "llm_loss": llm,
+            "mask_loss": m,
             "lr": lr_llm,
             "classifier_lr": lr_cls,
         }

@@ -283,14 +283,24 @@ class Trainer:
 
             axes = [None] * ids.ndim
             axes[batch_axis] = ("data", "fsdp")
+            if (
+                self.mesh.shape.get("seq", 1) > 1
+                and ids.shape[-1] % self.mesh.shape["seq"] == 0
+            ):
+                # sequence parallelism: tokens shard over `seq`; GSPMD
+                # partitions attention (k/v all-gather) and keeps
+                # norms/MLP/CE local to each token shard
+                axes[-1] = "seq"
             spec = NamedSharding(self.mesh, P(*axes))
             ids = jax.device_put(ids, spec)
             labels = jax.device_put(labels, spec)
         return ids, labels
 
     # ---- observability (wired into the step, not bolted on by callers) ----
-    def _record_step(self, loss: float, lr: float, tokens: int, samples: int,
+    def _record_step(self, loss, lr: float, tokens: int, samples: int,
                      seq_len: int):
+        """loss may be a device scalar — it is only materialised (sync!)
+        at log intervals, keeping the step pipeline unblocked."""
         if self.monitor is not None:
             from dualhyp_tpu.utils.monitor import estimate_train_flops_per_token
 
@@ -304,7 +314,7 @@ class Trainer:
             self._window_losses.append(loss)
             interval = max(self.cfg.log_interval // self.cfg.grad_accum, 1)
             if self.opt_step % interval == 0:
-                avg = sum(self._window_losses) / len(self._window_losses)
+                avg = float(sum(self._window_losses)) / len(self._window_losses)
                 self._window_losses.clear()
                 stats = self.monitor.stats() if self.monitor is not None else {}
                 self.logger.log(self.opt_step, loss=avg, lr=lr, **stats)
@@ -337,7 +347,10 @@ class Trainer:
             rng,
         )
         self.opt_step += 1
-        loss = float(loss)
+        # loss stays a DEVICE scalar: float()ing it here would sync the
+        # pipeline every step (~30-100 ms/step through the axon tunnel,
+        # measured in scripts/profile_train_ablation.py) — callers convert
+        # when they actually log/compare
         self._record_step(
             loss, lr, tokens=int(ids.size), samples=int(accum * ids.shape[1]),
             seq_len=int(ids.shape[-1]),

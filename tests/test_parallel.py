@@ -139,6 +139,93 @@ def test_tensor_parallel_forward_matches_replicated():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+def test_expert_parallel_moe_matches_replicated():
+    """Expert-parallel MoE: expert-stacked weights shard over the `expert`
+    axis; the dense-compute top-k combine contracts over experts, so XLA
+    psums the partial sums. Forward AND a LoRA-free full train step must
+    match the replicated model."""
+    from dualhyp_tpu.train import TrainConfig, Trainer
+
+    cfg = helpers.tiny_llama_config(
+        n_embd=64, n_head=8, n_query_groups=2, intermediate_size=128,
+        mlp_class="LLaMAMoE", n_expert=4, n_expert_per_token=2,
+    )
+    params = gpt.init(cfg, jax.random.key(4))
+    idx = jnp.asarray(np.arange(64).reshape(4, 16) % cfg.vocab_size, jnp.int32)
+    want = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+
+    mesh = make_mesh(data=2, fsdp=1, tensor=1, expert=2,
+                     devices=jax.devices()[:4])
+    sharded, shardings = shard_params(params, mesh)
+    spec = shardings["blocks"]["mlp"]["fc_1"]["weight"].spec
+    assert "expert" in str(spec), spec
+    spec = shardings["blocks"]["mlp"]["proj"]["weight"].spec
+    assert "expert" in str(spec), spec
+
+    fwd = jax.jit(
+        lambda p, i: gpt.forward(p, cfg, i, compute_dtype=jnp.float32),
+        in_shardings=(shardings, batch_sharding(mesh)),
+    )
+    got = np.asarray(fwd(sharded, jax.device_put(idx, batch_sharding(mesh))))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+    # one full-finetune train step, expert-parallel vs replicated
+    ids = np.asarray(idx)
+    labels = ids.copy()
+    labels[:, :8] = -1
+    batch = {"input_ids": ids, "labels": labels}
+    tcfg = TrainConfig(batch_size=4, micro_batch_size=4,
+                       compute_dtype="float32", mode="full",
+                       lm_head_chunk_size=0)
+    t_rep = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    loss_rep, _ = t_rep.train_step(batch, max_iters=10, warmup_steps=1,
+                                   rng=jax.random.key(0))
+    t_ep = Trainer(cfg, tcfg, sharded, mesh=mesh)
+    loss_ep, _ = t_ep.train_step(batch, max_iters=10, warmup_steps=1,
+                                 rng=jax.random.key(0))
+    np.testing.assert_allclose(float(loss_ep), float(loss_rep),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sequence_parallel_train_step_matches_replicated():
+    """Sequence parallelism: the token dim of the batch shards over `seq`;
+    GSPMD partitions the causal attention and the loss must equal the
+    replicated run exactly."""
+    from dualhyp_tpu.train import TrainConfig, Trainer
+
+    cfg = helpers.tiny_llama_config(
+        n_embd=64, n_head=8, n_query_groups=2, intermediate_size=128,
+        lora_r=4, lora_alpha=8, lora_query=True, lora_key=True,
+        lora_value=True, lora_projection=True,
+    )
+    params = gpt.init(cfg, jax.random.key(4))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, (4, 32)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :8] = -1
+    batch = {"input_ids": ids, "labels": labels}
+    tcfg = TrainConfig(batch_size=4, micro_batch_size=4,
+                       compute_dtype="float32", lm_head_chunk_size=0)
+
+    t_rep = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    loss_rep, _ = t_rep.train_step(batch, max_iters=10, warmup_steps=1,
+                                   rng=jax.random.key(0))
+
+    mesh = make_mesh(data=2, seq=2, devices=jax.devices()[:4])
+    sharded, _ = shard_params(params, mesh)
+    t_sp = Trainer(cfg, tcfg, sharded, mesh=mesh)
+    # the trainer annotates the token dim with the seq axis
+    ids_s, _ = t_sp._shard_batch(
+        np.zeros((1, 4, 32), np.int32), np.zeros((1, 4, 32), np.int32),
+        batch_axis=1,
+    )
+    assert "seq" in str(ids_s.sharding.spec), ids_s.sharding.spec
+    loss_sp, _ = t_sp.train_step(batch, max_iters=10, warmup_steps=1,
+                                 rng=jax.random.key(0))
+    np.testing.assert_allclose(float(loss_sp), float(loss_rep),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_orbax_roundtrip(tmp_path):
     from dualhyp_tpu.ckpt.io import load_params_orbax, save_params_orbax
 
