@@ -49,6 +49,10 @@ def build_parser():
                         help="activation rematerialisation (--no-remat with "
                              "small micro batches is ~5%% faster on v5e but "
                              "needs the activations to fit HBM)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from runs/<exp>/train_state.npz "
+                             "(optimizer moments + LR clock; exact resume — "
+                             "the reference cannot resume training)")
     common.add_model_args(parser)
     common.add_data_args(parser)
     common.add_mesh_args(parser)
@@ -160,7 +164,18 @@ def main(argv=None):
     window_losses = []
     t_start = time.perf_counter()
 
-    for epoch in range(args.num_epochs):
+    state_path = out_dir / "train_state.npz"
+    start_epoch = 0
+    if args.resume and state_path.is_file():
+        extra = trainer.load_train_state(state_path)
+        start_epoch = extra.get("epoch", -1) + 1
+        opt_step = trainer.opt_step
+        logger.info(
+            f"resumed from {state_path}: epoch {start_epoch}, "
+            f"opt_step {opt_step}, micro_iter {trainer.micro_iter}"
+        )
+
+    for epoch in range(start_epoch, args.num_epochs):
         for batch in collate.epoch_batches(
             train_ds,
             tcfg.batch_size,
@@ -188,6 +203,9 @@ def main(argv=None):
                     trainer, val_ds, tcfg, out_dir, best_val, logger, model_cfg
                 )
         step_logger.save()
+        # epoch-boundary resume point (optimizer moments + LR clock; exact,
+        # tested in tests/test_trainer.py — capability the reference lacks)
+        trainer.save_train_state(state_path, extra={"epoch": epoch})
 
     best_val = _validate_and_save(
         trainer, val_ds, tcfg, out_dir, best_val, logger, model_cfg

@@ -25,6 +25,7 @@ in TPU-native form:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -356,6 +357,83 @@ class Trainer:
             seq_len=int(ids.shape[-1]),
         )
         return loss, lr
+
+    # ---- exact-resume checkpointing (the reference cannot resume training:
+    # it dumps best/final model weights only, no optimizer state or step
+    # clock — ref: finetune/ger.py:302-317) ----
+    def save_train_state(self, path, extra: dict | None = None) -> None:
+        """Trainable leaves + optimizer moments + the micro-iteration clock
+        in one npz; `extra` stores small ints (e.g. the epoch index)."""
+        from dualhyp_tpu.ckpt import io as ckpt_io
+
+        flat = {
+            f"trainable{ckpt_io.SEP}{k}": v
+            for k, v in ckpt_io._flatten(self.trainable).items()
+        }
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(self.opt_state)):
+            arr = np.asarray(leaf)
+            key = f"optstate{ckpt_io.SEP}{i:05d}"
+            if arr.dtype.name == "bfloat16":
+                key += ckpt_io._BF16_TAG
+                arr = arr.view(np.uint16)
+            flat[key] = arr
+        flat["meta_micro_iter"] = np.asarray(self.micro_iter)
+        flat["meta_opt_step"] = np.asarray(self.opt_step)
+        for k, v in (extra or {}).items():
+            flat[f"extra_{k}"] = np.asarray(v)
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(path, **flat)
+
+    def load_train_state(self, path) -> dict:
+        """Restore a `save_train_state` checkpoint in place (dtypes and
+        shardings follow the live trees). Returns the `extra` dict."""
+        from dualhyp_tpu.ckpt import io as ckpt_io
+
+        with np.load(Path(path)) as z:
+            flat = dict(ckpt_io._undo_bf16(k, z[k]) for k in z.files)
+        self.micro_iter = int(flat.pop("meta_micro_iter"))
+        self.opt_step = int(flat.pop("meta_opt_step"))
+        extra = {
+            k[len("extra_"):]: int(v)
+            for k, v in flat.items()
+            if k.startswith("extra_")
+        }
+
+        prefix = f"trainable{ckpt_io.SEP}"
+        lookup = {
+            k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)
+        }
+
+        def place(path_keys, cur):
+            key = ckpt_io.SEP.join(
+                p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
+                for p in path_keys
+            )
+            new = jnp.asarray(lookup[key]).astype(cur.dtype)
+            return jax.device_put(new, cur.sharding)
+
+        self.trainable = jax.tree_util.tree_map_with_path(place, self.trainable)
+
+        opt_items = sorted(
+            (k, v) for k, v in flat.items()
+            if k.startswith(f"optstate{ckpt_io.SEP}")
+        )
+        cur_leaves, treedef = jax.tree_util.tree_flatten(self.opt_state)
+        assert len(opt_items) == len(cur_leaves), (
+            f"optimizer state mismatch: checkpoint has {len(opt_items)} "
+            f"leaves, live optimizer has {len(cur_leaves)} (same mode/config?)"
+        )
+        new_leaves = []
+        for (_, arr), cur in zip(opt_items, cur_leaves):
+            leaf = jnp.asarray(arr)
+            if hasattr(cur, "dtype"):
+                leaf = leaf.astype(cur.dtype)
+            if hasattr(cur, "sharding"):
+                leaf = jax.device_put(leaf, cur.sharding)
+            new_leaves.append(leaf)
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return extra
 
     def evaluate(self, batches) -> float:
         """Mean validation loss, skipping all-masked batches

@@ -125,3 +125,38 @@ def test_full_finetune_mode_trains_everything(rng):
     batch = _batch(rng, 2, 8, cfg.vocab_size)
     loss, _ = trainer.train_step(batch, max_iters=10, warmup_steps=1, rng=jax.random.key(0))
     assert np.isfinite(loss)
+
+
+def test_train_state_resume_is_exact(rng, tmp_path):
+    """save_train_state/load_train_state: a resumed run produces the SAME
+    losses as an uninterrupted one (optimizer moments + LR clock restored
+    exactly — capability the reference lacks, ref: finetune/ger.py:302-317)."""
+    cfg = _lora_cfg()
+    params = gpt.init(cfg, jax.random.key(0))
+    tcfg = TrainConfig(batch_size=2, micro_batch_size=2,
+                       compute_dtype="float32")
+    batches = [_batch(rng, 2, 16, cfg.vocab_size) for _ in range(6)]
+
+    ref = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    ref_losses = [
+        float(ref.train_step(b, max_iters=20, warmup_steps=2,
+                             rng=jax.random.key(i))[0])
+        for i, b in enumerate(batches)
+    ]
+
+    first = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    for i, b in enumerate(batches[:3]):
+        first.train_step(b, max_iters=20, warmup_steps=2, rng=jax.random.key(i))
+    first.save_train_state(tmp_path / "state.npz", extra={"epoch": 1})
+
+    resumed = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    extra = resumed.load_train_state(tmp_path / "state.npz")
+    assert extra == {"epoch": 1}
+    assert resumed.opt_step == 3 and resumed.micro_iter == first.micro_iter
+    resumed_losses = [
+        float(resumed.train_step(b, max_iters=20, warmup_steps=2,
+                                 rng=jax.random.key(i + 3))[0])
+        for i, b in enumerate(batches[3:])
+    ]
+    np.testing.assert_allclose(resumed_losses, ref_losses[3:],
+                               rtol=1e-6, atol=1e-7)
