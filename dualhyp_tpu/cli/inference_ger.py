@@ -48,6 +48,12 @@ def build_parser():
     parser.add_argument("--draft_len", type=int, default=8,
                         help="speculative draft window (tokens verified "
                              "per step = draft_len + 1)")
+    parser.add_argument("--scheduler", choices=["lockstep", "continuous"],
+                        default="lockstep",
+                        help="continuous: slot-based continuous batching "
+                             "with speculative decoding (infer/serve.py) — "
+                             "finished sequences refill immediately instead "
+                             "of waiting for the batch's slowest row")
     parser.add_argument("--dry_run", action="store_true",
                         help="validate the hypotheses JSON ingest (schema, "
                              "prompt packing, token lengths) and exit "
@@ -61,7 +67,8 @@ def build_parser():
 def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                   max_new_tokens=150, temperature=0.2, top_k=1,
                   compute_dtype=jnp.bfloat16, collect_latency=False,
-                  mesh=None, speculative=False, draft_len=8):
+                  mesh=None, speculative=False, draft_len=8,
+                  scheduler="lockstep"):
     """Batched greedy correction over a dataset. Returns (records, metrics).
 
     mesh: optional device mesh — the decode batch shards over data x fsdp
@@ -70,13 +77,27 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
 
     speculative: prompt-lookup speculative decoding (greedy only — the
     eval protocol's top_k=1 qualifies); token-identical, several tokens
-    per model step when the correction copies hypothesis spans."""
+    per model step when the correction copies hypothesis spans.
+
+    scheduler="continuous": slot-based continuous batching (finished
+    sequences refill immediately, no lockstep straggler wait) with
+    speculative decoding — infer/serve.ContinuousBatcher."""
     from dualhyp_tpu.data.collate import bucket_length
     from dualhyp_tpu.infer.decode import generate, generate_lookup
     from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
 
-    if speculative and top_k != 1:
-        raise ValueError("--speculative requires greedy decoding (top_k=1)")
+    if (speculative or scheduler == "continuous") and top_k != 1:
+        raise ValueError(
+            "--speculative/--scheduler continuous require greedy decoding "
+            "(top_k=1)"
+        )
+    if scheduler == "continuous":
+        return _run_inference_continuous(
+            params, model_cfg, tokenizer, dataset,
+            decode_batch=decode_batch, max_new_tokens=max_new_tokens,
+            compute_dtype=compute_dtype, collect_latency=collect_latency,
+            draft_len=draft_len,
+        )
 
     batch_spec = None
     if mesh is not None and decode_batch % mesh.size == 0:
@@ -150,6 +171,51 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                     "ground_truth": ex.ground_truth.strip(),
                 }
             )
+    metrics = evaluate_predictions(
+        [r["inference"] for r in records], [r["ground_truth"] for r in records]
+    )
+    if collect_latency and latencies:
+        metrics["p50_latency_s"] = float(np.percentile(latencies, 50))
+        metrics["p90_latency_s"] = float(np.percentile(latencies, 90))
+    return records, metrics
+
+
+def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
+                              decode_batch, max_new_tokens, compute_dtype,
+                              collect_latency, draft_len):
+    """Continuous-batching evaluator: same records/metrics as the lockstep
+    path, but finished sequences hand their slot to the next prompt
+    immediately (per-request latency, no straggler wait)."""
+    from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
+    from dualhyp_tpu.infer.serve import ContinuousBatcher
+
+    eos_id = getattr(tokenizer, "eos_token_id", None)
+    examples = [dataset[i] for i in range(len(dataset))]
+    # same record order as the lockstep path (sorted by prompt length)
+    examples.sort(key=lambda e: len(e.input_ids_no_response))
+    batcher = ContinuousBatcher(
+        params, model_cfg, slots=decode_batch,
+        max_new_tokens=max_new_tokens, draft_len=draft_len,
+        eos_id=eos_id, compute_dtype=compute_dtype,
+    )
+    requests = [
+        (i, list(ex.input_ids_no_response)) for i, ex in enumerate(examples)
+    ]
+    served = batcher.serve(requests)
+
+    records = [None] * len(examples)
+    latencies = []
+    for rec in served:
+        ex = examples[rec["id"]]
+        seq = rec["tokens"]
+        decoded_full = tokenizer.decode(seq)
+        decoded_prompt = tokenizer.decode(seq[: rec["prompt_len"]])
+        records[rec["id"]] = {
+            "uid": ex.uid,
+            "inference": extract_response(decoded_full, decoded_prompt),
+            "ground_truth": ex.ground_truth.strip(),
+        }
+        latencies.append(rec["latency_s"])
     metrics = evaluate_predictions(
         [r["inference"] for r in records], [r["ground_truth"] for r in records]
     )
@@ -249,6 +315,7 @@ def main(argv=None):
         mesh=mesh,
         speculative=args.speculative,
         draft_len=args.draft_len,
+        scheduler=args.scheduler,
     )
     predict_dir = Path(args.model_path).parent / "predictions"
     predict_dir.mkdir(parents=True, exist_ok=True)

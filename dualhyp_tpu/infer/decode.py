@@ -211,84 +211,16 @@ def generate_lookup(
     lengths = prompt_lengths + jnp.where(done, 0, 1)
     emitted = jnp.where(done, 0, 1)
 
-    def propose(tokens_b, length_b):
-        """Longest-suffix lookup with n-gram fallback: draft the
-        continuation of the longest matching suffix n-gram (n = ngram..1),
-        preferring the most recent occurrence. (S,) i32, scalar -> (D,)."""
-        draft = jnp.zeros((draft_len,), jnp.int32)
-        have = jnp.bool_(False)
-        for n in range(ngram, 0, -1):
-            ctx = jax.lax.dynamic_slice(
-                tokens_b, (jnp.maximum(length_b - n, 0),), (n,)
-            )
-            n_win = max_seq - n + 1
-            win = jnp.stack(
-                [jax.lax.slice(tokens_b, (m,), (m + n_win,)) for m in range(n)],
-                axis=1,
-            )  # (n_win, n)
-            jpos = jnp.arange(n_win)
-            # continuation must start strictly inside the generated-so-far
-            # text (the suffix occurrence itself is excluded)
-            ok = jnp.all(win == ctx[None, :], axis=1) & (jpos + n <= length_b - 1)
-            j = jnp.max(jnp.where(ok, jpos, -1))
-            d = jax.lax.dynamic_slice(
-                tokens_b, (jnp.maximum(j, 0) + n,), (draft_len,)
-            )
-            take = ~have & (j >= 0)
-            draft = jnp.where(take, d, draft)
-            have = have | (j >= 0)
-        return draft
-
     def cond(state):
         tokens, lengths, emitted, cache, done, last, steps = state
         return jnp.any(~done & (emitted < max_new_tokens))
 
     def body(state):
-        tokens, lengths, emitted, cache, done, last, steps = state
-        active = ~done & (emitted < max_new_tokens)
-
-        draft = jax.vmap(propose)(tokens, lengths)  # (B, D)
-        chunk = jnp.concatenate([last[:, None], draft], axis=1)  # (B, K)
-        start = lengths - 1
-        logits, cache = gpt.verify_step(
-            params, cfg, chunk, start, cache, compute_dtype=compute_dtype
+        return lookup_step(
+            params, cfg, state, draft_len=draft_len, ngram=ngram,
+            eos_id=eos_id, max_new_tokens=max_new_tokens,
+            compute_dtype=compute_dtype,
         )
-        out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
-
-        # accepted prefix of the draft (token i accepted iff it equals the
-        # argmax continuation AND all earlier drafts were accepted)
-        acc = jnp.cumprod((draft == out[:, :draft_len]).astype(jnp.int32), axis=1)
-        n_acc = jnp.sum(acc, axis=1)  # (B,) in [0, D]
-
-        iidx = jnp.arange(k_win)[None, :]
-        cand_ok = iidx <= n_acc[:, None]  # emittable candidates out[:, :n_acc+1]
-        if eos_id is None:
-            first_eos = jnp.full((b,), k_win)
-        else:
-            eos_hit = cand_ok & (out == eos_id)
-            first_eos = jnp.min(jnp.where(eos_hit, iidx, k_win), axis=1)
-        emit = jnp.minimum(first_eos, n_acc + 1)  # EOS neither written nor counted
-        emit = jnp.minimum(emit, max_new_tokens - emitted)
-        emit = jnp.where(active, emit, 0)
-        newly_done = done | (active & (first_eos <= n_acc))
-
-        # blend the emitted prefix of `out` into each row's window at lengths
-        def blend(tokens_b, out_b, length_b, emit_b):
-            cur = jax.lax.dynamic_slice(tokens_b, (length_b,), (k_win,))
-            new = jnp.where(jnp.arange(k_win) < emit_b, out_b, cur)
-            return jax.lax.dynamic_update_slice(tokens_b, new, (length_b,))
-
-        tokens = jax.vmap(blend)(tokens, out, lengths, emit)
-        # last emitted token continues the sequence next step; its KV is
-        # either already cached (accepted draft) or rewritten value-
-        # identically by the next chunk (bonus token at slot lengths-1)
-        next_last = jax.vmap(
-            lambda out_b, e: out_b[jnp.maximum(e - 1, 0)]
-        )(out, emit)
-        last = jnp.where(emit > 0, next_last, last)
-        lengths = lengths + emit
-        emitted = emitted + emit
-        return tokens, lengths, emitted, cache, newly_done, last, steps + 1
 
     state = (tokens, lengths, emitted, cache, done, first, jnp.int32(0))
     tokens, lengths, emitted, _, _, _, steps = jax.lax.while_loop(
@@ -297,3 +229,92 @@ def generate_lookup(
     if return_steps:
         return tokens[:, : t + max_new_tokens], lengths, (steps, emitted)
     return tokens[:, : t + max_new_tokens], lengths
+
+
+def _lookup_propose(tokens_b, length_b, *, draft_len: int, ngram: int):
+    """Longest-suffix lookup with n-gram fallback: draft the continuation
+    of the longest matching suffix n-gram (n = ngram..1), preferring the
+    most recent occurrence. (S,) i32, scalar -> (D,)."""
+    max_seq = tokens_b.shape[0]
+    draft = jnp.zeros((draft_len,), jnp.int32)
+    have = jnp.bool_(False)
+    for n in range(ngram, 0, -1):
+        ctx = jax.lax.dynamic_slice(
+            tokens_b, (jnp.maximum(length_b - n, 0),), (n,)
+        )
+        n_win = max_seq - n + 1
+        win = jnp.stack(
+            [jax.lax.slice(tokens_b, (m,), (m + n_win,)) for m in range(n)],
+            axis=1,
+        )  # (n_win, n)
+        jpos = jnp.arange(n_win)
+        # continuation must start strictly inside the generated-so-far
+        # text (the suffix occurrence itself is excluded)
+        ok = jnp.all(win == ctx[None, :], axis=1) & (jpos + n <= length_b - 1)
+        j = jnp.max(jnp.where(ok, jpos, -1))
+        d = jax.lax.dynamic_slice(
+            tokens_b, (jnp.maximum(j, 0) + n,), (draft_len,)
+        )
+        take = ~have & (j >= 0)
+        draft = jnp.where(take, d, draft)
+        have = have | (j >= 0)
+    return draft
+
+
+def lookup_step(params, cfg: GPTConfig, state, *, draft_len: int, ngram: int,
+                eos_id: Optional[int], max_new_tokens, compute_dtype):
+    """One speculative draft+verify iteration over the decode state tuple
+    (tokens, lengths, emitted, cache, done, last, steps). Inactive rows
+    (done or at budget) emit nothing and stay frozen — reused by
+    `generate_lookup`'s while_loop and the continuous-batching server's
+    fixed-size chunks (infer/serve.py). max_new_tokens may be a python int
+    or a per-row (B,) i32 budget array (per-request budgets in serving)."""
+    tokens, lengths, emitted, cache, done, last, steps = state
+    b = tokens.shape[0]
+    k_win = draft_len + 1
+    active = ~done & (emitted < max_new_tokens)
+
+    draft = jax.vmap(
+        partial(_lookup_propose, draft_len=draft_len, ngram=ngram)
+    )(tokens, lengths)  # (B, D)
+    chunk = jnp.concatenate([last[:, None], draft], axis=1)  # (B, K)
+    start = lengths - 1
+    logits, cache = gpt.verify_step(
+        params, cfg, chunk, start, cache, compute_dtype=compute_dtype
+    )
+    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
+
+    # accepted prefix of the draft (token i accepted iff it equals the
+    # argmax continuation AND all earlier drafts were accepted)
+    acc = jnp.cumprod((draft == out[:, :draft_len]).astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(acc, axis=1)  # (B,) in [0, D]
+
+    iidx = jnp.arange(k_win)[None, :]
+    cand_ok = iidx <= n_acc[:, None]  # emittable candidates out[:, :n_acc+1]
+    if eos_id is None:
+        first_eos = jnp.full((b,), k_win)
+    else:
+        eos_hit = cand_ok & (out == eos_id)
+        first_eos = jnp.min(jnp.where(eos_hit, iidx, k_win), axis=1)
+    emit = jnp.minimum(first_eos, n_acc + 1)  # EOS neither written nor counted
+    emit = jnp.minimum(emit, max_new_tokens - emitted)
+    emit = jnp.where(active, emit, 0)
+    newly_done = done | (active & (first_eos <= n_acc))
+
+    # blend the emitted prefix of `out` into each row's window at lengths
+    def blend(tokens_b, out_b, length_b, emit_b):
+        cur = jax.lax.dynamic_slice(tokens_b, (length_b,), (k_win,))
+        new = jnp.where(jnp.arange(k_win) < emit_b, out_b, cur)
+        return jax.lax.dynamic_update_slice(tokens_b, new, (length_b,))
+
+    tokens = jax.vmap(blend)(tokens, out, lengths, emit)
+    # last emitted token continues the sequence next step; its KV is
+    # either already cached (accepted draft) or rewritten value-
+    # identically by the next chunk (bonus token at slot lengths-1)
+    next_last = jax.vmap(
+        lambda out_b, e: out_b[jnp.maximum(e - 1, 0)]
+    )(out, emit)
+    last = jnp.where(emit > 0, next_last, last)
+    lengths = lengths + emit
+    emitted = emitted + emit
+    return tokens, lengths, emitted, cache, newly_done, last, steps + 1

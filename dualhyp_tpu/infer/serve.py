@@ -1,0 +1,240 @@
+"""Continuous-batching correction serving loop.
+
+The batched evaluator (cli/inference_ger.run_inference) decodes in
+lockstep: a batch's wall time is its SLOWEST sequence and finished rows
+idle until the whole batch completes. This module keeps a fixed pool of
+decode SLOTS: when a sequence finishes, its slot is refilled with the
+next queued prompt while the other slots keep decoding. Each host round
+runs `chunk_steps` speculative draft+verify iterations
+(infer/decode.lookup_step) in one jitted call, so all live slots advance
+by up to chunk_steps x (draft_len+1) tokens between host syncs — on a
+tunneled TPU the sync is the expensive part, so the chunk returns ONE
+packed (4, slots) status array and rows are gathered only for slots that
+actually finished.
+
+Per-request output budgets are supported (max_new per request); the
+lockstep evaluator can only run a whole batch to a single cap.
+
+Greedy-only and token-identical to `generate(..., top_k=1)` per request
+(the eval protocol, ref: inference/ger.py:74-81). The reference has no
+serving path at all: it decodes batch=1 token-by-token in python
+(ref: inference/ger.py:67-94, generate/base.py:19-82).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualhyp_tpu.config import GPTConfig
+from dualhyp_tpu.infer.decode import lookup_step
+from dualhyp_tpu.models import gpt
+
+# refill-batch buckets: the prefill jit compiles once per bucket size
+_REFILL_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+class ContinuousBatcher:
+    """Fixed-slot continuous batching over the speculative decode state.
+
+    params/cfg: a gpt.init-style tree (optionally int8-quantized).
+    slots: decode pool width; max_new_tokens: default per-request budget
+    (eval protocol 150); chunk_steps: verify iterations per host round.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: GPTConfig,
+        *,
+        slots: int = 16,
+        max_new_tokens: int = 150,
+        draft_len: int = 8,
+        ngram: int = 3,
+        chunk_steps: int = 16,
+        eos_id: Optional[int] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.max_new = max_new_tokens
+        self.draft_len = draft_len
+        self.ngram = ngram
+        self.chunk_steps = chunk_steps
+        self.eos_id = eos_id
+        self.dtype = compute_dtype
+        self.prompt_budget = cfg.block_size - 1
+        self.buf = cfg.block_size + draft_len + 1
+
+        self._chunk_fn = self._build_chunk()
+        self._refill_fns = {}
+
+    # ---- jitted pieces ----
+    def _build_chunk(self):
+        cfg, dtype = self.cfg, self.dtype
+        draft_len, ngram, eos = self.draft_len, self.ngram, self.eos_id
+        chunk_steps = self.chunk_steps
+
+        def run(params, state, budget):
+            def body(st, _):
+                return lookup_step(
+                    params, cfg, st, draft_len=draft_len, ngram=ngram,
+                    eos_id=eos, max_new_tokens=budget, compute_dtype=dtype,
+                ), None
+
+            state, _ = jax.lax.scan(body, state, None, length=chunk_steps)
+            tokens, lengths, emitted, cache, done, last, steps = state
+            # one packed host transfer per chunk
+            status = jnp.stack(
+                [lengths, emitted, done.astype(jnp.int32), budget]
+            )
+            return state, status
+
+        return jax.jit(run, donate_argnums=(1,))
+
+    def _refill_fn(self, r: int, t: int):
+        """Jitted prefill of r new prompts scattered into their slots.
+        slot id >= slots marks a padded row (dropped by the scatter)."""
+        key = (r, t)
+        if key in self._refill_fns:
+            return self._refill_fns[key]
+        cfg, dtype, buf = self.cfg, self.dtype, self.buf
+        eos = self.eos_id
+
+        def refill(params, state, budget, slot_ids, pids, plens, new_budget):
+            tokens, lengths, emitted, cache, done, last, steps = state
+            small = gpt.init_cache(cfg, r, buf, dtype=dtype)
+            logits, small = gpt.prefill(
+                params, cfg, pids, plens, small, compute_dtype=dtype
+            )
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            fdone = (
+                jnp.zeros((r,), bool) if eos is None else (first == eos)
+            )
+            rows = jnp.zeros((r, buf), jnp.int32)
+            rows = jax.lax.dynamic_update_slice(rows, pids, (0, 0))
+            rows = jax.vmap(
+                lambda row, v, p: jax.lax.dynamic_update_slice(
+                    row, v[None], (p,)
+                )
+            )(rows, jnp.where(fdone, 0, first), plens)
+            rlen = plens + jnp.where(fdone, 0, 1)
+            remit = jnp.where(fdone, 0, 1)
+
+            # mode='drop' ignores padded rows (slot id out of range)
+            tokens = tokens.at[slot_ids].set(rows, mode="drop")
+            lengths = lengths.at[slot_ids].set(rlen, mode="drop")
+            emitted = emitted.at[slot_ids].set(remit, mode="drop")
+            done = done.at[slot_ids].set(fdone, mode="drop")
+            last = last.at[slot_ids].set(first, mode="drop")
+            budget = budget.at[slot_ids].set(new_budget, mode="drop")
+            cache = {
+                k: v.at[:, slot_ids].set(small[k], mode="drop")
+                for k, v in cache.items()
+            }
+            return (tokens, lengths, emitted, cache, done, last, steps), budget
+
+        fn = jax.jit(refill, donate_argnums=(1, 2))
+        self._refill_fns[key] = fn
+        return fn
+
+    # ---- host driver ----
+    def _empty_state(self):
+        s, buf = self.slots, self.buf
+        cache = gpt.init_cache(self.cfg, s, buf, dtype=self.dtype)
+        state = (
+            jnp.zeros((s, buf), jnp.int32),
+            jnp.ones((s,), jnp.int32),
+            jnp.zeros((s,), jnp.int32),
+            cache,
+            jnp.ones((s,), bool),  # inactive
+            jnp.zeros((s,), jnp.int32),
+            jnp.int32(0),
+        )
+        budget = jnp.zeros((s,), jnp.int32)
+        return state, budget
+
+    def serve(self, requests: Iterable[Sequence]) -> List[dict]:
+        """requests: iterable of (request_id, prompt token ids) or
+        (request_id, prompt, max_new). Returns one record per request in
+        COMPLETION order: {id, tokens, prompt_len, latency_s}. tokens
+        include the prompt, EOS excluded (generate semantics)."""
+        queue = []
+        for req in requests:
+            rid, prompt = req[0], req[1]
+            cap = req[2] if len(req) > 2 else self.max_new
+            queue.append((rid, prompt, cap))
+        queue.reverse()  # pop() from the front
+        state, budget = self._empty_state()
+        slot_req = [None] * self.slots  # (id, prompt_len, submit_time)
+        results: List[dict] = []
+        buckets = sorted(
+            {b for b in _REFILL_BUCKETS if b < self.slots} | {self.slots}
+        )
+
+        def refill_free(state, budget):
+            free = [i for i in range(self.slots) if slot_req[i] is None]
+            if not free or not queue:
+                return state, budget
+            todo = []
+            while free and queue and len(todo) < buckets[-1]:
+                rid, prompt, cap = queue.pop()
+                prompt = list(prompt)[: self.prompt_budget]
+                cap = max(min(cap, self.cfg.block_size - len(prompt)), 1)
+                slot = free.pop()
+                slot_req[slot] = (rid, len(prompt), time.perf_counter())
+                todo.append((slot, prompt, cap))
+            r = next(b for b in buckets if b >= len(todo))
+            t_max = max(len(p) for _, p, _ in todo)
+            # pad T to a small set of buckets to bound compile count
+            t_pad = 64
+            while t_pad < t_max:
+                t_pad *= 2
+            t_pad = min(t_pad, self.prompt_budget)
+            pids = np.zeros((r, t_pad), np.int32)
+            plens = np.ones((r,), np.int32)
+            caps = np.ones((r,), np.int32)
+            slot_ids = np.full((r,), self.slots, np.int32)  # dropped
+            for row, (slot, prompt, cap) in enumerate(todo):
+                pids[row, : len(prompt)] = prompt
+                plens[row] = len(prompt)
+                caps[row] = cap
+                slot_ids[row] = slot
+            fn = self._refill_fn(r, t_pad)
+            return fn(
+                self.params, state, budget, jnp.asarray(slot_ids),
+                jnp.asarray(pids), jnp.asarray(plens), jnp.asarray(caps),
+            )
+
+        state, budget = refill_free(state, budget)
+        while queue or any(s is not None for s in slot_req):
+            state, status = self._chunk_fn(self.params, state, budget)
+            h = np.asarray(status)  # ONE host sync per chunk
+            h_lengths, h_emitted, h_done, h_budget = h
+            now = time.perf_counter()
+            finished = [
+                i for i in range(self.slots)
+                if slot_req[i] is not None
+                and (h_done[i] or h_emitted[i] >= h_budget[i])
+            ]
+            if finished:
+                rows = np.asarray(state[0][jnp.asarray(finished)])
+                for row, slot in enumerate(finished):
+                    rid, plen, t0 = slot_req[slot]
+                    n = int(h_lengths[slot])
+                    results.append(
+                        {
+                            "id": rid,
+                            "tokens": rows[row, :n].tolist(),
+                            "prompt_len": plen,
+                            "latency_s": now - t0,
+                        }
+                    )
+                    slot_req[slot] = None
+            state, budget = refill_free(state, budget)
+        return results

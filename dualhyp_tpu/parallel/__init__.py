@@ -1,4 +1,5 @@
 from dualhyp_tpu.parallel.mesh import make_mesh
+from dualhyp_tpu.parallel.pipeline import make_pipe_mesh, pipeline_logits
 from dualhyp_tpu.parallel.sharding import (
     batch_sharding,
     param_shardings,
@@ -8,6 +9,8 @@ from dualhyp_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_pipe_mesh",
+    "pipeline_logits",
     "batch_sharding",
     "param_shardings",
     "replicated",

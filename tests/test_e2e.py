@@ -95,5 +95,24 @@ def test_e2e_train_then_infer(corpus):
         r["inference"] for r in records
     ]
     assert spec_metrics["WER"] == metrics["WER"]
+
+    # continuous-batching scheduler end-to-end: same predictions again
+    cont_records, cont_metrics = run_inference(
+        trainer.params,
+        cfg,
+        tok,
+        test_ds,
+        decode_batch=2,
+        max_new_tokens=8,
+        compute_dtype=jnp.float32,
+        scheduler="continuous",
+        draft_len=4,
+        collect_latency=True,
+    )
+    assert [r["inference"] for r in cont_records] == [
+        r["inference"] for r in records
+    ]
+    assert cont_metrics["WER"] == metrics["WER"]
+    assert cont_metrics["p50_latency_s"] > 0
     # untrained tiny model: WER is terrible but must be a valid number
     assert np.isfinite(metrics["WER"])

@@ -1,0 +1,65 @@
+"""GPipe pipeline parallelism: logits and grads must equal the
+single-device forward (the reference has no PP at all, SURVEY §2.5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualhyp_tpu.models import gpt
+from dualhyp_tpu.parallel.pipeline import make_pipe_mesh, pipeline_logits
+from tests import helpers
+
+
+@pytest.mark.parametrize("stages,n_micro", [(2, 2), (4, 4), (2, 1)])
+def test_pipeline_logits_match_forward(stages, n_micro):
+    cfg = helpers.tiny_llama_config(n_layer=4)
+    params = gpt.init(cfg, jax.random.key(2))
+    rng = np.random.default_rng(0)
+    b, t = 4, 16
+    idx = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, t)), jnp.int32)
+
+    want = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+    mesh = make_pipe_mesh(stages)
+    got = np.asarray(
+        pipeline_logits(params, cfg, idx, mesh, n_micro=n_micro)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_grads_match_forward():
+    cfg = helpers.tiny_llama_config(
+        n_layer=4, lora_r=4, lora_alpha=8, lora_query=True, lora_key=True,
+        lora_value=True, lora_projection=True,
+    )
+    params = gpt.init(cfg, jax.random.key(2))
+    # nonzero lora_B so its grads are nontrivial
+    params["blocks"]["attn"]["qkv"]["lora_B"] = (
+        jax.random.normal(
+            jax.random.key(9), params["blocks"]["attn"]["qkv"]["lora_B"].shape
+        ) * 0.02
+    )
+    rng = np.random.default_rng(0)
+    b, t = 4, 12
+    idx = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, t)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, cfg.vocab_size, (b, t)), jnp.int32)
+    mesh = make_pipe_mesh(2)
+
+    def loss_ref(p):
+        logits = gpt.forward(p, cfg, idx, compute_dtype=jnp.float32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    def loss_pipe(p):
+        logits = pipeline_logits(p, cfg, idx, mesh, n_micro=2)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_pipe = jax.grad(loss_pipe)(params)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pipe)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-6
+        )

@@ -1,0 +1,100 @@
+"""Continuous-batching server: per-request outputs must be token-identical
+to greedy generate(), with slot refill exercised (more requests than
+slots, ragged prompt lengths, EOS stops)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualhyp_tpu.infer.decode import generate
+from dualhyp_tpu.infer.serve import ContinuousBatcher
+from dualhyp_tpu.models import gpt
+from tests import helpers
+
+
+def _reference_outputs(params, cfg, prompts, max_new, eos_id):
+    outs = {}
+    for rid, prompt in prompts:
+        ids = np.asarray([prompt], np.int32)
+        tok, ln = generate(
+            params, cfg, jnp.asarray(ids),
+            jnp.asarray([len(prompt)], jnp.int32),
+            max_new_tokens=max_new, temperature=0.2, top_k=1,
+            eos_id=eos_id, compute_dtype=jnp.float32,
+        )
+        outs[rid] = list(np.asarray(tok)[0][: int(ln[0])])
+    return outs
+
+
+def test_serve_matches_generate_with_refill():
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(3))
+    rng = np.random.default_rng(0)
+
+    max_new = 8
+    # an EOS the model emits for at least one prompt (first greedy token)
+    probe = [5, 11, 2, 9, 4]
+    tok, ln = generate(
+        params, cfg, jnp.asarray([probe], jnp.int32),
+        jnp.asarray([len(probe)], jnp.int32), max_new_tokens=1,
+        temperature=0.2, top_k=1, compute_dtype=jnp.float32,
+    )
+    eos = int(np.asarray(tok)[0, len(probe)])
+
+    requests = [("probe", probe)]
+    for i in range(9):  # 10 requests > 3 slots, ragged lengths
+        n = int(rng.integers(3, 12))
+        requests.append(
+            (f"r{i}", rng.integers(1, cfg.vocab_size, n).tolist())
+        )
+
+    want = _reference_outputs(params, cfg, requests, max_new, eos)
+
+    batcher = ContinuousBatcher(
+        params, cfg, slots=3, max_new_tokens=max_new, draft_len=4,
+        chunk_steps=2, eos_id=eos, compute_dtype=jnp.float32,
+    )
+    records = batcher.serve(requests)
+
+    assert len(records) == len(requests)
+    assert {r["id"] for r in records} == {rid for rid, _ in requests}
+    for rec in records:
+        assert rec["tokens"] == want[rec["id"]], rec["id"]
+        assert rec["latency_s"] > 0
+
+
+def test_serve_per_request_budgets():
+    """Per-request max_new budgets: each request's output equals a greedy
+    generate() run with that budget (the lockstep path can only cap a
+    whole batch at one value)."""
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(5))
+    rng = np.random.default_rng(1)
+
+    requests = []
+    caps = {}
+    for i in range(6):
+        n = int(rng.integers(4, 10))
+        cap = int(rng.integers(1, 9))
+        rid = f"r{i}"
+        requests.append((rid, rng.integers(1, cfg.vocab_size, n).tolist(), cap))
+        caps[rid] = cap
+
+    want = {}
+    for rid, prompt, cap in requests:
+        tok, ln = generate(
+            params, cfg, jnp.asarray([prompt], jnp.int32),
+            jnp.asarray([len(prompt)], jnp.int32), max_new_tokens=cap,
+            temperature=0.2, top_k=1, compute_dtype=jnp.float32,
+        )
+        want[rid] = list(np.asarray(tok)[0][: int(ln[0])])
+
+    batcher = ContinuousBatcher(
+        params, cfg, slots=2, max_new_tokens=150, draft_len=3,
+        chunk_steps=2, compute_dtype=jnp.float32,
+    )
+    records = batcher.serve(requests)
+    assert len(records) == len(requests)
+    for rec in records:
+        assert rec["tokens"] == want[rec["id"]], rec["id"]
+        assert len(rec["tokens"]) - rec["prompt_len"] <= caps[rec["id"]]
