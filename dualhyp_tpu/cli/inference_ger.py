@@ -37,9 +37,13 @@ def build_parser():
     parser.add_argument("--max_new_tokens", type=int, default=150)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_k", type=int, default=1)
-    parser.add_argument("--quantize", choices=[None, "int8"], default=None,
-                        help="int8 weight quantization (2x faster decode at "
-                             "batch 1; replaces the reference's bnb/gptq path)")
+    parser.add_argument("--quantize", choices=[None, "int8", "int4"],
+                        default=None,
+                        help="weight quantization (replaces the reference's "
+                             "bnb/gptq path): int8 = per-channel, ~2x faster "
+                             "batch-1 decode, token-exact in practice; int4 "
+                             "= GPTQ-style group-wise, ~4x smaller weights, "
+                             "lossy — validate WER before serving")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding (greedy "
                              "only; token-identical — corrections mostly "
@@ -273,13 +277,13 @@ def main(argv=None):
     params = common.load_base_params(checkpoint_dir, model_cfg)
     finetuned = load_params(args.model_path)
     params = _overlay(params, finetuned)
-    if args.quantize == "int8":
+    if args.quantize:
         from dualhyp_tpu.models.gpt import merge_lora
         from dualhyp_tpu.ops.quant import quantize_tree
 
         if model_cfg.any_lora:
             params = merge_lora(params, model_cfg)
-        params = quantize_tree(params)
+        params = quantize_tree(params, mode=args.quantize)
 
     mesh = None
     if (jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1

@@ -252,11 +252,16 @@ def _dropout(x, rate, rng):
 
 
 def _base_linear(leaves, x):
-    """Plain or int8-quantized linear depending on the leaf set."""
+    """Plain or int8/int4-quantized linear depending on the leaf set."""
     from dualhyp_tpu.ops import quant
 
     if quant.Q_KEY in leaves:
         y = quant.qmatmul(x, leaves[quant.Q_KEY], leaves[quant.SCALE_KEY])
+        if "bias" in leaves:
+            y = y + leaves["bias"].astype(y.dtype)
+        return y
+    if quant.Q4_KEY in leaves:
+        y = quant.q4matmul(x, leaves[quant.Q4_KEY], leaves[quant.SCALE4_KEY])
         if "bias" in leaves:
             y = y + leaves["bias"].astype(y.dtype)
         return y
@@ -277,7 +282,7 @@ def _use_fused_lora(leaves) -> bool:
     from dualhyp_tpu.ops import backend as _backend
     from dualhyp_tpu.ops import quant
 
-    if quant.Q_KEY in leaves or "lora_A" not in leaves:
+    if quant.Q_KEY in leaves or quant.Q4_KEY in leaves or "lora_A" not in leaves:
         return False
     if os.environ.get("DUALHYP_LORA_IMPL", "xla") != "fused":
         return False
@@ -400,15 +405,61 @@ def _split_heads(cfg: GPTConfig, qkv):
     return q, k, v
 
 
+def _moe_mlp_sparse(cfg: GPTConfig, leaves, x):
+    """Dropless sparse-compute MoE: tokens sort by assigned expert and each
+    expert runs grouped matmuls over its contiguous span via
+    `jax.lax.ragged_dot` (megablox-style grouped GEMM on TPU). FLOPs scale
+    with top-k instead of n_expert — the production path for large expert
+    counts. Numerically equivalent to `_moe_mlp` (same top-k softmax
+    weights; tested in tests/test_moe.py). Select with
+    DUALHYP_MOE_IMPL=sparse; the dense path stays the default because it
+    partitions trivially under expert-parallel sharding.
+    """
+    e, k = cfg.n_expert, cfg.n_expert_per_token
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    xf = x.reshape(-1, d)
+    n = xf.shape[0]
+
+    router = einsum(
+        "nd,ed->ne", xf, leaves["gate"]["weight"].astype(x.dtype)
+    ).astype(jnp.float32)
+    top_vals, top_ids = jax.lax.top_k(router, k)  # (N, K)
+    weights = jax.nn.softmax(top_vals, axis=-1).astype(x.dtype)
+
+    ef = top_ids.reshape(-1)  # (N*K,) expert per flat slot
+    order = jnp.argsort(ef)  # stable: ties keep token order
+    xr = jnp.take(xf, order // k, axis=0)  # (N*K, D) sorted by expert
+    group_sizes = jnp.bincount(ef, length=e).astype(jnp.int32)
+
+    w1 = leaves["fc_1"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,D,O)
+    w2 = leaves["fc_2"]["weight"].astype(x.dtype).transpose(0, 2, 1)
+    wp = leaves["proj"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,O,D)
+    h = jax.nn.silu(jax.lax.ragged_dot(xr, w1, group_sizes)) * jax.lax.ragged_dot(
+        xr, w2, group_sizes
+    )
+    out = jax.lax.ragged_dot(h, wp, group_sizes)  # (N*K, D)
+
+    inv = jnp.argsort(order)
+    out = jnp.take(out, inv, axis=0).reshape(n, k, d)
+    return (out * weights[..., None]).sum(axis=1).reshape(orig_shape)
+
+
 def _moe_mlp(cfg: GPTConfig, leaves, x):
     """Dense-compute sparse-weight MoE (top-k routing, Mixtral semantics).
 
     Every expert runs on every token and results combine through the
     (renormalised) top-k router weights — zero-weight experts contribute
     nothing, so outputs equal true sparse routing. Dense compute maps
-    cleanly onto the MXU and needs no sort/scatter; swap in grouped matmuls
-    (megablox-style) when deploying very large expert counts.
+    cleanly onto the MXU, needs no sort/scatter, and partitions trivially
+    under expert-parallel sharding; `_moe_mlp_sparse`
+    (DUALHYP_MOE_IMPL=sparse) is the grouped-GEMM path whose FLOPs scale
+    with top-k instead of n_expert.
     """
+    import os
+
+    if os.environ.get("DUALHYP_MOE_IMPL") == "sparse":
+        return _moe_mlp_sparse(cfg, leaves, x)
     e, k = cfg.n_expert, cfg.n_expert_per_token
     router = einsum("...d,ed->...e", x, leaves["gate"]["weight"].astype(x.dtype))
     router = router.astype(jnp.float32)
@@ -431,7 +482,8 @@ def _mlp(cfg: GPTConfig, leaves, x, *, lora_gate=None, rng=None):
     if cfg.mlp_class in ("LLaMAMLP", "GemmaMLP"):
         gate = "silu" if cfg.mlp_class == "LLaMAMLP" else "gelu"
         if not any(
-            k in leaves["fc_1"] for k in ("lora_A", "adapter_scale", "weight_q8")
+            k in leaves["fc_1"]
+            for k in ("lora_A", "adapter_scale", "weight_q8", "weight_q4")
         ):
             return mlp_ops.swiglu_mlp(
                 x,

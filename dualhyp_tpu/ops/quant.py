@@ -55,6 +55,67 @@ def qmatmul(x, q, scale):
     return out.astype(x.dtype)
 
 
+Q4_KEY = "weight_q4"
+SCALE4_KEY = "weight_scale4"
+INT4_GROUP = 128  # in-dim group size for the int4 scales
+
+
+def quantize_weight_int4(w, group: int = INT4_GROUP):
+    """(out, in) float -> (packed int8 (out, in//2), scale (out, in//group)).
+
+    Symmetric group-wise int4 (GPTQ-style groups along the input dim;
+    per-channel int4 is too coarse for LLM weights). Two 4-bit values in
+    [-7, 7] pack per byte: low nibble = even columns, high nibble = odd.
+    """
+    out_d, in_d = w.shape[-2:]
+    assert in_d % group == 0 and in_d % 2 == 0, (w.shape, group)
+    lead = w.shape[:-2]
+    wg = w.reshape(*lead, out_d, in_d // group, group)
+    absmax = jnp.max(jnp.abs(wg), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, out_d, in_d)
+    lo = q[..., 0::2] & 0x0F
+    hi = (q[..., 1::2] & 0x0F) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return packed, scale[..., 0].astype(jnp.float32)
+
+
+def dequantize_weight_int4(packed, scale, dtype=jnp.float32,
+                           group: int = INT4_GROUP):
+    """Unpack + rescale to (out, in) in `dtype` (sign-extended nibbles)."""
+    lo = jnp.left_shift(packed, 4)
+    lo = jnp.right_shift(lo, 4)  # arithmetic: sign-extends the low nibble
+    hi = jnp.right_shift(packed, 4)
+    *lead, out_d, half = packed.shape
+    q = jnp.stack([lo, hi], axis=-1).reshape(*lead, out_d, half * 2)
+    qg = q.reshape(*lead, out_d, (half * 2) // group, group).astype(dtype)
+    return (qg * scale[..., None].astype(dtype)).reshape(
+        *lead, out_d, half * 2
+    )
+
+
+def q4matmul(x, packed, scale, group: int = INT4_GROUP):
+    """x (..., in) @ dequant4(packed).T.
+
+    Pallas backend: fused dequant+matmul kernel — the int4 tile unpacks
+    in VMEM so HBM sees only the packed bytes (the XLA fallback
+    materialises the dequantised bf16 weights, which costs MORE bandwidth
+    than int8; BENCH_NOTES.md). Decode is weight-bandwidth-bound, so the
+    packed read is the win."""
+    from dualhyp_tpu.ops import backend
+
+    if packed.ndim == 2 and backend.get_backend() == "pallas":
+        from dualhyp_tpu.ops.pallas import int4_kernel
+
+        return int4_kernel.q4_matmul(x, packed, scale, group=group)
+    w = dequantize_weight_int4(packed, scale, dtype=x.dtype, group=group)
+    return jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+    )
+
+
 def _should_quantize(path_leaf_key: str, leaf) -> bool:
     if path_leaf_key != "weight":
         return False
@@ -63,12 +124,16 @@ def _should_quantize(path_leaf_key: str, leaf) -> bool:
     return min(leaf.shape[-2:]) >= _MIN_QUANT_DIM
 
 
-def quantize_tree(params: dict) -> dict:
-    """Replace big linear 'weight' leaves with int8 + scale pairs.
+def quantize_tree(params: dict, mode: str = "int8") -> dict:
+    """Replace big linear 'weight' leaves with quantized pairs.
 
+    mode="int8": per-channel int8 (token-exact in practice, 2x decode);
+    mode="int4": group-wise int4 (GPTQ-style, ~4x smaller weights —
+    lossy; validate WER on the target model before serving with it).
     Embedding tables ('wte') stay full precision (they're gathers, not
     matmuls). Stacked (L, out, in) weights quantize per (layer, row).
     """
+    assert mode in ("int8", "int4"), mode
 
     def walk(node, name=""):
         if not isinstance(node, dict):
@@ -80,9 +145,14 @@ def quantize_tree(params: dict) -> dict:
                 and _should_quantize(key, child)
                 and name != "wte"
             ):
-                q, scale = quantize_weight(jnp.asarray(child))
-                out[Q_KEY] = q
-                out[SCALE_KEY] = scale
+                if mode == "int4" and child.shape[-1] % INT4_GROUP == 0:
+                    q, scale = quantize_weight_int4(jnp.asarray(child))
+                    out[Q4_KEY] = q
+                    out[SCALE4_KEY] = scale
+                else:
+                    q, scale = quantize_weight(jnp.asarray(child))
+                    out[Q_KEY] = q
+                    out[SCALE_KEY] = scale
             else:
                 out[key] = walk(child, key)
         return out
@@ -91,4 +161,4 @@ def quantize_tree(params: dict) -> dict:
 
 
 def is_quantized(leaves: dict) -> bool:
-    return Q_KEY in leaves
+    return Q_KEY in leaves or Q4_KEY in leaves

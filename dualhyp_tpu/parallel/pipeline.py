@@ -103,11 +103,12 @@ def pipeline_blocks(cfg: GPTConfig, blocks, x_micro, cos, sin, mesh: Mesh):
     )(blocks, x_micro)
 
 
-def pipeline_logits(params, cfg: GPTConfig, idx, mesh: Mesh, *,
+def pipeline_hidden(params, cfg: GPTConfig, idx, mesh: Mesh, *,
                     n_micro: int = 2, compute_dtype=jnp.float32):
-    """Full forward with the block stack pipelined: idx (B, T) with
-    B % n_micro == 0. Embedding/norm/head run replicated. Returns logits
-    (B, T, padded_vocab) float32 — equal to `gpt.forward` (tested)."""
+    """Forward to final hidden states with the block stack pipelined:
+    idx (B, T) with B % n_micro == 0. Embedding and final norm run
+    replicated. Returns (B, T, D). Note: LoRA dropout is not threaded
+    through the pipeline (train with lora_dropout=0 under PP)."""
     b, t = idx.shape
     assert b % n_micro == 0, (b, n_micro)
     mb = b // n_micro
@@ -117,5 +118,13 @@ def pipeline_logits(params, cfg: GPTConfig, idx, mesh: Mesh, *,
     x_micro = x.reshape(n_micro, mb, t, -1)
     y = pipeline_blocks(cfg, params["blocks"], x_micro, cos, sin, mesh)
     y = y.reshape(b, t, -1)
-    y = gpt._norm(cfg, params["ln_f"], y)
+    return gpt._norm(cfg, params["ln_f"], y)
+
+
+def pipeline_logits(params, cfg: GPTConfig, idx, mesh: Mesh, *,
+                    n_micro: int = 2, compute_dtype=jnp.float32):
+    """Full forward with the block stack pipelined. Returns logits
+    (B, T, padded_vocab) float32 — equal to `gpt.forward` (tested)."""
+    y = pipeline_hidden(params, cfg, idx, mesh, n_micro=n_micro,
+                        compute_dtype=compute_dtype)
     return gpt._head(cfg, params, y).astype(jnp.float32)

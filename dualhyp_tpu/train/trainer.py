@@ -96,6 +96,8 @@ class TrainConfig:
     remat: bool = False
     reference_loss_norm: bool = True  # mean-over-all-tokens training quirk
     mode: str = "lora"  # lora | adapter | adapter_v2 | full
+    pipeline_stages: int = 1       # >1: GPipe PP over the block stack
+    pipeline_microbatches: int = 2  # microbatches in flight per PP step
 
     @property
     def grad_accum(self) -> int:
@@ -158,21 +160,47 @@ class Trainer:
         self.micro_iter = 0  # reference counts micro-iterations
         self._compute_dtype = jnp.dtype(train_cfg.compute_dtype)
 
+        self._pipe_mesh = None
+        if train_cfg.pipeline_stages > 1:
+            from dualhyp_tpu.parallel.pipeline import make_pipe_mesh
+
+            assert mesh is None, (
+                "pipeline_stages uses a dedicated pipe mesh; "
+                "combine dp/fsdp/tp via the sharded path instead"
+            )
+            assert model_cfg.lora_dropout == 0.0, (
+                "LoRA dropout is not threaded through the pipeline; "
+                "set lora_dropout=0 under pipeline_stages > 1"
+            )
+            self._pipe_mesh = make_pipe_mesh(train_cfg.pipeline_stages)
+
         self._step_fn = self._build_step()
         self._eval_fn = self._build_eval()
 
     # ---- loss ----
     def _loss(self, trainable, frozen, input_ids, labels, rng):
         params = combine(trainable, jax.lax.stop_gradient(frozen))
-        hidden = gpt.forward(
-            params,
-            self.model_cfg,
-            input_ids,
-            rng=rng,
-            compute_dtype=self._compute_dtype,
-            remat=self.cfg.remat,
-            return_hidden=True,
-        )
+        if self._pipe_mesh is not None:
+            from dualhyp_tpu.parallel.pipeline import pipeline_hidden
+
+            hidden = pipeline_hidden(
+                params,
+                self.model_cfg,
+                input_ids,
+                self._pipe_mesh,
+                n_micro=self.cfg.pipeline_microbatches,
+                compute_dtype=self._compute_dtype,
+            )
+        else:
+            hidden = gpt.forward(
+                params,
+                self.model_cfg,
+                input_ids,
+                rng=rng,
+                compute_dtype=self._compute_dtype,
+                remat=self.cfg.remat,
+                return_hidden=True,
+            )
         # shift: logits[t] predicts labels[t+1] (ref: finetune/ger.py:279-281)
         hidden = hidden[:, :-1]
         targets = labels[:, 1:]

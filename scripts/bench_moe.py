@@ -1,0 +1,71 @@
+"""MoE compute-path benchmark: dense vs sparse (ragged_dot) on real TPU.
+
+Mixtral-shaped small config (8 experts, top-2): dense compute runs every
+expert on every token (4x the top-2 FLOPs); the sparse path's grouped
+GEMMs scale with top-k. Reports full train-step times for both.
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from dualhyp_tpu.config import GPTConfig
+from dualhyp_tpu.models import gpt
+from dualhyp_tpu.train import TrainConfig, Trainer
+
+MB, SEQ = 4, 1024
+
+
+def run(impl: str) -> float:
+    if impl == "sparse":
+        os.environ["DUALHYP_MOE_IMPL"] = "sparse"
+    else:
+        os.environ.pop("DUALHYP_MOE_IMPL", None)
+    cfg = GPTConfig(
+        name=f"moe-bench-{impl}", block_size=2048, vocab_size=8192,
+        padding_multiple=64, n_layer=4, n_head=16, n_query_groups=4,
+        n_embd=1024, rotary_percentage=1.0, parallel_residual=False,
+        bias=False, norm_class="RMSNorm", mlp_class="LLaMAMoE",
+        intermediate_size=3584, n_expert=8, n_expert_per_token=2,
+    )
+    params = gpt.init(cfg, jax.random.key(0))
+    tcfg = TrainConfig(batch_size=MB, micro_batch_size=MB,
+                       compute_dtype="bfloat16", frozen_dtype="bfloat16",
+                       mode="full", lm_head_chunk_size=128, remat=True)
+    trainer = Trainer(cfg, tcfg, params)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, (MB, SEQ)).astype(np.int32)
+    batch = {"input_ids": ids, "labels": ids.copy()}
+
+    for _ in range(2):
+        trainer.train_step(batch, max_iters=100, warmup_steps=5,
+                           rng=jax.random.key(1))
+    jax.block_until_ready(trainer.trainable)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        trainer.train_step(batch, max_iters=100, warmup_steps=5,
+                           rng=jax.random.key(1))
+    jax.block_until_ready(trainer.trainable)
+    dt = (time.perf_counter() - t0) / 8
+    print(f"{impl}: {dt*1e3:.1f} ms/step ({MB*SEQ/dt:,.0f} tok/s)", flush=True)
+    return dt
+
+
+def main():
+    d = run("dense")
+    s = run("sparse")
+    print(f"sparse vs dense: x{d/s:.2f}")
+
+
+if __name__ == "__main__":
+    main()

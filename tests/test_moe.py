@@ -82,3 +82,39 @@ def test_moe_decode_matches_forward():
         compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(logits[0]), full[0, 3], rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_moe_matches_dense(rng, monkeypatch):
+    """DUALHYP_MOE_IMPL=sparse (ragged_dot grouped GEMM) must match the
+    dense-compute path in forward and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.models import gpt
+
+    cfg = _moe_cfg()
+    params = gpt.init(cfg, jax.random.key(1))
+    idx = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 12)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 12)), jnp.int32)
+
+    def loss(p):
+        logits = gpt.forward(p, cfg, idx, compute_dtype=jnp.float32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    monkeypatch.delenv("DUALHYP_MOE_IMPL", raising=False)
+    dense_out = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+    dense_l, dense_g = jax.value_and_grad(loss)(params)
+
+    monkeypatch.setenv("DUALHYP_MOE_IMPL", "sparse")
+    sparse_out = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+    sparse_l, sparse_g = jax.value_and_grad(loss)(params)
+
+    np.testing.assert_allclose(sparse_out, dense_out, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(sparse_l), float(dense_l), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dense_g), jax.tree_util.tree_leaves(sparse_g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        )

@@ -63,3 +63,43 @@ def test_pipeline_grads_match_forward():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-6
         )
+
+
+def test_trainer_pipeline_mode_matches_replicated():
+    """TrainConfig.pipeline_stages: full train steps through the GPipe
+    path produce the same losses as the single-device trainer."""
+    from dualhyp_tpu.train import TrainConfig, Trainer
+
+    cfg = helpers.tiny_llama_config(
+        n_layer=4, lora_r=4, lora_alpha=8, lora_dropout=0.0,
+        lora_query=True, lora_key=True, lora_value=True,
+        lora_projection=True,
+    )
+    params = gpt.init(cfg, jax.random.key(1))
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(3):
+        ids = rng.integers(1, cfg.vocab_size, (4, 16)).astype(np.int32)
+        labels = ids.copy()
+        labels[:, :4] = -1
+        batches.append({"input_ids": ids, "labels": labels})
+
+    tcfg_ref = TrainConfig(batch_size=4, micro_batch_size=4,
+                           compute_dtype="float32")
+    ref = Trainer(cfg, tcfg_ref, jax.tree_util.tree_map(jnp.copy, params))
+    ref_losses = [
+        float(ref.train_step(b, max_iters=10, warmup_steps=1,
+                             rng=jax.random.key(i))[0])
+        for i, b in enumerate(batches)
+    ]
+
+    tcfg_pp = TrainConfig(batch_size=4, micro_batch_size=4,
+                          compute_dtype="float32", pipeline_stages=2,
+                          pipeline_microbatches=2)
+    pp = Trainer(cfg, tcfg_pp, jax.tree_util.tree_map(jnp.copy, params))
+    pp_losses = [
+        float(pp.train_step(b, max_iters=10, warmup_steps=1,
+                            rng=jax.random.key(i))[0])
+        for i, b in enumerate(batches)
+    ]
+    np.testing.assert_allclose(pp_losses, ref_losses, rtol=1e-5, atol=1e-6)

@@ -69,3 +69,78 @@ def test_int8_decode_agrees_with_fp(rng):
     t_q, _ = generate(qparams, cfg, ids, lengths, **kw)
     agree = (np.asarray(t_fp) == np.asarray(t_q)).mean()
     assert agree >= 0.8, agree
+
+
+def test_int4_roundtrip_groupwise(rng):
+    from dualhyp_tpu.ops import quant
+
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    packed, scale = quant.quantize_weight_int4(jnp.asarray(w))
+    assert packed.shape == (64, 256) and packed.dtype == jnp.int8
+    assert scale.shape == (64, 512 // quant.INT4_GROUP)
+    deq = np.asarray(quant.dequantize_weight_int4(packed, scale))
+    # max error bounded by half an int4 step per group
+    step = np.repeat(np.asarray(scale), quant.INT4_GROUP, axis=1)
+    assert np.all(np.abs(deq - w) <= step * 0.5 + 1e-7)
+
+
+def test_q4matmul_close_to_fp(rng):
+    from dualhyp_tpu.ops import quant
+
+    w = rng.normal(size=(64, 512)).astype(np.float32) * 0.05
+    x = rng.normal(size=(3, 512)).astype(np.float32)
+    packed, scale = quant.quantize_weight_int4(jnp.asarray(w))
+    got = np.asarray(quant.q4matmul(jnp.asarray(x), packed, scale))
+    want = x @ w.T
+    # symmetric int4 on gaussian weights: step = absmax/7 ~ 3sigma/7, so
+    # the expected relative noise is ~(step/sqrt(12))/sigma ~ 12%
+    assert np.mean(np.abs(got - want)) / np.mean(np.abs(want)) < 0.15
+
+
+def test_int4_model_forward_and_decode(rng):
+    """quantize_tree(mode='int4') end to end: forward close to fp and the
+    greedy decoder runs (int4 is lossy; token agreement is model-dependent
+    and validated per checkpoint, unlike int8)."""
+    from dualhyp_tpu.infer.decode import generate
+    from dualhyp_tpu.models import gpt
+    from dualhyp_tpu.ops import quant
+    from tests import helpers
+
+    cfg = helpers.tiny_llama_config(
+        n_embd=256, n_head=8, n_query_groups=2, intermediate_size=512,
+        vocab_size=384, padding_multiple=128,
+    )
+    params = gpt.init(cfg, jax.random.key(0))
+    qparams = quant.quantize_tree(params, mode="int4")
+    assert "weight_q4" in qparams["blocks"]["attn"]["qkv"]
+    idx = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 12)), jnp.int32)
+    fp = np.asarray(gpt.forward(params, cfg, idx, compute_dtype=jnp.float32))
+    q4 = np.asarray(gpt.forward(qparams, cfg, idx, compute_dtype=jnp.float32))
+    assert np.isfinite(q4).all()
+    # logits stay correlated with the fp model (lossy but sane)
+    corr = np.corrcoef(fp.ravel(), q4.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+    toks, lens = generate(
+        qparams, cfg, idx, jnp.asarray([12, 12], jnp.int32),
+        max_new_tokens=4, temperature=0.2, top_k=1,
+        compute_dtype=jnp.float32,
+    )
+    assert np.asarray(lens).min() >= 12
+
+
+def test_int4_pallas_kernel_matches_xla(rng):
+    """Fused dequant+matmul kernel (interpret mode on CPU) == the XLA
+    dequant path, across shapes incl. padding remainders."""
+    from dualhyp_tpu.ops import quant
+    from dualhyp_tpu.ops.pallas import int4_kernel
+
+    for out_d, in_d in [(320, 640), (256, 2048), (100, 512)]:
+        w = rng.normal(size=(out_d, in_d)).astype(np.float32) * 0.05
+        x = rng.normal(size=(5, in_d)).astype(np.float32)
+        packed, scale = quant.quantize_weight_int4(jnp.asarray(w))
+        ref = x @ np.asarray(quant.dequantize_weight_int4(packed, scale)).T
+        got = np.asarray(
+            int4_kernel.q4_matmul(jnp.asarray(x), packed, scale)
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
