@@ -35,6 +35,12 @@ def build_parser():
     parser.add_argument("--max_new_tokens", type=int, default=150)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--top_k", type=int, default=1)
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding (greedy "
+                             "only, token-identical; see inference_ger)")
+    parser.add_argument("--draft_len", type=int, default=8)
+    parser.add_argument("--scheduler", choices=["lockstep", "continuous"],
+                        default="lockstep")
     parser.add_argument("--mask_threshold", type=float, default=None)
     parser.add_argument("--time_window", type=float, default=0.4)
     parser.add_argument("--feature_dir", type=str, default=None)
@@ -166,6 +172,9 @@ def main(argv=None):
         temperature=args.temperature,
         top_k=args.top_k,
         collect_latency=True,
+        speculative=args.speculative,
+        draft_len=args.draft_len,
+        scheduler=args.scheduler,
     )
     metrics.update(
         {f"mask_{k}": v for k, v in rp.mask_metrics(

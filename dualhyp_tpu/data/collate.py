@@ -109,3 +109,72 @@ def epoch_batches(dataset, batch_size: int, *, shuffle: bool, seed: int,
         batch = pad_batch(chunk, buckets)
         batch["valid"] = np.ones((batch_size,), np.int32)
         yield batch
+
+
+def prefetch_epoch_batches(dataset, batch_size: int, *, shuffle: bool,
+                           seed: int, epoch: int,
+                           buckets: Sequence[int] = DEFAULT_BUCKETS,
+                           drop_last: bool = False,
+                           process_index: int = 0,
+                           process_count: int = 1,
+                           prefetch: int = 2) -> Iterable[dict]:
+    """`epoch_batches` with lazy, pipelined example fetching.
+
+    `epoch_batches` materialises the WHOLE epoch before the first batch —
+    fine for the text-only GER path (tokenise once), but a long stall when
+    corruption is enabled and __getitem__ loads waveforms/mouth-ROI HDF5
+    (the RelPrompt training path; the reference leans on torch DataLoader
+    workers, ref: finetune/ger.py:173-174). A producer thread builds
+    padded batches into a bounded queue, overlapping host-side IO/packing
+    with device compute (the train step dispatches asynchronously, so the
+    queue fills while the TPU works). The producer fetches examples
+    SEQUENTIALLY: the datasets consume a shared seeded RNG per
+    __getitem__, so parallel fetching would race it and change the draw
+    sequence. Batch order/content identical to `epoch_batches` without
+    `length_sorted` (tested)."""
+    import queue
+    import threading
+
+    order = list(range(len(dataset)))
+    rng = random.Random(seed + epoch)
+    if shuffle:
+        rng.shuffle(order)
+    if process_count > 1:
+        order = order[process_index::process_count]
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+    _END = object()
+
+    def produce():
+        try:
+            for i in range(0, len(order), batch_size):
+                idxs = order[i : i + batch_size]
+                if drop_last and len(idxs) < batch_size:
+                    break
+                chunk = [dataset[j] for j in idxs]
+                if len(chunk) < batch_size:
+                    pad = [chunk[-1]] * (batch_size - len(chunk))
+                    batch = pad_batch(chunk + pad, buckets)
+                    batch["labels"][len(chunk):] = IGNORE_INDEX
+                    batch["valid"] = np.asarray(
+                        [1] * len(chunk) + [0] * (batch_size - len(chunk)),
+                        np.int32,
+                    )
+                else:
+                    batch = pad_batch(chunk, buckets)
+                    batch["valid"] = np.ones((batch_size,), np.int32)
+                q.put(batch)
+            q.put(_END)
+        except BaseException as exc:  # surface in the consumer
+            q.put(exc)
+
+    worker = threading.Thread(target=produce, daemon=True)
+    worker.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    worker.join()

@@ -161,3 +161,28 @@ def test_per_epoch_variant_resampling(json_path):
     ds = hypotheses.DualHypothesesDataset("train", json_path, tok, seed=11)
     draws = {tuple(id(r) for r in ds._draw("uid00000")) for _ in range(20)}
     assert len(draws) > 1
+
+
+def test_prefetch_epoch_batches_matches_sync(tmp_path):
+    """The threaded prefetching iterator yields byte-identical batches in
+    the same order as the synchronous epoch_batches."""
+    from dualhyp_tpu.data import collate, hypotheses, synthetic
+
+    path = tmp_path / "h.json"
+    synthetic.write_json(path, synthetic.make_records(n_uids=9, seed=2))
+    tok = WordTokenizer()
+    ds = hypotheses.DualHypothesesDataset(
+        "train", str(path), tok, prompts_format="DualHyp", seed=3
+    )
+    kw = dict(shuffle=True, seed=5, epoch=2, buckets=(256, 512))
+    sync = list(collate.epoch_batches(ds, 4, **kw))
+    # dataset draws are seeded per (uid, epoch); rebuild for identical draws
+    ds2 = hypotheses.DualHypothesesDataset(
+        "train", str(path), tok, prompts_format="DualHyp", seed=3
+    )
+    pre = list(collate.prefetch_epoch_batches(ds2, 4, **kw))
+    assert len(pre) == len(sync)
+    for a, b in zip(sync, pre):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
