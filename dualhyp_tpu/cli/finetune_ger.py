@@ -191,8 +191,22 @@ def main(argv=None):
             window_losses.append(loss)
             if opt_step % max(args.log_interval // tcfg.grad_accum, 1) == 0:
                 stats = monitor.stats()
-                avg = sum(window_losses) / len(window_losses)
+                avg = float(sum(window_losses)) / len(window_losses)
                 window_losses.clear()
+                if not np.isfinite(avg):
+                    # failure detection the reference lacks: stop with the
+                    # resume state intact instead of burning epochs on NaN
+                    trainer.save_train_state(
+                        out_dir / "train_state_diverged.npz",
+                        extra={"epoch": epoch},
+                    )
+                    raise SystemExit(
+                        f"loss became non-finite at step {opt_step} "
+                        f"(lr {lr:.2e}); state saved to "
+                        f"train_state_diverged.npz — resume from the last "
+                        f"epoch checkpoint with --resume (lower lr or raise "
+                        f"warmup)"
+                    )
                 logger.info(
                     f"step {opt_step}: loss {avg:.4f} lr {lr:.2e} "
                     f"tok/s {stats.get('tokens_per_sec', 0):,.0f} "

@@ -56,6 +56,9 @@ def build_parser():
         help="HF whisper dir: compute audio features on-device with the JAX "
              "encoder (visual features still need --feature_dir)",
     )
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from runs/<exp>/train_state.npz "
+                             "(optimizer moments + LR clock, exact)")
     common.add_model_args(parser)
     common.add_data_args(parser)
     common.add_mesh_args(parser)
@@ -256,7 +259,14 @@ def main(argv=None):
     best_llm = float("inf")
     rng = jax.random.key(args.seed)
     opt_step = 0
-    for epoch in range(args.num_epochs):
+    state_path = out_dir / "train_state.npz"
+    start_epoch = 0
+    if args.resume and state_path.is_file():
+        extra = trainer.load_train_state(state_path)
+        start_epoch = extra.get("epoch", -1) + 1
+        opt_step = trainer.opt_step
+        logger.info(f"resumed from {state_path}: epoch {start_epoch}")
+    for epoch in range(start_epoch, args.num_epochs):
         for batch in collate.epoch_batches(
             train_ds, tcfg.batch_size, shuffle=True, seed=args.seed, epoch=epoch,
             length_sorted=True,
@@ -278,6 +288,7 @@ def main(argv=None):
             if opt_step % args.save_interval == 0:
                 best_llm = _validate(trainer, val_ds, loader, feat_rng, model_cfg,
                                      tcfg, out_dir, best_llm, logger)
+        trainer.save_train_state(state_path, extra={"epoch": epoch})
     best_llm = _validate(trainer, val_ds, loader, feat_rng, model_cfg, tcfg,
                          out_dir, best_llm, logger)
     save_params(out_dir / "model_relprompt_finetuned.npz", trainer.params)

@@ -72,16 +72,10 @@ def transcribe_vsr_nbest(video, frontend_params, enc_params, enc_cfg,
     ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
     scorer = CTCPrefixScorer(ctc_lp, blank=blank, eos=eos) if ctc_weight > 0 else None
 
-    step = jax.jit(
-        lambda toks, mem: jax.nn.log_softmax(
-            ed.decode_logits(dec_params, dec_cfg, toks, mem)[:, -1], axis=-1
-        )
-    )
+    from dualhyp_tpu.infer.joint_beam_search import static_shape_att_fn
 
-    def att_fn(tokens):
-        n = tokens.shape[0]
-        mem = jnp.broadcast_to(memory, (n,) + memory.shape[1:])
-        return step(jnp.asarray(tokens, jnp.int32), mem)
+    # static padded shapes: O(max_len/16) compiles instead of one per token
+    att_fn = static_shape_att_fn(dec_params, dec_cfg, memory, beam_size)
 
     hyps = joint_beam_search(
         att_fn,

@@ -26,6 +26,48 @@ import numpy as np
 from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
 
 
+def static_shape_att_fn(dec_params, dec_cfg, memory, beam_size,
+                        pad_multiple: int = 16):
+    """Beam-callback wrapper with STATIC jit shapes.
+
+    The naive callback jits on the raw (n_hyps, t) token array, so every
+    decode length (and every beam width) triggers a fresh XLA compile —
+    on a remote-compile TPU that is one multi-second compile PER TOKEN.
+    Here rows pad to beam_size, lengths pad to multiples of
+    `pad_multiple`, and the position index is a traced scalar:
+    O(max_len / pad_multiple) compiled programs total. The decoder's
+    causal self-attention makes right padding invisible to the scored
+    position."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.models import espnet_decoder as ed
+
+    mem_beam = jnp.broadcast_to(memory, (beam_size,) + memory.shape[1:])
+
+    @jax.jit
+    def step(toks, mem, pos):
+        lp = jax.nn.log_softmax(
+            ed.decode_logits(dec_params, dec_cfg, toks, mem), axis=-1
+        )
+        return jax.lax.dynamic_index_in_dim(lp, pos, axis=1, keepdims=False)
+
+    def att_fn(tokens):
+        tokens = np.asarray(tokens, np.int32)
+        n, t = tokens.shape
+        t_pad = -(-t // pad_multiple) * pad_multiple
+        n_pad = max(beam_size, n)
+        buf = np.zeros((n_pad, t_pad), np.int32)
+        buf[:n, :t] = tokens
+        mem = mem_beam if n_pad == beam_size else jnp.broadcast_to(
+            memory, (n_pad,) + memory.shape[1:]
+        )
+        out = step(jnp.asarray(buf), mem, jnp.int32(t - 1))
+        return np.asarray(out)[:n]
+
+    return att_fn
+
+
 @dataclass
 class JointHypothesis:
     tokens: List[int]          # includes leading sos
