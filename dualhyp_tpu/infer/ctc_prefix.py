@@ -73,3 +73,51 @@ class CTCPrefixScorer:
             log_psi[blank_pos] = LOG_ZERO
 
         return log_psi, np.moveaxis(r, 2, 0)
+
+    def score_batch(self, ys, cs, r_prev):
+        """Vectorised across hypotheses: one T-loop for the whole beam
+        instead of one per hypothesis (the per-hyp loop dominated the
+        joint-beam step time at beam 40).
+
+        ys: list of H prefixes (each including the leading sos), ALL the
+        same length (beam search extends every live hypothesis by one
+        token per step); cs: (H, C) candidate ids; r_prev: (H, T, 2)
+        states. Returns (log_psi (H, C), r_new (H, C, T, 2))."""
+        cs = np.asarray(cs)
+        h, c = cs.shape
+        lengths = {len(y) for y in ys}
+        assert len(lengths) == 1, "beam hypotheses must share a length"
+        output_length = lengths.pop() - 1  # sos excluded
+
+        r = np.full((self.t, 2, h, c), LOG_ZERO, np.float32)
+        xs = np.moveaxis(self.x[:, cs], 0, 0)  # (T, H, C)
+        if output_length == 0:
+            r[0, 0] = xs[0]
+
+        r_sum = np.logaddexp(r_prev[:, :, 0], r_prev[:, :, 1])  # (H, T)
+        log_phi = np.broadcast_to(
+            r_sum.T[:, :, None], (self.t, h, c)
+        ).copy()  # (T, H, C)
+        if output_length > 0:
+            last = np.asarray([y[-1] for y in ys])
+            hs, cols = np.where(cs == last[:, None])
+            if len(hs) > 0:
+                log_phi[:, hs, cols] = r_prev[hs, :, 1].T
+
+        start = max(output_length, 1)
+        log_psi = r[start - 1, 0].copy()  # (H, C)
+        x_blank = self.x[:, self.blank]
+        for t in range(start, self.t):
+            r[t, 0] = np.logaddexp(r[t - 1, 0], log_phi[t - 1]) + xs[t]
+            r[t, 1] = np.logaddexp(r[t - 1, 0], r[t - 1, 1]) + x_blank[t]
+            log_psi = np.logaddexp(log_psi, log_phi[t - 1] + xs[t])
+
+        eos_mask = cs == self.eos
+        if eos_mask.any():
+            log_psi[eos_mask] = np.broadcast_to(
+                r_sum[:, -1][:, None], (h, c)
+            )[eos_mask]
+        log_psi[cs == self.blank] = LOG_ZERO
+
+        # (T, 2, H, C) -> (H, C, T, 2)
+        return log_psi, np.moveaxis(np.moveaxis(r, 2, 0), 3, 1)

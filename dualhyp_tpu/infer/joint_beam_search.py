@@ -26,31 +26,53 @@ import numpy as np
 from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
 
 
-def static_shape_att_fn(dec_params, dec_cfg, memory, beam_size,
-                        pad_multiple: int = 16):
-    """Beam-callback wrapper with STATIC jit shapes.
-
-    The naive callback jits on the raw (n_hyps, t) token array, so every
-    decode length (and every beam width) triggers a fresh XLA compile —
-    on a remote-compile TPU that is one multi-second compile PER TOKEN.
-    Here rows pad to beam_size, lengths pad to multiples of
-    `pad_multiple`, and the position index is a traced scalar:
-    O(max_len / pad_multiple) compiled programs total. The decoder's
-    causal self-attention makes right padding invisible to the scored
-    position."""
+def _att_step(dec_params, dec_cfg, toks, mem, mem_len, pos):
     import jax
     import jax.numpy as jnp
 
     from dualhyp_tpu.models import espnet_decoder as ed
 
-    mem_beam = jnp.broadcast_to(memory, (beam_size,) + memory.shape[1:])
+    lp = jax.nn.log_softmax(
+        ed.decode_logits(dec_params, dec_cfg, toks, mem,
+                         memory_length=mem_len),
+        axis=-1,
+    )
+    return jax.lax.dynamic_index_in_dim(lp, pos, axis=1, keepdims=False)
 
-    @jax.jit
-    def step(toks, mem, pos):
-        lp = jax.nn.log_softmax(
-            ed.decode_logits(dec_params, dec_cfg, toks, mem), axis=-1
-        )
-        return jax.lax.dynamic_index_in_dim(lp, pos, axis=1, keepdims=False)
+
+_ATT_STEP_JIT = None
+
+
+def static_shape_att_fn(dec_params, dec_cfg, memory, beam_size,
+                        pad_multiple: int = 16, mem_pad_multiple: int = 32):
+    """Beam-callback wrapper with STATIC jit shapes shared across calls
+    AND across utterances.
+
+    Two compile pathologies this kills (remote-compile TPUs turn each
+    into multi-second stalls):
+      * the naive callback jits on the raw (n_hyps, t) token array —
+        one compile per decode length per beam width;
+      * a per-utterance jit closure (params baked in, memory length
+        varying) — one full recompile per utterance.
+    Here one MODULE-LEVEL jit takes the decoder params, the token buffer
+    (rows padded to beam_size, lengths padded to `pad_multiple`), the
+    memory (frames padded to `mem_pad_multiple`, masked via
+    memory_length), and a traced position index: the compile cache is
+    keyed only on (dec_cfg, bucketed shapes) and persists for the whole
+    generation run. The decoder's causal self-attention makes the token
+    padding invisible to the scored position."""
+    import jax
+    import jax.numpy as jnp
+
+    global _ATT_STEP_JIT
+    if _ATT_STEP_JIT is None:
+        _ATT_STEP_JIT = jax.jit(_att_step, static_argnames=("dec_cfg",))
+
+    s = memory.shape[1]
+    s_pad = -(-s // mem_pad_multiple) * mem_pad_multiple
+    mem1 = jnp.pad(memory, ((0, 0), (0, s_pad - s), (0, 0)))
+    mem_beam = jnp.broadcast_to(mem1, (beam_size,) + mem1.shape[1:])
+    mem_len = jnp.full((beam_size,), s, jnp.int32)
 
     def att_fn(tokens):
         tokens = np.asarray(tokens, np.int32)
@@ -59,10 +81,14 @@ def static_shape_att_fn(dec_params, dec_cfg, memory, beam_size,
         n_pad = max(beam_size, n)
         buf = np.zeros((n_pad, t_pad), np.int32)
         buf[:n, :t] = tokens
-        mem = mem_beam if n_pad == beam_size else jnp.broadcast_to(
-            memory, (n_pad,) + memory.shape[1:]
+        if n_pad == beam_size:
+            mem, mlen = mem_beam, mem_len
+        else:
+            mem = jnp.broadcast_to(mem1, (n_pad,) + mem1.shape[1:])
+            mlen = jnp.full((n_pad,), s, jnp.int32)
+        out = _ATT_STEP_JIT(
+            dec_params, dec_cfg, jnp.asarray(buf), mem, mlen, jnp.int32(t - 1)
         )
-        out = step(jnp.asarray(buf), mem, jnp.int32(t - 1))
         return np.asarray(out)[:n]
 
     return att_fn
@@ -119,36 +145,43 @@ def joint_beam_search(
         )
         vocab = att.shape[-1]
 
+        fulls = weights["decoder"] * att
+        if lm is not None:
+            fulls = fulls + weights["lm"] * lm
+        fulls = fulls + weights["length_bonus"]
+        if ctc_scorer is not None:
+            # blank is an alignment symbol, never an output label — a
+            # blank-extended prefix is ill-defined for the CTC scorer
+            fulls = fulls.copy()
+            fulls[:, blank] = -np.inf
+
         candidates = []
-        for b, hyp in enumerate(live):
-            full = weights["decoder"] * att[b]
-            if lm is not None:
-                full = full + weights["lm"] * lm[b]
-            full = full + weights["length_bonus"]
-            if ctc_scorer is not None:
-                # blank is an alignment symbol, never an output label — a
-                # blank-extended prefix is ill-defined for the CTC scorer
-                full = full.copy()
-                full[blank] = -np.inf
-            if ctc_scorer is not None and weights["ctc"] != 0.0:
-                k = min(pre_beam, vocab)
-                cand_ids = np.argpartition(-full, k - 1)[:k]
-                psi, ctc_states = ctc_scorer(hyp.tokens, cand_ids, hyp.ctc_state)
-                for j, c in enumerate(cand_ids):
+        if ctc_scorer is not None and weights["ctc"] != 0.0:
+            k = min(pre_beam, vocab)
+            cand_mat = np.argpartition(-fulls, k - 1, axis=1)[:, :k]  # (H, k)
+            psi_mat, state_mat = ctc_scorer.score_batch(
+                [h.tokens for h in live],
+                cand_mat,
+                np.stack([h.ctc_state for h in live]),
+            )
+            for b, hyp in enumerate(live):
+                for j in range(k):
+                    c = int(cand_mat[b, j])
                     score = (
                         hyp.score
-                        + full[c]
-                        + weights["ctc"] * (float(psi[j]) - hyp.ctc_score)
+                        + fulls[b, c]
+                        + weights["ctc"] * (float(psi_mat[b, j]) - hyp.ctc_score)
                     )
                     candidates.append(
-                        (score, hyp, int(c), ctc_states[j], float(psi[j]))
+                        (score, hyp, c, state_mat[b, j], float(psi_mat[b, j]))
                     )
-            else:
-                k = min(beam_size + 1, vocab)
-                cand_ids = np.argpartition(-full, k - 1)[:k]
-                for c in cand_ids:
+        else:
+            k = min(beam_size + 1, vocab)
+            cand_mat = np.argpartition(-fulls, k - 1, axis=1)[:, :k]
+            for b, hyp in enumerate(live):
+                for c in cand_mat[b]:
                     candidates.append(
-                        (hyp.score + full[c], hyp, int(c), None, 0.0)
+                        (hyp.score + fulls[b, c], hyp, int(c), None, 0.0)
                     )
 
         candidates.sort(key=lambda c: -c[0])

@@ -31,7 +31,7 @@ class EspnetDecoderConfig:
     num_blocks: int = 6
 
 
-def _mha(leaf, q_in, kv_in, n_head, causal=False):
+def _mha(leaf, q_in, kv_in, n_head, causal=False, kv_length=None):
     b, tq, d = q_in.shape
     tk = kv_in.shape[1]
     dk = d // n_head
@@ -48,14 +48,20 @@ def _mha(leaf, q_in, kv_in, n_head, causal=False):
     if causal:
         mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
         scores = jnp.where(mask[None, None], scores, -jnp.inf)
+    if kv_length is not None:
+        # padded memory frames (static-shape buckets) are masked out
+        valid = jnp.arange(tk)[None, :] < kv_length[:, None]  # (B, tk)
+        scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1).astype(q_in.dtype)
     out = einsum("bhts,bhsd->bhtd", w, v).transpose(0, 2, 1, 3).reshape(b, tq, d)
     return _linear(leaf["linear_out"], out)
 
 
-def decode_logits(params: dict, cfg: EspnetDecoderConfig, tokens, memory):
+def decode_logits(params: dict, cfg: EspnetDecoderConfig, tokens, memory,
+                  memory_length=None):
     """tokens (B, T) int32; memory (B, S, adim) -> (B, T, odim) log-space
-    logits (pre-softmax)."""
+    logits (pre-softmax). memory_length (B,): valid frames when the
+    memory is right-padded to a static bucket."""
     d = cfg.attention_dim
     x = jnp.take(params["embed"]["weight"], tokens, axis=0)
     x = x * math.sqrt(d) + jnp.asarray(abs_positions(tokens.shape[1], d))
@@ -65,7 +71,8 @@ def decode_logits(params: dict, cfg: EspnetDecoderConfig, tokens, memory):
         x = x + _mha(leaf["self_attn"], _ln(leaf["norm1"], x),
                      _ln(leaf["norm1"], x), cfg.attention_heads, causal=True)
         n = _ln(leaf["norm2"], x)
-        x = x + _mha(leaf["src_attn"], n, memory, cfg.attention_heads)
+        x = x + _mha(leaf["src_attn"], n, memory, cfg.attention_heads,
+                     kv_length=memory_length)
         n = _ln(leaf["norm3"], x)
         x = x + _linear(leaf["feed_forward"]["w_2"],
                         jax.nn.relu(_linear(leaf["feed_forward"]["w_1"], n)))

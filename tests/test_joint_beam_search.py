@@ -105,3 +105,28 @@ def test_joint_beam_search_with_ctc_prefers_ctc_consistent_paths(rng):
     )
     best = hyps[0].result_tokens(sos_eos, sos_eos)
     assert best == target, (best, target)
+
+
+def test_ctc_score_batch_matches_sequential(rng):
+    """score_batch == per-hypothesis __call__ (states and log psi)."""
+    from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
+
+    vocab, t = 12, 9
+    lp = np.log(rng.dirichlet(np.ones(vocab), size=t)).astype(np.float32)
+    sc = CTCPrefixScorer(lp, blank=0, eos=vocab - 1)
+    init = sc.initial_state()
+
+    ys, css, states = [], [], []
+    for h in range(4):
+        y = [vocab - 1] + rng.integers(1, vocab - 1, 3).tolist()
+        # advance the state once so prefixes have real histories
+        psi, st = sc(y[:-1] if len(y) > 2 else y, np.asarray([y[-1]]), init)
+        ys.append(y)
+        css.append(rng.integers(0, vocab, 6))
+        states.append(st[0])
+    cs = np.stack(css)
+    batch_psi, batch_states = sc.score_batch(ys, cs, np.stack(states))
+    for h in range(4):
+        psi, st = sc(ys[h], cs[h], states[h])
+        np.testing.assert_allclose(batch_psi[h], psi, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(batch_states[h], st, rtol=1e-6, atol=1e-6)
