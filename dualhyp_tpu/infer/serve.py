@@ -159,82 +159,105 @@ class ContinuousBatcher:
         budget = jnp.zeros((s,), jnp.int32)
         return state, budget
 
+    # ---- incremental (live-serving) API ----
+    def start(self) -> None:
+        """Initialise the slot pool for incremental submit()/poll()."""
+        self._state, self._budget = self._empty_state()
+        self._slot_req = [None] * self.slots  # (id, prompt_len, t_submit)
+        self._queue: List[tuple] = []
+        self._buckets = sorted(
+            {b for b in _REFILL_BUCKETS if b < self.slots} | {self.slots}
+        )
+        self._refill()
+
+    def submit(self, rid, prompt, max_new: Optional[int] = None) -> None:
+        """Enqueue one request; it enters a slot at the next poll()."""
+        self._queue.append((rid, list(prompt), max_new or self.max_new))
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue) + sum(
+            1 for s in self._slot_req if s is not None
+        )
+
+    def _refill(self) -> None:
+        free = [i for i in range(self.slots) if self._slot_req[i] is None]
+        if not free or not self._queue:
+            return
+        todo = []
+        while free and self._queue and len(todo) < self._buckets[-1]:
+            rid, prompt, cap = self._queue.pop(0)
+            prompt = prompt[: self.prompt_budget]
+            cap = max(min(cap, self.cfg.block_size - len(prompt)), 1)
+            slot = free.pop()
+            self._slot_req[slot] = (rid, len(prompt), time.perf_counter())
+            todo.append((slot, prompt, cap))
+        r = next(b for b in self._buckets if b >= len(todo))
+        t_max = max(len(p) for _, p, _ in todo)
+        # pad T to a small set of buckets to bound compile count
+        t_pad = 64
+        while t_pad < t_max:
+            t_pad *= 2
+        t_pad = min(t_pad, self.prompt_budget)
+        pids = np.zeros((r, t_pad), np.int32)
+        plens = np.ones((r,), np.int32)
+        caps = np.ones((r,), np.int32)
+        slot_ids = np.full((r,), self.slots, np.int32)  # dropped
+        for row, (slot, prompt, cap) in enumerate(todo):
+            pids[row, : len(prompt)] = prompt
+            plens[row] = len(prompt)
+            caps[row] = cap
+            slot_ids[row] = slot
+        fn = self._refill_fn(r, t_pad)
+        self._state, self._budget = fn(
+            self.params, self._state, self._budget, jnp.asarray(slot_ids),
+            jnp.asarray(pids), jnp.asarray(plens), jnp.asarray(caps),
+        )
+
+    def poll(self) -> List[dict]:
+        """Admit queued requests, run one chunk of decoding, and return
+        the newly completed records ({id, tokens, prompt_len, latency_s};
+        tokens include the prompt, EOS excluded). Returns [] when idle."""
+        self._refill()
+        if all(s is None for s in self._slot_req):
+            return []
+        self._state, status = self._chunk_fn(
+            self.params, self._state, self._budget
+        )
+        h_lengths, h_emitted, h_done, h_budget = np.asarray(status)
+        now = time.perf_counter()
+        finished = [
+            i for i in range(self.slots)
+            if self._slot_req[i] is not None
+            and (h_done[i] or h_emitted[i] >= h_budget[i])
+        ]
+        results: List[dict] = []
+        if finished:
+            rows = np.asarray(self._state[0][jnp.asarray(finished)])
+            for row, slot in enumerate(finished):
+                rid, plen, t0 = self._slot_req[slot]
+                n = int(h_lengths[slot])
+                results.append(
+                    {
+                        "id": rid,
+                        "tokens": rows[row, :n].tolist(),
+                        "prompt_len": plen,
+                        "latency_s": now - t0,
+                    }
+                )
+                self._slot_req[slot] = None
+        self._refill()
+        return results
+
     def serve(self, requests: Iterable[Sequence]) -> List[dict]:
         """requests: iterable of (request_id, prompt token ids) or
         (request_id, prompt, max_new). Returns one record per request in
         COMPLETION order: {id, tokens, prompt_len, latency_s}. tokens
         include the prompt, EOS excluded (generate semantics)."""
-        queue = []
+        self.start()
         for req in requests:
-            rid, prompt = req[0], req[1]
-            cap = req[2] if len(req) > 2 else self.max_new
-            queue.append((rid, prompt, cap))
-        queue.reverse()  # pop() from the front
-        state, budget = self._empty_state()
-        slot_req = [None] * self.slots  # (id, prompt_len, submit_time)
+            self.submit(req[0], req[1], req[2] if len(req) > 2 else None)
         results: List[dict] = []
-        buckets = sorted(
-            {b for b in _REFILL_BUCKETS if b < self.slots} | {self.slots}
-        )
-
-        def refill_free(state, budget):
-            free = [i for i in range(self.slots) if slot_req[i] is None]
-            if not free or not queue:
-                return state, budget
-            todo = []
-            while free and queue and len(todo) < buckets[-1]:
-                rid, prompt, cap = queue.pop()
-                prompt = list(prompt)[: self.prompt_budget]
-                cap = max(min(cap, self.cfg.block_size - len(prompt)), 1)
-                slot = free.pop()
-                slot_req[slot] = (rid, len(prompt), time.perf_counter())
-                todo.append((slot, prompt, cap))
-            r = next(b for b in buckets if b >= len(todo))
-            t_max = max(len(p) for _, p, _ in todo)
-            # pad T to a small set of buckets to bound compile count
-            t_pad = 64
-            while t_pad < t_max:
-                t_pad *= 2
-            t_pad = min(t_pad, self.prompt_budget)
-            pids = np.zeros((r, t_pad), np.int32)
-            plens = np.ones((r,), np.int32)
-            caps = np.ones((r,), np.int32)
-            slot_ids = np.full((r,), self.slots, np.int32)  # dropped
-            for row, (slot, prompt, cap) in enumerate(todo):
-                pids[row, : len(prompt)] = prompt
-                plens[row] = len(prompt)
-                caps[row] = cap
-                slot_ids[row] = slot
-            fn = self._refill_fn(r, t_pad)
-            return fn(
-                self.params, state, budget, jnp.asarray(slot_ids),
-                jnp.asarray(pids), jnp.asarray(plens), jnp.asarray(caps),
-            )
-
-        state, budget = refill_free(state, budget)
-        while queue or any(s is not None for s in slot_req):
-            state, status = self._chunk_fn(self.params, state, budget)
-            h = np.asarray(status)  # ONE host sync per chunk
-            h_lengths, h_emitted, h_done, h_budget = h
-            now = time.perf_counter()
-            finished = [
-                i for i in range(self.slots)
-                if slot_req[i] is not None
-                and (h_done[i] or h_emitted[i] >= h_budget[i])
-            ]
-            if finished:
-                rows = np.asarray(state[0][jnp.asarray(finished)])
-                for row, slot in enumerate(finished):
-                    rid, plen, t0 = slot_req[slot]
-                    n = int(h_lengths[slot])
-                    results.append(
-                        {
-                            "id": rid,
-                            "tokens": rows[row, :n].tolist(),
-                            "prompt_len": plen,
-                            "latency_s": now - t0,
-                        }
-                    )
-                    slot_req[slot] = None
-            state, budget = refill_free(state, budget)
+        while self.pending:
+            results.extend(self.poll())
         return results
