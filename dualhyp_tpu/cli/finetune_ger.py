@@ -53,6 +53,11 @@ def build_parser():
                         help="resume from runs/<exp>/train_state.npz "
                              "(optimizer moments + LR clock; exact resume — "
                              "the reference cannot resume training)")
+    parser.add_argument("--data_prefetch", action="store_true",
+                        help="producer-thread batch pipeline: overlaps "
+                             "host-side wav/ROI loading with device compute "
+                             "(use when corruption is enabled; disables "
+                             "length-sorted batching)")
     common.add_model_args(parser)
     common.add_data_args(parser)
     common.add_mesh_args(parser)
@@ -176,14 +181,20 @@ def main(argv=None):
         )
 
     for epoch in range(start_epoch, args.num_epochs):
-        for batch in collate.epoch_batches(
-            train_ds,
-            tcfg.batch_size,
-            shuffle=True,
-            seed=args.seed,
-            epoch=epoch,
-            length_sorted=True,
-        ):
+        # epoch-keyed RNG: a resumed run reproduces the uninterrupted run's
+        # dropout key sequence (the chain position is not checkpointed)
+        rng = jax.random.fold_in(jax.random.key(args.seed), epoch)
+        if args.data_prefetch:
+            batches = collate.prefetch_epoch_batches(
+                train_ds, tcfg.batch_size, shuffle=True, seed=args.seed,
+                epoch=epoch,
+            )
+        else:
+            batches = collate.epoch_batches(
+                train_ds, tcfg.batch_size, shuffle=True, seed=args.seed,
+                epoch=epoch, length_sorted=True,
+            )
+        for batch in batches:
             rng, key = jax.random.split(rng)
             # monitor + CSV step logging happen inside train_step
             loss, lr = trainer.train_step(batch, max_iters, warmup_steps, key)

@@ -61,7 +61,8 @@ def build_parser():
                              "(optimizer moments + LR clock, exact)")
     common.add_model_args(parser)
     common.add_data_args(parser)
-    common.add_mesh_args(parser)
+    # no add_mesh_args: the RelPrompt trainer runs single-device (frozen
+    # encoder features dominate; mesh support would silently no-op)
     return parser
 
 
@@ -267,6 +268,8 @@ def main(argv=None):
         opt_step = trainer.opt_step
         logger.info(f"resumed from {state_path}: epoch {start_epoch}")
     for epoch in range(start_epoch, args.num_epochs):
+        # epoch-keyed RNG (see finetune_ger: exact resume reproducibility)
+        rng = jax.random.fold_in(jax.random.key(args.seed), epoch)
         for batch in collate.epoch_batches(
             train_ds, tcfg.batch_size, shuffle=True, seed=args.seed, epoch=epoch,
             length_sorted=True,

@@ -96,6 +96,11 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
             "(top_k=1)"
         )
     if scheduler == "continuous":
+        if mesh is not None:
+            raise ValueError(
+                "scheduler='continuous' is single-device; drop the mesh "
+                "flags or use the lockstep scheduler for multi-chip decode"
+            )
         return _run_inference_continuous(
             params, model_cfg, tokenizer, dataset,
             decode_batch=decode_batch, max_new_tokens=max_new_tokens,
@@ -202,8 +207,12 @@ def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
         max_new_tokens=max_new_tokens, draft_len=draft_len,
         eos_id=eos_id, compute_dtype=compute_dtype,
     )
+    # same truncation budget as the lockstep path (prompt + budget must
+    # fit the context; submit() rejects over-length prompts)
+    budget = model_cfg.block_size - max_new_tokens
     requests = [
-        (i, list(ex.input_ids_no_response)) for i, ex in enumerate(examples)
+        (i, list(ex.input_ids_no_response)[:budget])
+        for i, ex in enumerate(examples)
     ]
     served = batcher.serve(requests)
 
@@ -286,12 +295,19 @@ def main(argv=None):
         params = quantize_tree(params, mode=args.quantize)
 
     mesh = None
-    if (jax.device_count() > 1 or args.fsdp > 1 or args.tensor > 1
-            or args.expert > 1):
+    wants_mesh = (args.fsdp > 1 or args.tensor > 1 or args.expert > 1
+                  or args.seq > 1 or (args.dp or 0) > 1)
+    if args.scheduler == "continuous" and wants_mesh:
+        raise SystemExit(
+            "--scheduler continuous is single-device; drop the mesh flags"
+        )
+    if args.scheduler != "continuous" and (
+        jax.device_count() > 1 or wants_mesh
+    ):
         from dualhyp_tpu.parallel import make_mesh, shard_params
 
         mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor,
-                         expert=args.expert)
+                         expert=args.expert, seq=args.seq)
         params, _ = shard_params(params, mesh)
 
     dataset_cls = common.dataset_class_for(args)

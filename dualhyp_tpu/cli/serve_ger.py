@@ -76,10 +76,9 @@ def build_request_prompt(fmt_name: str, nhyps_asr, nhyps_vsr=None) -> str:
 
 
 class Server:
-    def __init__(self, batcher, tokenizer, fmt_name: str):
+    def __init__(self, batcher, tokenizer):
         self.batcher = batcher
         self.tokenizer = tokenizer
-        self.fmt_name = fmt_name
         self.conn_of = {}     # request id -> connection
         self.prompt_of = {}   # request id -> decoded prompt text
         self.buffers = {}     # connection -> partial line buffer
@@ -203,7 +202,7 @@ def main(argv=None):
         chunk_steps=args.chunk_steps,
         eos_id=getattr(tokenizer, "eos_token_id", None),
     )
-    Server(batcher, tokenizer, "auto").run(args.host, args.port)
+    Server(batcher, tokenizer).run(args.host, args.port)
 
 
 if __name__ == "__main__":

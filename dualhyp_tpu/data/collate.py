@@ -95,20 +95,23 @@ def epoch_batches(dataset, batch_size: int, *, shuffle: bool, seed: int,
         chunk = examples[i : i + batch_size]
         if drop_last and len(chunk) < batch_size:
             break
-        if len(chunk) < batch_size:
-            # repeat-pad the final partial batch to keep shapes static;
-            # repeated examples carry zero loss weight via labels
-            pad = [chunk[-1]] * (batch_size - len(chunk))
-            batch = pad_batch(chunk + pad, buckets)
-            batch["labels"][len(chunk):] = IGNORE_INDEX  # no loss on repeats
-            batch["valid"] = np.asarray(
-                [1] * len(chunk) + [0] * (batch_size - len(chunk)), np.int32
-            )
-            yield batch
-            continue
-        batch = pad_batch(chunk, buckets)
-        batch["valid"] = np.ones((batch_size,), np.int32)
-        yield batch
+        yield assemble_batch(chunk, batch_size, buckets)
+
+
+def assemble_batch(chunk, batch_size: int, buckets: Sequence[int]) -> dict:
+    """Pad one chunk of examples to a static batch; a short final chunk
+    repeat-pads with zero-loss rows (labels -> IGNORE_INDEX, valid=0)."""
+    if len(chunk) < batch_size:
+        pad = [chunk[-1]] * (batch_size - len(chunk))
+        batch = pad_batch(chunk + pad, buckets)
+        batch["labels"][len(chunk):] = IGNORE_INDEX  # no loss on repeats
+        batch["valid"] = np.asarray(
+            [1] * len(chunk) + [0] * (batch_size - len(chunk)), np.int32
+        )
+        return batch
+    batch = pad_batch(chunk, buckets)
+    batch["valid"] = np.ones((batch_size,), np.int32)
+    return batch
 
 
 def prefetch_epoch_batches(dataset, batch_size: int, *, shuffle: bool,
@@ -152,18 +155,7 @@ def prefetch_epoch_batches(dataset, batch_size: int, *, shuffle: bool,
                 if drop_last and len(idxs) < batch_size:
                     break
                 chunk = [dataset[j] for j in idxs]
-                if len(chunk) < batch_size:
-                    pad = [chunk[-1]] * (batch_size - len(chunk))
-                    batch = pad_batch(chunk + pad, buckets)
-                    batch["labels"][len(chunk):] = IGNORE_INDEX
-                    batch["valid"] = np.asarray(
-                        [1] * len(chunk) + [0] * (batch_size - len(chunk)),
-                        np.int32,
-                    )
-                else:
-                    batch = pad_batch(chunk, buckets)
-                    batch["valid"] = np.ones((batch_size,), np.int32)
-                q.put(batch)
+                q.put(assemble_batch(chunk, batch_size, buckets))
             q.put(_END)
         except BaseException as exc:  # surface in the consumer
             q.put(exc)

@@ -90,7 +90,7 @@ class CTCPrefixScorer:
         output_length = lengths.pop() - 1  # sos excluded
 
         r = np.full((self.t, 2, h, c), LOG_ZERO, np.float32)
-        xs = np.moveaxis(self.x[:, cs], 0, 0)  # (T, H, C)
+        xs = self.x[:, cs]  # (T, H, C)
         if output_length == 0:
             r[0, 0] = xs[0]
 

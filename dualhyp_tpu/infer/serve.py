@@ -171,8 +171,21 @@ class ContinuousBatcher:
         self._refill()
 
     def submit(self, rid, prompt, max_new: Optional[int] = None) -> None:
-        """Enqueue one request; it enters a slot at the next poll()."""
-        self._queue.append((rid, list(prompt), max_new or self.max_new))
+        """Enqueue one request; it enters a slot at the next poll().
+
+        Raises on invalid requests instead of silently degrading: a
+        prompt that cannot fit the model context, or a non-positive
+        output budget."""
+        prompt = list(prompt)
+        cap = self.max_new if max_new is None else int(max_new)
+        if cap <= 0:
+            raise ValueError(f"max_new must be positive, got {cap}")
+        if len(prompt) + 1 > self.cfg.block_size:
+            raise ValueError(
+                f"prompt of {len(prompt)} tokens exceeds block_size "
+                f"{self.cfg.block_size}; truncate before submitting"
+            )
+        self._queue.append((rid, prompt, cap))
 
     @property
     def pending(self) -> int:
@@ -187,7 +200,6 @@ class ContinuousBatcher:
         todo = []
         while free and self._queue and len(todo) < self._buckets[-1]:
             rid, prompt, cap = self._queue.pop(0)
-            prompt = prompt[: self.prompt_budget]
             cap = max(min(cap, self.cfg.block_size - len(prompt)), 1)
             slot = free.pop()
             self._slot_req[slot] = (rid, len(prompt), time.perf_counter())

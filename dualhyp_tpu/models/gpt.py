@@ -435,10 +435,13 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x):
     w1 = leaves["fc_1"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,D,O)
     w2 = leaves["fc_2"]["weight"].astype(x.dtype).transpose(0, 2, 1)
     wp = leaves["proj"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,O,D)
-    h = jax.nn.silu(jax.lax.ragged_dot(xr, w1, group_sizes)) * jax.lax.ragged_dot(
-        xr, w2, group_sizes
-    )
-    out = jax.lax.ragged_dot(h, wp, group_sizes)  # (N*K, D)
+    # precision=HIGHEST: this environment defaults matmuls to bf16 even for
+    # fp32 operands (CLAUDE.md), which would break dense-path equivalence
+    prec = jax.lax.Precision.HIGHEST
+    h = jax.nn.silu(
+        jax.lax.ragged_dot(xr, w1, group_sizes, precision=prec)
+    ) * jax.lax.ragged_dot(xr, w2, group_sizes, precision=prec)
+    out = jax.lax.ragged_dot(h, wp, group_sizes, precision=prec)  # (N*K, D)
 
     inv = jnp.argsort(order)
     out = jnp.take(out, inv, axis=0).reshape(n, k, d)

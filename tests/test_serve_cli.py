@@ -28,7 +28,7 @@ def test_serve_cli_roundtrip():
         params, cfg, slots=2, max_new_tokens=6, draft_len=3, chunk_steps=2,
         eos_id=tok.eos_token_id, compute_dtype=jnp.float32,
     )
-    server = Server(batcher, tok, "auto")
+    server = Server(batcher, tok)
 
     port_holder = {}
     ready = threading.Event()
