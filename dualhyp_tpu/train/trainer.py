@@ -433,13 +433,20 @@ class Trainer:
             k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)
         }
 
+        from jax.sharding import NamedSharding
+
         def place(path_keys, cur):
             key = ckpt_io.SEP.join(
                 p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
                 for p in path_keys
             )
             new = jnp.asarray(lookup[key]).astype(cur.dtype)
-            return jax.device_put(new, cur.sharding)
+            # mesh shardings are preserved; single-device arrays stay
+            # UNCOMMITTED so jit can co-locate them with the mesh args
+            # (device_put would pin them and break sharded resume)
+            if isinstance(cur.sharding, NamedSharding):
+                new = jax.device_put(new, cur.sharding)
+            return new
 
         self.trainable = jax.tree_util.tree_map_with_path(place, self.trainable)
 
@@ -457,7 +464,7 @@ class Trainer:
             leaf = jnp.asarray(arr)
             if hasattr(cur, "dtype"):
                 leaf = leaf.astype(cur.dtype)
-            if hasattr(cur, "sharding"):
+            if isinstance(getattr(cur, "sharding", None), NamedSharding):
                 leaf = jax.device_put(leaf, cur.sharding)
             new_leaves.append(leaf)
         self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)

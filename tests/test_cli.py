@@ -159,3 +159,32 @@ def test_generate_cli(tiny_checkpoint, capsys):
     )
     out = capsys.readouterr().out
     assert "tok/s" in out
+
+
+def test_finetune_ger_cli_resume_and_prefetch(tiny_checkpoint, corpus_files,
+                                              tmp_path, monkeypatch):
+    """--data_prefetch trains through the producer-thread pipeline, writes
+    the epoch-boundary train_state, and --resume continues from it."""
+    monkeypatch.chdir(tmp_path)
+    from dualhyp_tpu.cli import finetune_ger
+
+    args = [
+        "--train_path", str(corpus_files / "train.json"),
+        "--val_path", str(corpus_files / "val.json"),
+        "--llm_checkpoint", str(tiny_checkpoint),
+        "--exp_name", "resume_smoke",
+        "--dual_hypotheses", "--prompts_format", "DualHyp",
+        "--batch_size", "2", "--micro_batch_size", "2",
+        "--num_epochs", "1", "--log_interval", "1",
+        "--data_prefetch",
+    ]
+    finetune_ger.main(args)
+    run_dir = tmp_path / "runs" / "resume_smoke"
+    state = run_dir / "train_state.npz"
+    assert state.is_file()
+
+    # epoch 0 done -> a resumed 2-epoch run trains exactly epoch 1
+    args_resume = [a for a in args]
+    args_resume[args_resume.index("--num_epochs") + 1] = "2"
+    finetune_ger.main(args_resume + ["--resume"])
+    assert (run_dir / "model_lora_finetuned.npz").is_file()
