@@ -55,10 +55,11 @@ def build_parser():
 
 def build_request_prompt(fmt_name: str, nhyps_asr, nhyps_vsr=None) -> str:
     """Prompt packing for a live request (same strings the datasets use;
-    hypothesis order is preserved — no train-time shuffling)."""
+    hypothesis order is preserved — no train-time shuffling). A
+    single-hypothesis request gets an EMPTY other-hypotheses section,
+    matching the training datasets' _other_hyps -> hyps[1:] packing."""
     def others(hyps):
-        rest = [h for h in hyps[1:]]
-        return rest if rest else [hyps[0]]
+        return [h for h in hyps[1:]]
 
     fmt = get_prompts_format(fmt_name)
     if fmt_name == "DualHyp" and nhyps_vsr:

@@ -147,6 +147,19 @@ def prefetch_epoch_batches(dataset, batch_size: int, *, shuffle: bool,
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     _END = object()
+    stop = threading.Event()  # set when the consumer abandons the generator
+
+    def _put(item) -> bool:
+        """put() that gives up once the consumer is gone, so an abandoned
+        generator (e.g. the NaN SystemExit in finetune_ger) does not leak
+        a thread blocked forever on a full queue."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
@@ -155,18 +168,22 @@ def prefetch_epoch_batches(dataset, batch_size: int, *, shuffle: bool,
                 if drop_last and len(idxs) < batch_size:
                     break
                 chunk = [dataset[j] for j in idxs]
-                q.put(assemble_batch(chunk, batch_size, buckets))
-            q.put(_END)
+                if not _put(assemble_batch(chunk, batch_size, buckets)):
+                    return
+            _put(_END)
         except BaseException as exc:  # surface in the consumer
-            q.put(exc)
+            _put(exc)
 
     worker = threading.Thread(target=produce, daemon=True)
     worker.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    worker.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        worker.join(timeout=5.0)

@@ -163,7 +163,9 @@ class ContinuousBatcher:
     def start(self) -> None:
         """Initialise the slot pool for incremental submit()/poll()."""
         self._state, self._budget = self._empty_state()
-        self._slot_req = [None] * self.slots  # (id, prompt_len, t_submit)
+        # (id, prompt_len, t_submit, t_enter): t_submit is submit() time,
+        # t_enter is slot-entry time — latency_s covers queue wait too
+        self._slot_req = [None] * self.slots
         self._queue: List[tuple] = []
         self._buckets = sorted(
             {b for b in _REFILL_BUCKETS if b < self.slots} | {self.slots}
@@ -185,7 +187,7 @@ class ContinuousBatcher:
                 f"prompt of {len(prompt)} tokens exceeds block_size "
                 f"{self.cfg.block_size}; truncate before submitting"
             )
-        self._queue.append((rid, prompt, cap))
+        self._queue.append((rid, prompt, cap, time.perf_counter()))
 
     @property
     def pending(self) -> int:
@@ -198,11 +200,12 @@ class ContinuousBatcher:
         if not free or not self._queue:
             return
         todo = []
+        now = time.perf_counter()
         while free and self._queue and len(todo) < self._buckets[-1]:
-            rid, prompt, cap = self._queue.pop(0)
+            rid, prompt, cap, t_sub = self._queue.pop(0)
             cap = max(min(cap, self.cfg.block_size - len(prompt)), 1)
             slot = free.pop()
-            self._slot_req[slot] = (rid, len(prompt), time.perf_counter())
+            self._slot_req[slot] = (rid, len(prompt), t_sub, now)
             todo.append((slot, prompt, cap))
         r = next(b for b in self._buckets if b >= len(todo))
         t_max = max(len(p) for _, p, _ in todo)
@@ -247,14 +250,17 @@ class ContinuousBatcher:
         if finished:
             rows = np.asarray(self._state[0][jnp.asarray(finished)])
             for row, slot in enumerate(finished):
-                rid, plen, t0 = self._slot_req[slot]
+                rid, plen, t_sub, t_enter = self._slot_req[slot]
                 n = int(h_lengths[slot])
                 results.append(
                     {
                         "id": rid,
                         "tokens": rows[row, :n].tolist(),
                         "prompt_len": plen,
-                        "latency_s": now - t0,
+                        # end-to-end: submit() -> completion (incl. queue)
+                        "latency_s": now - t_sub,
+                        "queue_s": t_enter - t_sub,
+                        "decode_s": now - t_enter,
                     }
                 )
                 self._slot_req[slot] = None

@@ -466,10 +466,13 @@ def _moe_mlp(cfg: GPTConfig, leaves, x):
     e, k = cfg.n_expert, cfg.n_expert_per_token
     router = einsum("...d,ed->...e", x, leaves["gate"]["weight"].astype(x.dtype))
     router = router.astype(jnp.float32)
-    top_vals, _ = jax.lax.top_k(router, k)
-    kth = top_vals[..., -1:]
-    masked = jnp.where(router >= kth, router, -jnp.inf)
-    weights = jax.nn.softmax(masked, axis=-1).astype(x.dtype)  # (..., E)
+    # build the dense combine weights from the SAME top_k selection the
+    # sparse path uses, so router ties break identically (top_k takes
+    # exactly k; a `router >= kth` mask could select more on ties)
+    top_vals, top_ids = jax.lax.top_k(router, k)  # (..., K)
+    top_w = jax.nn.softmax(top_vals, axis=-1)
+    onehot = jax.nn.one_hot(top_ids, e, dtype=router.dtype)  # (..., K, E)
+    weights = (onehot * top_w[..., None]).sum(axis=-2).astype(x.dtype)
 
     h1 = einsum("...d,eod->...eo", x, leaves["fc_1"]["weight"].astype(x.dtype))
     h2 = einsum("...d,eod->...eo", x, leaves["fc_2"]["weight"].astype(x.dtype))
