@@ -25,6 +25,11 @@ def add_model_args(parser: argparse.ArgumentParser):
     parser.add_argument("--lora_projection", type=bool, default=True)
     parser.add_argument("--lora_mlp", type=bool, default=False)
     parser.add_argument("--lora_head", type=bool, default=False)
+    parser.add_argument("--mode", type=str, default="lora",
+                        choices=["lora", "adapter", "adapter_v2", "full"],
+                        help="PEFT family: selects trainable leaves at "
+                             "finetune time and reconstructs the matching "
+                             "model config at inference/serve time")
 
 
 def add_data_args(parser: argparse.ArgumentParser):
@@ -68,6 +73,20 @@ def model_config_from_args(args, relprompt: bool = False):
         lora_mlp=args.lora_mlp,
         lora_head=args.lora_head,
     )
+    # --mode adapter/adapter_v2/full selects the PEFT family on the model
+    # config itself: adapter modes drop the LoRA leaves and enable the
+    # prefix-attention (+v2 scale/bias) leaves so init/trainable_mask
+    # mark the right parameters (ref: finetune/adapter.py:17,
+    # finetune/adapter_v2.py:17 pick the variant by module import)
+    mode = getattr(args, "mode", "lora")
+    if mode in ("adapter", "adapter_v2"):
+        overrides.update(
+            lora_r=0,
+            use_adapter=True,
+            use_adapter_v2=(mode == "adapter_v2"),
+        )
+    elif mode == "full":
+        overrides.update(lora_r=0)
     if relprompt:
         overrides.update(use_relprompt=True, n_extra_tokens=3)
     return config_from_checkpoint(checkpoint_dir, **overrides)

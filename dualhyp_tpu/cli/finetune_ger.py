@@ -42,8 +42,6 @@ def build_parser():
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--save_interval", type=int, default=10000)
     parser.add_argument("--seed", type=int, default=1337)
-    parser.add_argument("--mode", type=str, default="lora",
-                        choices=["lora", "adapter", "adapter_v2", "full"])
     parser.add_argument("--remat", action=argparse.BooleanOptionalAction,
                         default=True,
                         help="activation rematerialisation (--no-remat with "

@@ -106,6 +106,41 @@ def test_finetune_and_inference_ger_cli(tiny_checkpoint, corpus_files, tmp_path,
     assert "WER" in rows[-1] and "p50_latency_s" in rows[-1]
 
 
+def test_finetune_ger_cli_adapter_mode(tiny_checkpoint, corpus_files, tmp_path,
+                                       monkeypatch):
+    """--mode adapter must train ADAPTER leaves, not LoRA: the saved PEFT
+    checkpoint carries adapter_wte/gating_factor and no lora_* (regression:
+    the mode flag once never reached the model config)."""
+    monkeypatch.chdir(tmp_path)
+    from dualhyp_tpu.ckpt.io import load_params
+    from dualhyp_tpu.cli import finetune_ger
+
+    finetune_ger.main(
+        [
+            "--train_path", str(corpus_files / "train.json"),
+            "--val_path", str(corpus_files / "val.json"),
+            "--llm_checkpoint", str(tiny_checkpoint),
+            "--exp_name", "smoke_adapter", "--mode", "adapter_v2",
+            "--batch_size", "2", "--micro_batch_size", "2",
+            "--num_epochs", "1", "--log_interval", "1",
+        ]
+    )
+    run_dir = tmp_path / "runs" / "smoke_adapter"
+    saved = load_params(run_dir / "best_model.npz")
+    keys = []
+
+    def visit(path, _):
+        keys.append("/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        ))
+
+    jax.tree_util.tree_map_with_path(visit, saved)
+    assert any("adapter_wte" in k for k in keys)
+    assert any("gating_factor" in k for k in keys)
+    assert any("adapter_scale" in k for k in keys)
+    assert not any("lora_A" in k for k in keys)
+
+
 def test_finetune_and_inference_relprompt_cli(tiny_checkpoint, corpus_files,
                                               tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

@@ -494,6 +494,249 @@ def test_base_gpt_logits_parity(refmods, rng):
     np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-5)
 
 
+# ---------------------------------------------------------------------------
+# adapter v1 / v2 parity vs the reference's own ger/adapter(_v2).py
+# ---------------------------------------------------------------------------
+#
+# The reference's ger/adapter.py GPT.forward is the newer lit-gpt style
+# (self.cos/self.sin) and cannot drive ger/model.py's old-style Blocks
+# (its finetune/adapter*.py import a `lit_gpt` package that is absent from
+# the repo). The Block/CausalSelfAttention/AdapterV2Linear modules
+# themselves DO compose with the base call convention, so these tests run
+# the reference's own modules through the base ger.model.GPT.forward —
+# exactly what the missing lit_gpt driver would have done.
+
+_ADAPTER_KW = dict(adapter_prompt_length=4, adapter_start_layer=1)
+
+
+def _adapter_tree(model, cfg: GPTConfig, *, v2: bool) -> dict:
+    """Map a ger.adapter(_v2) model state_dict into our stacked pytree.
+
+    Layers below adapter_start_layer have no adapter_wte/gating_factor in
+    the reference; our stacked tree carries zero rows there (the forward
+    gates them off, matching ger/adapter.py:107-114,120-121)."""
+    sd = _sd_numpy(model)
+    L = cfg.n_layer
+    h = "transformer.h.{i}"
+
+    def lin(prefix):
+        if v2:
+            leaves = {
+                "weight": _stack(sd, prefix + ".linear.weight", L),
+                "adapter_scale": _stack(sd, prefix + ".adapter_scale", L),
+                "adapter_bias": _stack(sd, prefix + ".adapter_bias", L),
+            }
+            if cfg.bias:
+                leaves["bias"] = _stack(sd, prefix + ".linear.bias", L)
+        else:
+            leaves = {"weight": _stack(sd, prefix + ".weight", L)}
+            if cfg.bias:
+                leaves["bias"] = _stack(sd, prefix + ".bias", L)
+        return leaves
+
+    params = {
+        "wte": {"weight": jnp.asarray(sd["transformer.wte.weight"])},
+        "ln_f": {"scale": jnp.asarray(sd["transformer.ln_f.weight"])},
+    }
+    if v2:
+        params["lm_head"] = {
+            "weight": jnp.asarray(sd["lm_head.linear.weight"]),
+            "adapter_scale": jnp.asarray(sd["lm_head.adapter_scale"]),
+            "adapter_bias": jnp.asarray(sd["lm_head.adapter_bias"]),
+        }
+    else:
+        params["lm_head"] = {"weight": jnp.asarray(sd["lm_head.weight"])}
+
+    attn = {"qkv": lin(h + ".attn.attn"), "proj": lin(h + ".attn.proj")}
+    aT, d = cfg.adapter_prompt_length, cfg.n_embd
+    wte_rows = np.zeros((L, aT, d), np.float32)
+    gating = np.zeros((L, cfg.n_head), np.float32)
+    for i in range(cfg.adapter_start_layer, L):
+        wte_rows[i] = sd[f"transformer.h.{i}.attn.adapter_wte.weight"]
+        # reference gating is (1, 1, n_head, 1) per head
+        gating[i] = sd[f"transformer.h.{i}.attn.gating_factor"][0, 0, :, 0]
+    attn["adapter_wte"] = jnp.asarray(wte_rows)
+    attn["gating_factor"] = jnp.asarray(gating)
+
+    params["blocks"] = {
+        "norm_1": _norm_leaves(sd, h + ".norm_1", L, False),
+        "norm_2": _norm_leaves(sd, h + ".norm_2", L, False),
+        "attn": attn,
+        "mlp": {k: lin(h + f".mlp.{k}") for k in ("fc_1", "fc_2", "proj")},
+    }
+    return params
+
+
+def _make_ref_adapter(refmods, *, v2: bool):
+    import torch
+
+    if v2:
+        import ger.adapter_v2 as ref_mod
+    else:
+        import ger.adapter as ref_mod
+
+    torch.manual_seed(23 if v2 else 17)
+    cfg_ref = ref_mod.Config(
+        _norm_class="RMSNorm", _mlp_class="LLaMAMLP", **_LLAMA_KW, **_ADAPTER_KW
+    )
+    model = ref_mod.GPT(cfg_ref).float()
+    # zero-init gating would make the prefix attention a no-op — randomize
+    # it (and the v2 scales/biases) so parity exercises the adapter path
+    g = torch.Generator().manual_seed(41)
+    with torch.no_grad():
+        for block in model.transformer.h:
+            if hasattr(block.attn, "gating_factor"):
+                gf = block.attn.gating_factor
+                gf.copy_(torch.randn(gf.shape, generator=g) * 0.5)
+        if v2:
+            for mod in model.modules():
+                if isinstance(mod, ref_mod.AdapterV2Linear):
+                    mod.adapter_scale.copy_(
+                        1.0 + 0.1 * torch.randn(mod.adapter_scale.shape, generator=g)
+                    )
+                    mod.adapter_bias.copy_(
+                        0.1 * torch.randn(mod.adapter_bias.shape, generator=g)
+                    )
+    model.rope_cache = refmods.model.build_rope_cache(
+        seq_len=cfg_ref.block_size,
+        n_elem=cfg_ref.rope_n_elem,
+        dtype=torch.float32,
+        device=torch.device("cpu"),
+    )
+    model.kv_caches = []
+
+    cfg = GPTConfig(
+        name="parity-adapter-v2" if v2 else "parity-adapter",
+        norm_class="RMSNorm", mlp_class="LLaMAMLP", **_LLAMA_KW,
+        use_adapter=True, use_adapter_v2=v2, **_ADAPTER_KW,
+    )
+    params = _adapter_tree(model, cfg, v2=v2)
+    return ref_mod, model, cfg, params
+
+
+def _ref_forward_base(refmods, model, ids):
+    """Drive the adapter model through the base ger.model.GPT.forward."""
+    import torch
+
+    return refmods.model.GPT.forward(model, torch.from_numpy(ids))
+
+
+@pytest.mark.parametrize("v2", [False, True], ids=["adapter_v1", "adapter_v2"])
+@requires_reference
+def test_adapter_logits_parity(refmods, rng, v2):
+    """Identical logits vs the reference's own adapter modules
+    (ref: ger/adapter.py:101-146, ger/adapter_v2.py:47-151)."""
+    import torch
+
+    _, model, cfg, params = _make_ref_adapter(refmods, v2=v2)
+    ids, _ = _batch(rng, cfg)
+    with torch.no_grad():
+        ref_logits = _ref_forward_base(refmods, model, ids).numpy()
+    ours = np.asarray(
+        gpt.forward(params, cfg, jnp.asarray(ids, jnp.int32),
+                    compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("v2", [False, True], ids=["adapter_v1", "adapter_v2"])
+@requires_reference
+def test_adapter_loss_and_grad_parity(refmods, rng, v2):
+    """Identical training loss and gradients for every leaf the reference
+    marks trainable (ref: ger/adapter.py:158-165, ger/adapter_v2.py:31-44)."""
+    import torch
+
+    ref_mod, model, cfg, params = _make_ref_adapter(refmods, v2=v2)
+    if v2:
+        ref_mod.mark_only_adapter_v2_as_trainable(model)
+    else:
+        ref_mod.mark_only_adapter_as_trainable(model)
+    ids, labels = _batch(rng, cfg)
+
+    ref_logits = _ref_forward_base(refmods, model, ids)
+    ref_loss = refmods.utils.chunked_cross_entropy(
+        ref_logits[..., :-1, :], torch.from_numpy(labels)[..., 1:]
+    )
+    ref_loss.backward()
+
+    from dualhyp_tpu.ops.cross_entropy import cross_entropy
+
+    def our_loss_fn(p):
+        logits = gpt.forward(
+            p, cfg, jnp.asarray(ids, jnp.int32), compute_dtype=jnp.float32
+        )
+        return cross_entropy(
+            logits[:, :-1], jnp.asarray(labels, jnp.int32)[:, 1:],
+            mean_all_tokens=True,
+        )
+
+    our_loss, grads = jax.value_and_grad(our_loss_fn)(params)
+    np.testing.assert_allclose(
+        float(our_loss), float(ref_loss.detach()), rtol=1e-5
+    )
+
+    attn_g = grads["blocks"]["attn"]
+    for l in range(cfg.adapter_start_layer, cfg.n_layer):
+        blk = model.transformer.h[l].attn
+        np.testing.assert_allclose(
+            np.asarray(attn_g["adapter_wte"][l]),
+            blk.adapter_wte.weight.grad.numpy(),
+            rtol=5e-4, atol=1e-6, err_msg=f"layer {l} adapter_wte",
+        )
+        np.testing.assert_allclose(
+            np.asarray(attn_g["gating_factor"][l]),
+            blk.gating_factor.grad.numpy()[0, 0, :, 0],
+            rtol=5e-4, atol=1e-6, err_msg=f"layer {l} gating_factor",
+        )
+    # layers below start: reference has no adapter params; ours must see
+    # exactly zero gradient (gated off)
+    for l in range(cfg.adapter_start_layer):
+        assert float(jnp.abs(attn_g["adapter_wte"][l]).max()) == 0.0
+        assert float(jnp.abs(attn_g["gating_factor"][l]).max()) == 0.0
+
+    if not v2:
+        return
+
+    # v2 extras: per-linear scale/bias, all norms, lm_head scale/bias
+    def t(mod_path):
+        obj = model
+        for part in mod_path.split("."):
+            obj = obj[int(part)] if part.isdigit() else getattr(obj, part)
+        return obj
+
+    for l in range(cfg.n_layer):
+        for name, ours_leaves in (
+            ("attn.attn", grads["blocks"]["attn"]["qkv"]),
+            ("attn.proj", grads["blocks"]["attn"]["proj"]),
+            ("mlp.fc_1", grads["blocks"]["mlp"]["fc_1"]),
+            ("mlp.fc_2", grads["blocks"]["mlp"]["fc_2"]),
+            ("mlp.proj", grads["blocks"]["mlp"]["proj"]),
+        ):
+            ref_lin = t(f"transformer.h.{l}.{name}")
+            for leaf in ("adapter_scale", "adapter_bias"):
+                np.testing.assert_allclose(
+                    np.asarray(ours_leaves[leaf][l]),
+                    getattr(ref_lin, leaf).grad.numpy(),
+                    rtol=5e-4, atol=1e-6, err_msg=f"layer {l} {name}.{leaf}",
+                )
+        for norm in ("norm_1", "norm_2"):
+            np.testing.assert_allclose(
+                np.asarray(grads["blocks"][norm]["scale"][l]),
+                t(f"transformer.h.{l}.{norm}").weight.grad.numpy(),
+                rtol=5e-4, atol=1e-6, err_msg=f"layer {l} {norm}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(grads["ln_f"]["scale"]),
+        model.transformer.ln_f.weight.grad.numpy(), rtol=5e-4, atol=1e-6,
+    )
+    for leaf in ("adapter_scale", "adapter_bias"):
+        np.testing.assert_allclose(
+            np.asarray(grads["lm_head"][leaf]),
+            getattr(model.lm_head, leaf).grad.numpy(),
+            rtol=5e-4, atol=1e-6, err_msg=f"lm_head.{leaf}",
+        )
+
+
 @requires_reference
 def test_relprompt_gpt_and_classifier_parity(refmods, rng):
     """RelPrompt variant vs the reference's own ger.relprompt: resized
