@@ -238,6 +238,68 @@ def beam_search_nbest(
     return results
 
 
+def sample_nbest(
+    logits_fn: Callable,
+    prefix: List[int],
+    *,
+    n_samples: int,
+    temperature: float,
+    eos_id: int,
+    max_new_tokens: int,
+    suppress_tokens: Optional[Sequence[int]] = None,
+    suppress_blank_ids: Optional[Sequence[int]] = None,
+    timestamp_rules: Optional[TimestampRules] = None,
+    length_penalty: Optional[float] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> List[BeamHypothesis]:
+    """GreedyDecoder-with-temperature sampling, `best_of` independent rows
+    (the reference's t>0 fallback path, ref: decoding.py:276-336, 748-768).
+
+    Same logit-rule order as the beam; logprobs accumulate from the
+    UN-tempered distribution (ref: decoding.py:299-303). Returns all
+    n_samples hypotheses sorted by ranking_score, like the reference's
+    CustomReturnAllSamplesRanker over the sample group.
+    """
+    assert temperature > 0, "use beam_search_nbest at temperature 0"
+    rng = rng or np.random.default_rng(0)
+    sample_begin = len(prefix)
+    tokens = np.tile(np.asarray(prefix, np.int32), (n_samples, 1))
+    sum_logprobs = np.zeros((n_samples,), np.float64)
+    suppress = list(suppress_tokens) if suppress_tokens else None
+    blank = list(suppress_blank_ids) if suppress_blank_ids else None
+
+    done = np.zeros((n_samples,), bool)
+    for _ in range(max_new_tokens):
+        logits = np.array(logits_fn(jnp.asarray(tokens)), np.float32, copy=True)
+        if blank is not None and tokens.shape[1] == sample_begin:
+            logits[:, blank] = -np.inf
+        if suppress is not None:
+            logits[:, suppress] = -np.inf
+        if timestamp_rules is not None:
+            _apply_timestamp_rules(logits, tokens, timestamp_rules, sample_begin)
+
+        logprobs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+        # Gumbel-max == Categorical(logits / temperature)
+        gumbel = rng.gumbel(size=logits.shape)
+        next_tokens = np.argmax(logits / temperature + gumbel, axis=-1)
+        current = logprobs[np.arange(n_samples), next_tokens]
+        sum_logprobs += np.where(done, 0.0, current)
+        next_tokens = np.where(done, eos_id, next_tokens)
+        done = done | (next_tokens == eos_id)
+        tokens = np.concatenate([tokens, next_tokens[:, None].astype(np.int32)], 1)
+        if done.all():
+            break
+
+    results = []
+    for k in range(n_samples):
+        seq = tokens[k].tolist()
+        if eos_id in seq[sample_begin:]:
+            seq = seq[: sample_begin + seq[sample_begin:].index(eos_id)]
+        results.append(BeamHypothesis(seq, float(sum_logprobs[k]), sample_begin))
+    results.sort(key=lambda h: -h.ranking_score(length_penalty))
+    return results
+
+
 def nbest_texts(hypotheses: List[BeamHypothesis], detokenize: Callable,
                 n: int = 5, normalizer: Optional[Callable] = None,
                 prefix_len: int = 0) -> Tuple[List[str], List[float]]:

@@ -1,0 +1,472 @@
+"""Long-form (>30s) Whisper transcription: sliding-window decode with
+temperature fallback, n-best hypothesis streams, and optional word-level
+timestamps.
+
+Re-implements the reference fork's `transcribe()` semantics
+(ref: data/whisper/transcribe.py:39-457):
+
+  * log-mel over the WHOLE recording padded with 30s of silence; windows
+    sliced from the one globally-normalised mel (ref: transcribe.py:126-127)
+  * per-window temperature fallback: beam at t=0, best_of sampling at t>0,
+    escalating while gzip `compression_ratio` or `avg_logprob` fail their
+    thresholds; a loud `no_speech_prob` cancels the fallback
+    (ref: transcribe.py:157-195)
+  * no-voice-activity windows fast-forward a full window
+    (ref: transcribe.py:242-253, 364-376)
+  * the fork's distinctive feature: ONE seek cursor PER HYPOTHESIS —
+    every beam rank j advances through the audio independently and yields
+    its own long-form transcript, so the output is an n-best list of
+    full-length transcripts (ref: transcribe.py:240, 346-457)
+  * segments split at consecutive timestamp-token pairs; a single trailing
+    timestamp seeks past the whole window, otherwise seek lands on the
+    last timestamp (ref: transcribe.py:263-324)
+  * deviation: the fork's empty-segment clearing loop reads a stale
+    `segment` variable after the first window (transcribe.py:442-443, an
+    upstream bug); here every segment of the current window is cleared.
+
+Word timestamps (`word_timestamps=True`) run the DTW alignment of
+`infer/whisper_timing.py` per decoded window — capability the fork
+imports but never wires in (transcribe.py:22).
+
+TPU split: window encode + every decode step run on device (the batched
+device beam); the fallback logic, seek bookkeeping, and segmentation are
+host-side python, as in the reference.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from dualhyp_tpu.infer.beam_search import BeamHypothesis, sample_nbest
+
+HOP_LENGTH = 160
+SAMPLE_RATE = 16000
+N_SAMPLES = 30 * SAMPLE_RATE
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3000
+
+
+def compression_ratio(text: str) -> float:
+    """gzip compressibility of the decoded text — the repetition detector
+    (ref: data/whisper/utils.py compression_ratio)."""
+    text_bytes = text.encode("utf-8")
+    return len(text_bytes) / len(zlib.compress(text_bytes))
+
+
+@dataclass
+class WindowResult:
+    """Per-window decode outcome (the DecodingResult surface transcribe
+    consumes, ref: data/whisper/decoding.py:790-821)."""
+
+    hyps: List[BeamHypothesis]  # ranked, len == beam_size
+    sample_begin: int
+    avg_logprob: float  # best hypothesis
+    no_speech_prob: float
+    compression_ratio: float
+    temperature: float
+
+
+def _no_speech_prob(dec_params, dec_cfg, features, prefix, sot_index,
+                    no_speech_id) -> float:
+    """P(<|nospeech|>) at the sot position (ref: decoding.py:690-703)."""
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.models import whisper as w
+
+    if no_speech_id is None or no_speech_id < 0:
+        return 0.0
+    logits = np.asarray(
+        w.decode_logits(
+            dec_params, dec_cfg, jnp.asarray([prefix], jnp.int32), features
+        )[0, sot_index]
+    )
+    e = np.exp(logits - logits.max())
+    return float((e / e.sum())[no_speech_id])
+
+
+def decode_window_with_fallback(
+    features,
+    decoder,
+    tokenizer,
+    *,
+    beam_size: int,
+    temperatures: Sequence[float],
+    compression_ratio_threshold: Optional[float],
+    logprob_threshold: Optional[float],
+    no_speech_threshold: Optional[float],
+    max_new_tokens: int = 224,
+    language: str = "en",
+    patience: Optional[float] = None,
+    length_penalty: Optional[float] = None,
+    initial_prompt_tokens: Sequence[int] = (),
+    enc_cfg=None,
+    seed: int = 0,
+) -> Tuple[WindowResult, callable]:
+    """Temperature-escalating decode of one encoded window
+    (ref: data/whisper/transcribe.py:157-195). Returns (result, detok)."""
+    from dualhyp_tpu.cli.make_json_asr import (
+        CachedWhisperStepper, _beam_setup, _token_id,
+    )
+    from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
+
+    dec_params, dec_cfg = decoder
+    prefix, beam_kwargs, eot, ts_rules = _beam_setup(
+        tokenizer, enc_cfg, beam_size=beam_size,
+        max_new_tokens=max_new_tokens, language=language,
+        suppress_blank=True, suppress_tokens="-1",
+        without_timestamps=False, max_initial_timestamp=1.0,
+        patience=patience, length_penalty=length_penalty,
+    )
+    if initial_prompt_tokens:
+        # [sot_prev] + prompt tail + sot sequence
+        # (ref: decoding.py _get_initial_tokens)
+        sot_prev = _token_id(tokenizer, "<|startofprev|>")
+        tail = list(initial_prompt_tokens)[-(dec_cfg.n_ctx // 2 - 1):]
+        if sot_prev >= 0:
+            prefix = [sot_prev] + tail + prefix
+    sot_index = 0 if not initial_prompt_tokens else prefix.index(
+        _token_id(tokenizer, "<|startoftranscript|>")
+    )
+
+    no_speech_id = _token_id(tokenizer, "<|nospeech|>")
+    no_speech_prob = _no_speech_prob(
+        dec_params, dec_cfg, features, prefix, sot_index, no_speech_id
+    )
+
+    ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
+
+    def detok(toks):
+        return tokenizer.decode(
+            [t for t in toks if t != eot and (ts_begin is None or t < ts_begin)],
+            skip_special_tokens=True,
+        )
+
+    result = None
+    for t in temperatures:
+        if t == 0:
+            hyps = device_beam_search(
+                dec_params, dec_cfg, features, prefix, **beam_kwargs
+            )[:beam_size]
+        else:
+            stepper = CachedWhisperStepper(
+                dec_params, dec_cfg, features, len(prefix) + max_new_tokens
+            )
+            hyps = sample_nbest(
+                stepper, prefix,
+                n_samples=beam_size, temperature=t, eos_id=eot,
+                max_new_tokens=max_new_tokens,
+                suppress_tokens=beam_kwargs["suppress_tokens"],
+                suppress_blank_ids=beam_kwargs["suppress_blank_ids"],
+                timestamp_rules=ts_rules,
+                length_penalty=length_penalty,
+                rng=np.random.default_rng(seed),
+            )
+        while len(hyps) < beam_size:  # degenerate tiny-vocab edge
+            hyps.append(hyps[-1])
+        best = hyps[0]
+        text = detok(best.tokens[best.sample_begin:])
+        result = WindowResult(
+            hyps=hyps,
+            sample_begin=len(prefix),
+            avg_logprob=best.avg_logprob,
+            no_speech_prob=no_speech_prob,
+            compression_ratio=compression_ratio(text),
+            temperature=t,
+        )
+        needs_fallback = False
+        if (
+            compression_ratio_threshold is not None
+            and result.compression_ratio > compression_ratio_threshold
+        ):
+            needs_fallback = True  # too repetitive
+        if (
+            logprob_threshold is not None
+            and result.avg_logprob < logprob_threshold
+        ):
+            needs_fallback = True  # low confidence
+        if (
+            no_speech_threshold is not None
+            and result.no_speech_prob > no_speech_threshold
+        ):
+            needs_fallback = False  # silence
+        if not needs_fallback:
+            break
+    return result, detok
+
+
+def _split_segments(
+    sampled: List[int],
+    *,
+    ts_begin: Optional[int],
+    seek: int,
+    time_precision: float,
+    segment_size: int,
+    segment_duration: float,
+    input_stride: int,
+    new_segment,
+) -> Tuple[List[dict], int]:
+    """Split one hypothesis's sampled tokens into timed segments and
+    compute the seek advance (ref: data/whisper/transcribe.py:263-324)."""
+    time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
+    if ts_begin is None:
+        return (
+            [new_segment(
+                start=time_offset, end=time_offset + segment_duration,
+                tokens=list(sampled),
+            )],
+            segment_size,
+        )
+
+    is_ts = [t >= ts_begin for t in sampled]
+    single_timestamp_ending = is_ts[-2:] == [False, True]
+    consecutive = [
+        i + 1 for i in range(len(sampled) - 1) if is_ts[i] and is_ts[i + 1]
+    ]
+
+    segments: List[dict] = []
+    if consecutive:
+        slices = list(consecutive)
+        if single_timestamp_ending:
+            slices.append(len(sampled))
+        last_slice = 0
+        for current_slice in slices:
+            sliced = sampled[last_slice:current_slice]
+            start_pos = sliced[0] - ts_begin
+            end_pos = sliced[-1] - ts_begin
+            segments.append(new_segment(
+                start=time_offset + start_pos * time_precision,
+                end=time_offset + end_pos * time_precision,
+                tokens=sliced,
+            ))
+            last_slice = current_slice
+        if single_timestamp_ending:
+            seek_inc = segment_size
+        else:
+            last_ts_pos = sampled[last_slice - 1] - ts_begin
+            seek_inc = last_ts_pos * input_stride
+    else:
+        duration = segment_duration
+        timestamps = [t for t in sampled if t >= ts_begin]
+        if timestamps and timestamps[-1] != ts_begin:
+            duration = (timestamps[-1] - ts_begin) * time_precision
+        segments.append(new_segment(
+            start=time_offset, end=time_offset + duration,
+            tokens=list(sampled),
+        ))
+        seek_inc = segment_size
+    return segments, seek_inc
+
+
+def transcribe(
+    audio: np.ndarray,
+    encoder,
+    decoder,
+    tokenizer,
+    *,
+    language: str = "en",
+    beam_size: int = 5,
+    temperature: Union[float, Sequence[float]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    initial_prompt: Optional[str] = None,
+    max_new_tokens: int = 224,
+    patience: Optional[float] = None,
+    length_penalty: Optional[float] = None,
+    word_timestamps: bool = False,
+    alignment_heads=None,
+    prepend_punctuations: str = "\"'“¿([{-",
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+    seed: int = 0,
+) -> List[dict]:
+    """audio: float32 16 kHz waveform of any length. Returns one dict per
+    hypothesis rank: {"text", "segments", "language"}
+    (ref: data/whisper/transcribe.py:451-457)."""
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_asr import _token_id
+    from dualhyp_tpu.models import whisper as w
+
+    enc_params, enc_cfg = encoder
+    dec_params, dec_cfg = decoder
+
+    temperatures = (
+        [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+    )
+
+    # mel over the whole recording + 30s silence (ref: transcribe.py:126)
+    padded = np.concatenate(
+        [np.asarray(audio, np.float32), np.zeros(N_SAMPLES, np.float32)]
+    )
+    mel = w.log_mel_spectrogram(padded, enc_cfg.n_mels)
+    content_frames = mel.shape[-1] - N_FRAMES
+
+    input_stride = N_FRAMES // enc_cfg.n_ctx  # mel frames per token: 2
+    time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
+
+    if initial_prompt is not None:
+        try:
+            initial_prompt_tokens = tokenizer.encode(
+                " " + initial_prompt.strip(), add_special_tokens=False
+            )
+        except TypeError:
+            initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+    else:
+        initial_prompt_tokens = []
+
+    eot = _token_id(tokenizer, "<|endoftext|>")
+    ts_begin_id = _token_id(tokenizer, "<|0.00|>")
+    ts_begin = ts_begin_id if ts_begin_id >= 0 else None
+    no_ts = _token_id(tokenizer, "<|notimestamps|>")
+
+    def decode_window(seek):
+        mel_segment = w.pad_or_trim(mel[:, seek:seek + N_FRAMES], N_FRAMES)
+        features = w.encode(enc_params, enc_cfg, jnp.asarray(mel_segment[None]))
+        result, detok = decode_window_with_fallback(
+            features, decoder, tokenizer,
+            beam_size=beam_size, temperatures=temperatures,
+            compression_ratio_threshold=compression_ratio_threshold,
+            logprob_threshold=logprob_threshold,
+            no_speech_threshold=no_speech_threshold,
+            max_new_tokens=max_new_tokens, language=language,
+            patience=patience, length_penalty=length_penalty,
+            initial_prompt_tokens=initial_prompt_tokens,
+            enc_cfg=enc_cfg, seed=seed,
+        )
+        return result, detok, features
+
+    def should_skip(result):
+        if no_speech_threshold is None:
+            return False
+        skip = result.no_speech_prob > no_speech_threshold
+        if (
+            logprob_threshold is not None
+            and result.avg_logprob > logprob_threshold
+        ):
+            skip = False  # confident despite no_speech (transcribe.py:245-250)
+        return skip
+
+    def make_new_segment(seek, result, detok):
+        def new_segment(*, start, end, tokens):
+            text_tokens = [t for t in tokens if t < eot or (eot < 0)]
+            return {
+                "seek": seek,
+                "start": start,
+                "end": end,
+                "text": detok(text_tokens),
+                "tokens": list(tokens),
+                "temperature": result.temperature,
+                "avg_logprob": result.avg_logprob,
+                "compression_ratio": result.compression_ratio,
+                "no_speech_prob": result.no_speech_prob,
+            }
+        return new_segment
+
+    def clear_degenerate(segments):
+        """Instantaneous or text-free segments are blanked
+        (ref: transcribe.py:332-338)."""
+        for segment in segments:
+            if segment["start"] == segment["end"] or not segment["text"].strip():
+                segment["text"] = ""
+                segment["tokens"] = []
+                segment["words"] = []
+
+    timing_kwargs = dict(
+        sot_sequence=[], no_timestamps_id=no_ts, eot_id=eot,
+        language=language, alignment_heads=alignment_heads,
+        prepend_punctuations=prepend_punctuations,
+        append_punctuations=append_punctuations,
+    )
+
+    def attach_words(segments, features, segment_size, result, detok,
+                     last_ts):
+        if not (word_timestamps and segments):
+            return last_ts
+        from dualhyp_tpu.infer import whisper_timing
+
+        kw = dict(timing_kwargs)
+        # the alignment prefix is the decode prefix (the sot sequence)
+        kw["sot_sequence"] = result.hyps[0].tokens[: result.sample_begin]
+        if kw["no_timestamps_id"] is not None and kw["no_timestamps_id"] < 0:
+            kw["no_timestamps_id"] = eot  # degrade: no marker token
+        return whisper_timing.add_word_timestamps(
+            segments=segments, dec_params=dec_params, dec_cfg=dec_cfg,
+            features=features, num_frames=segment_size,
+            decode_fn=lambda toks: tokenizer.decode(toks),
+            last_speech_timestamp=last_ts, **kw,
+        )
+
+    n_hyps = beam_size
+    segments_per_hyp: List[List[dict]] = [[] for _ in range(n_hyps)]
+    tokens_per_hyp: List[List[int]] = [[] for _ in range(n_hyps)]
+    last_ts_per_hyp = [0.0] * n_hyps
+
+    # first window decoded once, consumed by every hypothesis stream
+    # (ref: transcribe.py:230-344)
+    seeks = [0] * n_hyps
+    if content_frames > 0:
+        first, detok, first_features = decode_window(0)
+        segment_size0 = min(N_FRAMES, content_frames)
+        if should_skip(first):
+            seeks = [segment_size0] * n_hyps
+        else:
+            new_seg = make_new_segment(0, first, detok)
+            for j in range(n_hyps):
+                hyp = first.hyps[j]
+                segs, inc = _split_segments(
+                    hyp.tokens[hyp.sample_begin:], ts_begin=ts_begin, seek=0,
+                    time_precision=time_precision, segment_size=segment_size0,
+                    segment_duration=segment_size0 * HOP_LENGTH / SAMPLE_RATE,
+                    input_stride=input_stride, new_segment=new_seg,
+                )
+                last_ts_per_hyp[j] = attach_words(
+                    segs, first_features, segment_size0, first, detok,
+                    last_ts_per_hyp[j],
+                )
+                clear_degenerate(segs)
+                segments_per_hyp[j].extend(segs)
+                tokens_per_hyp[j].extend(
+                    t for seg in segs for t in seg["tokens"]
+                )
+                seeks[j] += inc
+
+    # per-hypothesis sliding windows (ref: transcribe.py:346-449)
+    for j in range(n_hyps):
+        seek = seeks[j]
+        while seek < content_frames:
+            result, detok, features = decode_window(seek)
+            segment_size = min(N_FRAMES, content_frames - seek)
+            if should_skip(result):
+                seek += segment_size
+                continue
+            hyp = result.hyps[j]
+            segs, inc = _split_segments(
+                hyp.tokens[hyp.sample_begin:], ts_begin=ts_begin, seek=seek,
+                time_precision=time_precision, segment_size=segment_size,
+                segment_duration=segment_size * HOP_LENGTH / SAMPLE_RATE,
+                input_stride=input_stride,
+                new_segment=make_new_segment(seek, result, detok),
+            )
+            last_ts_per_hyp[j] = attach_words(
+                segs, features, segment_size, result, detok, last_ts_per_hyp[j]
+            )
+            clear_degenerate(segs)
+            segments_per_hyp[j].extend(segs)
+            tokens_per_hyp[j].extend(t for seg in segs for t in seg["tokens"])
+            seek += max(inc, 1)  # guard: a zero advance would loop forever
+
+    detok_final = lambda toks: tokenizer.decode(
+        [t for t in toks if t != eot and (ts_begin is None or t < ts_begin)],
+        skip_special_tokens=True,
+    )
+    return [
+        dict(
+            text=detok_final(tokens_per_hyp[j]),
+            segments=segments_per_hyp[j],
+            language=language,
+        )
+        for j in range(n_hyps)
+    ]

@@ -369,6 +369,62 @@ def decode_logits(params: dict, cfg: WhisperDecoderConfig, tokens, audio_feature
     ).astype(jnp.float32)
 
 
+def decode_logits_with_cross_qk(params: dict, cfg: WhisperDecoderConfig,
+                                tokens, audio_features,
+                                compute_dtype=jnp.float32):
+    """`decode_logits` that also returns every layer's cross-attention QK
+    logit matrix (L, B, H, T, S) — the word-timestamp alignment input the
+    reference collects via forward hooks on cross_attn
+    (ref: data/whisper/timing.py:185-205, model.py qk return). The qk
+    values match the reference's pre-softmax (q*scale)@(k*scale) product in
+    float32."""
+    b, t = tokens.shape
+    x = jnp.take(params["token_embedding"], tokens, axis=0).astype(compute_dtype)
+    x = x + params["positional_embedding"][:t].astype(compute_dtype)
+    xa = audio_features.astype(compute_dtype)
+    hd = cfg.n_state // cfg.n_head
+    scale = hd ** -0.25
+
+    def body(carry, leaf):
+        h = carry
+        h = h + _mha_qkv(
+            leaf["attn"],
+            layer_norm(h, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"]),
+            layer_norm(h, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"]),
+            cfg.n_head,
+            causal=True,
+        )
+        # inline cross attention, capturing the qk logits
+        q_in = layer_norm(h, leaf["cross_ln"]["scale"], leaf["cross_ln"]["bias"])
+        cl = leaf["cross"]
+        tk = xa.shape[1]
+        q = _linear(cl["query"], q_in).reshape(b, t, cfg.n_head, hd).transpose(0, 2, 1, 3)
+        k = _linear(cl["key"], xa).reshape(b, tk, cfg.n_head, hd).transpose(0, 2, 1, 3)
+        v = _linear(cl["value"], xa).reshape(b, tk, cfg.n_head, hd).transpose(0, 2, 1, 3)
+        qk = einsum(
+            "bhtd,bhsd->bhts",
+            (q * scale).astype(jnp.float32),
+            (k * scale).astype(jnp.float32),
+        )
+        w_attn = jax.nn.softmax(qk, axis=-1).astype(q_in.dtype)
+        out = einsum("bhts,bhsd->bhtd", w_attn, v)
+        h = h + _linear(cl["out"], out.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_state))
+
+        n = layer_norm(h, leaf["mlp_ln"]["scale"], leaf["mlp_ln"]["bias"])
+        h = h + _linear(
+            leaf["mlp"]["fc2"],
+            jax.nn.gelu(_linear(leaf["mlp"]["fc1"], n), approximate=False),
+        )
+        return h, qk
+
+    x, qks = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    logits = einsum(
+        "btd,vd->btv", x, params["token_embedding"].astype(x.dtype)
+    ).astype(jnp.float32)
+    return logits, qks
+
+
 # ---- cached decoding (one-token steps against self-attn KV + precomputed
 # cross-attn KV; the reference caches per-module via forward hooks,
 # ref: model.py:186-199 install_kv_cache_hooks) ----
