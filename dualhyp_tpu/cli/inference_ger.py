@@ -44,11 +44,14 @@ def build_parser():
                              "batch-1 decode, token-exact in practice; int4 "
                              "= GPTQ-style group-wise, ~4x smaller weights, "
                              "lossy — validate WER before serving")
-    parser.add_argument("--speculative", action="store_true",
-                        help="prompt-lookup speculative decoding (greedy "
-                             "only; token-identical — corrections mostly "
-                             "copy hypothesis spans, so drafts verify "
-                             "several tokens per model step)")
+    parser.add_argument("--speculative", nargs="?", const="lookup",
+                        choices=["lookup", "anchored"], default=None,
+                        help="speculative decoding (greedy only; token-"
+                             "identical): 'lookup' drafts from suffix "
+                             "n-gram matches anywhere in the buffer; "
+                             "'anchored' follows the best-hypothesis span "
+                             "with a monotonic pointer (higher acceptance "
+                             "— corrections copy that span)")
     parser.add_argument("--draft_len", type=int, default=8,
                         help="speculative draft window (tokens verified "
                              "per step = draft_len + 1)")
@@ -66,6 +69,21 @@ def build_parser():
     common.add_data_args(parser)
     common.add_mesh_args(parser)
     return parser
+
+
+def _best_hypothesis_text(ex, dataset):
+    """Best ASR hypothesis string of a PackedExample (for the anchored
+    draft span); '' when unavailable."""
+    if not getattr(ex, "records", None):
+        return ""
+    rec = ex.records[0]
+    key = getattr(dataset, "nhyps_key_asr", None) or getattr(
+        dataset, "nhyps_key", "nhyps_asr"
+    )
+    try:
+        return rec[key]["hyps"][0]
+    except (KeyError, IndexError, TypeError):
+        return ""
 
 
 def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
@@ -87,7 +105,9 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
     sequences refill immediately, no lockstep straggler wait) with
     speculative decoding — infer/serve.ContinuousBatcher."""
     from dualhyp_tpu.data.collate import bucket_length
-    from dualhyp_tpu.infer.decode import generate, generate_lookup
+    from dualhyp_tpu.infer.decode import (
+        find_subsequence_span, generate, generate_anchored, generate_lookup,
+    )
     from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
 
     if (speculative or scheduler == "continuous") and top_k != 1:
@@ -140,7 +160,37 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
         if batch_spec is not None:
             dev_ids = jax.device_put(dev_ids, batch_spec)
             dev_lengths = jax.device_put(dev_lengths, batch_spec)
-        if speculative:
+        if speculative == "anchored":
+            # best-hypothesis token span per row (0-span rows degrade to
+            # suffix lookup inside the kernel)
+            span_start = np.zeros((decode_batch,), np.int32)
+            span_len = np.zeros((decode_batch,), np.int32)
+            for i, ex in enumerate(chunk):
+                best = _best_hypothesis_text(ex, dataset)
+                if best:
+                    try:
+                        hyp_ids = tokenizer.encode(
+                            best, add_special_tokens=False
+                        )
+                    except TypeError:
+                        hyp_ids = tokenizer.encode(best)
+                    s, l = find_subsequence_span(
+                        list(ids[i][: int(lengths[i])]), hyp_ids
+                    )
+                    span_start[i], span_len[i] = s, l
+            tokens, total_lengths = generate_anchored(
+                params,
+                model_cfg,
+                dev_ids,
+                dev_lengths,
+                jnp.asarray(span_start),
+                jnp.asarray(span_len),
+                max_new_tokens=max_new_tokens,
+                eos_id=eos_id,
+                draft_len=draft_len,
+                compute_dtype=compute_dtype,
+            )
+        elif speculative:
             tokens, total_lengths = generate_lookup(
                 params,
                 model_cfg,

@@ -100,6 +100,56 @@ def transcribe_vsr_nbest(video, frontend_params, enc_params, enc_cfg,
     return nbest_texts(beam_hyps, detok, n=n_best, normalizer=normalizer)
 
 
+def transcribe_vsr_nbest_batch(videos, frontend_params, enc_params, enc_cfg,
+                               dec_params, dec_cfg, ctc_params, token_list, *,
+                               beam_size=40, ctc_weight=0.1, lm_weight=0.0,
+                               penalty=0.0, n_best=5, max_len=100, lm=None,
+                               normalizer=None):
+    """U videos -> list of (texts, scores), decoded in ONE lockstep
+    device-side joint beam (infer/joint_device_beam.py): the per-step host
+    round-trip that dominates per-utterance decoding on tunneled TPUs is
+    paid once per token for the whole batch. Per-utterance results match
+    `transcribe_vsr_nbest`."""
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.beam_search import BeamHypothesis, nbest_texts
+    from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
+    from dualhyp_tpu.models import espnet_decoder as ed
+    from dualhyp_tpu.models import raven
+
+    sos = eos = len(token_list) - 1
+    blank = 0
+    memories, ctc_lps = [], []
+    for video in videos:
+        feats = raven.conv3d_frontend(
+            frontend_params, jnp.asarray(video[None, None], jnp.float32)
+        )
+        memory = raven.encode(enc_params, enc_cfg, feats)
+        memories.append(np.asarray(memory, np.float32)[0])
+        ctc_lps.append(np.asarray(ed.ctc_log_probs(ctc_params, memory))[0])
+
+    all_hyps = joint_device_beam_batch(
+        dec_params, dec_cfg, memories,
+        ctc_lps if ctc_weight > 0 else None,
+        sos=sos, eos=eos, beam_size=beam_size,
+        weights={
+            "decoder": 1.0 - ctc_weight,
+            "ctc": ctc_weight,
+            "lm": lm_weight,
+            "length_bonus": penalty,
+        },
+        max_len=max_len, lm=lm, blank=blank,
+    )
+    detok = lambda toks: spm_detokenize([token_list[t] for t in toks])
+    return [
+        nbest_texts(
+            [BeamHypothesis(h.result_tokens(sos, eos), h.score) for h in hyps],
+            detok, n=n_best, normalizer=normalizer,
+        )
+        for hyps in all_hyps
+    ]
+
+
 def make_json(cfg: dict, shard_index=0, num_shards=1):
     import jax
     import jax.numpy as jnp
@@ -147,7 +197,66 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     rng = np.random.default_rng(cfg.get("seed", 0) + shard_index)
     occ_type = cfg.get("occ_type", "pixelate")
     dump_every = int(cfg.get("dump_every", 25))
+    decode_batch = int(cfg.get("decode_batch", 8))
+    beam_kwargs = dict(
+        beam_size=int(cfg.get("beam_size", 40)),
+        ctc_weight=float(cfg.get("ctc_weight", 0.1)),
+        penalty=float(cfg.get("penalty", 0.0)),
+        n_best=int(cfg.get("n_best", 5)),
+        normalizer=normalizer,
+    )
 
+    def emit(uid, roi_path, caption, vcfg, texts, scores):
+        if not texts:
+            return
+        caption_norm = normalizer(caption)
+        records.append(
+            {
+                "Dataset": cfg.get("dataset_name", ""),
+                "Uid": uid,
+                "Caption": caption_norm,
+                "Mouthroi": roi_path,
+                "Noise_Category": occ_type,
+                "nhyps": {"hyps": texts, "scores": scores},
+                "Visual_Corruption": vcfg,
+                "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
+            }
+        )
+
+    def flush(pending):
+        """Decode a group in ONE lockstep device beam; fall back to
+        per-utterance decoding if the batch fails so one bad sample
+        can't sink its neighbours (per-sample skip, ref:
+        data/make_json_vsr.py error handling)."""
+        if not pending:
+            return
+        try:
+            if len(pending) > 1:
+                results = transcribe_vsr_nbest_batch(
+                    [p[3] for p in pending], frontend_params, enc_params,
+                    enc_cfg, dec_params, dec_cfg, ctc_params, token_list,
+                    **beam_kwargs,
+                )
+                for (uid, roi_path, caption, _, vcfg), (texts, scores) in zip(
+                    pending, results
+                ):
+                    emit(uid, roi_path, caption, vcfg, texts, scores)
+                return
+        except Exception as exc:
+            print(f"batched decode failed ({type(exc).__name__}: {exc}); "
+                  f"falling back to per-utterance")
+        for uid, roi_path, caption, processed, vcfg in pending:
+            try:
+                texts, scores = transcribe_vsr_nbest(
+                    processed, frontend_params, enc_params, enc_cfg,
+                    dec_params, dec_cfg, ctc_params, token_list,
+                    **beam_kwargs,
+                )
+                emit(uid, roi_path, caption, vcfg, texts, scores)
+            except Exception as exc:
+                print(f"skip {uid}: {type(exc).__name__}: {exc}")
+
+    pending = []
     for idx, line in enumerate(lines):
         uid, roi_path, caption = line.split("\t")
         if uid in done:
@@ -158,36 +267,19 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
                 video, occ_type, rng=rng, return_config=True
             )
             processed = corruption.eval_pipeline(corrupted.astype(np.float32))
-            texts, scores = transcribe_vsr_nbest(
-                processed, frontend_params, enc_params, enc_cfg, dec_params,
-                dec_cfg, ctc_params, token_list,
-                beam_size=int(cfg.get("beam_size", 40)),
-                ctc_weight=float(cfg.get("ctc_weight", 0.1)),
-                penalty=float(cfg.get("penalty", 0.0)),
-                n_best=int(cfg.get("n_best", 5)),
-                normalizer=normalizer,
-            )
-            if not texts:
-                continue
-            caption_norm = normalizer(caption)
-            records.append(
-                {
-                    "Dataset": cfg.get("dataset_name", ""),
-                    "Uid": uid,
-                    "Caption": caption_norm,
-                    "Mouthroi": roi_path,
-                    "Noise_Category": occ_type,
-                    "nhyps": {"hyps": texts, "scores": scores},
-                    "Visual_Corruption": vcfg,
-                    "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
-                }
-            )
         except Exception as exc:
             print(f"skip {uid}: {type(exc).__name__}: {exc}")
             continue
+        pending.append((uid, roi_path, caption, processed, vcfg))
+        if len(pending) >= decode_batch:
+            flush(pending)
+            pending = []
         if (idx + 1) % dump_every == 0:
+            flush(pending)
+            pending = []
             with open(out_path, "w", encoding="utf-8") as fp:
                 json.dump(records, fp, indent=1, ensure_ascii=False)
+    flush(pending)
     with open(out_path, "w", encoding="utf-8") as fp:
         json.dump(records, fp, indent=1, ensure_ascii=False)
     print(f"wrote {len(records)} records to {out_path}")

@@ -261,6 +261,209 @@ def _lookup_propose(tokens_b, length_b, *, draft_len: int, ngram: int):
     return draft
 
 
+def _anchored_propose(tokens_b, length_b, ptr_b, span_start_b, span_len_b,
+                      *, draft_len: int, ngram: int):
+    """Hypothesis-anchored draft with a monotonic pointer.
+
+    GER output nearly copies the best hypothesis sitting VERBATIM in the
+    prompt (ref: inference/ger.py:74-88 protocol + data/prompts.py
+    packing), so drafting should follow that one span monotonically
+    instead of suffix-matching the whole buffer: the n-gram suffix of the
+    generated text is searched only inside the hypothesis span at
+    continuation positions >= ptr (EARLIEST such match — the copy
+    progresses left-to-right, and the pointer disambiguates repeated
+    words the whole-buffer lookup latches onto). Falls back to the
+    whole-buffer `_lookup_propose` when the span has no match (e.g. the
+    model is inserting a correction).
+
+    Returns (draft (D,), span_pos (continuation index, span-relative;
+    -1 = fallback used)).
+    """
+    max_seq = tokens_b.shape[0]
+    draft = jnp.zeros((draft_len,), jnp.int32)
+    have = jnp.bool_(False)
+    span_pos = jnp.int32(-1)
+    usable = span_len_b > 0
+    for n in range(ngram, 0, -1):
+        ctx = jax.lax.dynamic_slice(
+            tokens_b, (jnp.maximum(length_b - n, 0),), (n,)
+        )
+        n_win = max_seq - n + 1
+        win = jnp.stack(
+            [jax.lax.slice(tokens_b, (m,), (m + n_win,)) for m in range(n)],
+            axis=1,
+        )  # (n_win, n)
+        jpos = jnp.arange(n_win)
+        rel = jpos - span_start_b  # span-relative window start
+        ok = (
+            jnp.all(win == ctx[None, :], axis=1)
+            & (rel >= 0)
+            & (rel + n <= span_len_b)  # n-gram inside the span
+            & (rel + n >= ptr_b)       # monotone: continue at/after ptr
+            & usable
+        )
+        j = jnp.min(jnp.where(ok, jpos, max_seq))  # EARLIEST match
+        found = j < max_seq
+        d = jax.lax.dynamic_slice(
+            tokens_b, (jnp.minimum(j, max_seq - 1) + n,), (draft_len,)
+        )
+        take = ~have & found
+        draft = jnp.where(take, d, draft)
+        span_pos = jnp.where(take, j - span_start_b + n, span_pos)
+        have = have | found
+    fb = _lookup_propose(tokens_b, length_b, draft_len=draft_len, ngram=ngram)
+    draft = jnp.where(have, draft, fb)
+    return draft, span_pos
+
+
+def anchored_step(params, cfg: GPTConfig, state, span_start, span_len, *,
+                  draft_len: int, ngram: int, eos_id: Optional[int],
+                  max_new_tokens, compute_dtype):
+    """One hypothesis-anchored draft+verify iteration. state extends the
+    `lookup_step` tuple with the per-row span pointer:
+    (tokens, lengths, emitted, cache, done, last, steps, ptr)."""
+    tokens, lengths, emitted, cache, done, last, steps, ptr = state
+    b = tokens.shape[0]
+    k_win = draft_len + 1
+    active = ~done & (emitted < max_new_tokens)
+
+    draft, span_pos = jax.vmap(
+        partial(_anchored_propose, draft_len=draft_len, ngram=ngram)
+    )(tokens, lengths, ptr, span_start, span_len)
+    chunk = jnp.concatenate([last[:, None], draft], axis=1)  # (B, K)
+    start = lengths - 1
+    logits, cache = gpt.verify_step(
+        params, cfg, chunk, start, cache, compute_dtype=compute_dtype
+    )
+    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
+
+    acc = jnp.cumprod((draft == out[:, :draft_len]).astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(acc, axis=1)
+
+    iidx = jnp.arange(k_win)[None, :]
+    cand_ok = iidx <= n_acc[:, None]
+    if eos_id is None:
+        first_eos = jnp.full((b,), k_win)
+    else:
+        eos_hit = cand_ok & (out == eos_id)
+        first_eos = jnp.min(jnp.where(eos_hit, iidx, k_win), axis=1)
+    emit = jnp.minimum(first_eos, n_acc + 1)
+    emit = jnp.minimum(emit, max_new_tokens - emitted)
+    emit = jnp.where(active, emit, 0)
+    newly_done = done | (active & (first_eos <= n_acc))
+
+    def blend(tokens_b, out_b, length_b, emit_b):
+        cur = jax.lax.dynamic_slice(tokens_b, (length_b,), (k_win,))
+        new = jnp.where(jnp.arange(k_win) < emit_b, out_b, cur)
+        return jax.lax.dynamic_update_slice(tokens_b, new, (length_b,))
+
+    tokens = jax.vmap(blend)(tokens, out, lengths, emit)
+    next_last = jax.vmap(
+        lambda out_b, e: out_b[jnp.maximum(e - 1, 0)]
+    )(out, emit)
+    last = jnp.where(emit > 0, next_last, last)
+    lengths = lengths + emit
+    emitted = emitted + emit
+    # pointer consumes exactly the accepted span tokens; on fallback or
+    # full rejection it stays (monotone, never overshoots the copy)
+    ptr = jnp.where(
+        active & (span_pos >= 0), span_pos + n_acc, ptr
+    )
+    return tokens, lengths, emitted, cache, newly_done, last, steps + 1, ptr
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "eos_id",
+        "draft_len",
+        "ngram",
+        "compute_dtype",
+        "return_steps",
+    ),
+)
+def generate_anchored(
+    params,
+    cfg: GPTConfig,
+    prompt_ids,
+    prompt_lengths,
+    span_start,
+    span_len,
+    *,
+    max_new_tokens: int = 150,
+    eos_id: Optional[int] = None,
+    draft_len: int = 8,
+    ngram: int = 3,
+    compute_dtype=jnp.bfloat16,
+    return_steps: bool = False,
+):
+    """`generate_lookup` with hypothesis-anchored monotonic-pointer
+    drafting. span_start/span_len (B,): the best hypothesis's token span
+    inside each prompt (find it with `find_subsequence_span`); a zero
+    span degrades to pure suffix lookup. Token-identical to
+    `generate(..., top_k=1)` — drafting only changes acceptance."""
+    assert draft_len >= 1
+    b, t = prompt_ids.shape
+    k_win = draft_len + 1
+    max_seq = t + max_new_tokens + k_win
+    assert t + max_new_tokens <= cfg.block_size
+
+    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype)
+    logits, cache = gpt.prefill(
+        params, cfg, prompt_ids, prompt_lengths, cache,
+        compute_dtype=compute_dtype,
+    )
+    tokens = jnp.zeros((b, max_seq), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids, (0, 0))
+
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    done = jnp.zeros((b,), bool) if eos_id is None else (first == eos_id)
+
+    def write_at(buf, tok, pos):
+        return jax.vmap(
+            lambda row, v, p: jax.lax.dynamic_update_slice(row, v[None], (p,))
+        )(buf, tok, pos)
+
+    tokens = write_at(tokens, jnp.where(done, 0, first), prompt_lengths)
+    lengths = prompt_lengths + jnp.where(done, 0, 1)
+    emitted = jnp.where(done, 0, 1)
+
+    def cond(state):
+        return jnp.any(~state[4] & (state[2] < max_new_tokens))
+
+    def body(state):
+        return anchored_step(
+            params, cfg, state, jnp.asarray(span_start), jnp.asarray(span_len),
+            draft_len=draft_len, ngram=ngram, eos_id=eos_id,
+            max_new_tokens=max_new_tokens, compute_dtype=compute_dtype,
+        )
+
+    state = (tokens, lengths, emitted, cache, done, first, jnp.int32(0),
+             jnp.zeros((b,), jnp.int32))
+    tokens, lengths, emitted, _, _, _, steps, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    if return_steps:
+        return tokens[:, : t + max_new_tokens], lengths, (steps, emitted)
+    return tokens[:, : t + max_new_tokens], lengths
+
+
+def find_subsequence_span(prompt_ids, sub_ids):
+    """Host helper: (start, len) of the FIRST occurrence of `sub_ids`
+    inside `prompt_ids` (python lists/1-D arrays); (0, 0) if absent or
+    empty — generate_anchored degrades to suffix lookup then."""
+    prompt = list(prompt_ids)
+    sub = list(sub_ids)
+    if not sub or len(sub) > len(prompt):
+        return 0, 0
+    for i in range(len(prompt) - len(sub) + 1):
+        if prompt[i:i + len(sub)] == sub:
+            return i, len(sub)
+    return 0, 0
+
+
 def lookup_step(params, cfg: GPTConfig, state, *, draft_len: int, ngram: int,
                 eos_id: Optional[int], max_new_tokens, compute_dtype):
     """One speculative draft+verify iteration over the decode state tuple

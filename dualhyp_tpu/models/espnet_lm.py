@@ -42,7 +42,9 @@ def lm_logprobs(params: dict, cfg: EspnetLMConfig, tokens):
     )
     emb = jnp.take(params["embed"]["weight"], tokens, axis=0)
     t = tokens.shape[1]
-    causal = jnp.tril(jnp.ones((t, t), bool))
+    # 3-D (1, T, T) so _mha cannot misread it as a (B, S) padding mask
+    # when the batch size happens to equal T
+    causal = jnp.tril(jnp.ones((t, t), bool))[None]
     h = raven.encode(params["encoder"], enc_cfg, emb, mask=causal)
     logits = _linear(params["decoder"], h[:, -1])
     return jax.nn.log_softmax(logits, axis=-1)

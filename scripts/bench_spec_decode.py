@@ -183,6 +183,69 @@ def part_a():
             flush=True,
         )
 
+    # hypothesis-anchored drafting: monotonic pointer over the best-ASR
+    # span sitting verbatim in the prompt (infer/decode.generate_anchored)
+    from dualhyp_tpu.infer.decode import (
+        find_subsequence_span, generate_anchored,
+    )
+
+    span_start = np.zeros((b,), np.int32)
+    span_len = np.zeros((b,), np.int32)
+    for i, ex in enumerate(examples):
+        best = ex.records[0]["nhyps_asr"]["hyps"][0]
+        s, l = find_subsequence_span(
+            list(np.asarray(ids[i])[: int(lengths[i])]), tok.encode(best)
+        )
+        span_start[i], span_len[i] = s, l
+    n_spanned = int((span_len > 0).sum())
+    print(f"  anchored spans located: {n_spanned}/{b}", flush=True)
+    sps, spl = jnp.asarray(span_start), jnp.asarray(span_len)
+
+    def run_anchored(draft_len):
+        return generate_anchored(
+            params, cfg, ids, lengths, sps, spl, max_new_tokens=max_new,
+            eos_id=tok.eos_token_id, draft_len=draft_len, return_steps=True,
+        )
+
+    for draft_len in (8, 12):
+        st, sl, (steps, emitted) = run_anchored(draft_len)
+        jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        st, sl, (steps, emitted) = run_anchored(draft_len)
+        jax.block_until_ready(st)
+        wall = time.perf_counter() - t0
+        ok = bool(np.array_equal(np.asarray(sl), np.asarray(bl)))
+        tps = float(np.mean(np.asarray(emitted))) / max(int(steps), 1)
+        print(
+            f"  anchored draft={draft_len}: {wall*1000:.0f} ms, "
+            f"{int(steps)} steps for mean "
+            f"{float(np.mean(np.asarray(emitted))):.1f} tokens -> "
+            f"{tps:.2f} tokens/step (batch-lockstep), identical={ok}, "
+            f"speedup x{base_wall/wall:.2f}",
+            flush=True,
+        )
+
+    for draft_len in (8, 12):
+        row_tps = []
+        for i in range(24):
+            _, _, (steps, emitted) = generate_anchored(
+                params, cfg, ids[i : i + 1], lengths[i : i + 1],
+                sps[i : i + 1], spl[i : i + 1], max_new_tokens=max_new,
+                eos_id=tok.eos_token_id, draft_len=draft_len,
+                return_steps=True,
+            )
+            e = int(np.asarray(emitted)[0])
+            if e:
+                row_tps.append(e / int(steps))
+        row_tps = np.asarray(row_tps)
+        print(
+            f"  per-row ANCHORED acceptance (draft={draft_len}): "
+            f"mean {row_tps.mean():.2f} tokens/step, median "
+            f"{np.median(row_tps):.2f}, min {row_tps.min():.2f}, "
+            f"max {row_tps.max():.2f}",
+            flush=True,
+        )
+
 
 def part_b():
     print("== B. flagship 1.1B mechanics (random weights, worst case) ==", flush=True)

@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--beam", type=int, default=40)
     ap.add_argument("--frames", type=int, default=100, help="~4 s at 25 fps")
     ap.add_argument("--max_len", type=int, default=40)
+    ap.add_argument("--utts", type=int, default=8,
+                    help="lockstep batch width for the device beam")
+    ap.add_argument("--host_beam", action="store_true",
+                    help="also time the host-driven per-utterance beam")
     args = ap.parse_args()
 
     from dualhyp_tpu.infer.beam_search import nbest_texts, BeamHypothesis
@@ -142,15 +146,43 @@ def main():
         )
         return hyps
 
-    hyps = run()  # compile warm
+    if args.host_beam:
+        hyps = run()  # compile warm
+        t0 = time.perf_counter()
+        hyps = run()
+        t_beam = time.perf_counter() - t0
+        print(
+            f"BRAVEn-large VSR host beam: encode {args.frames} frames "
+            f"{t_enc*1e3:.1f} ms; joint beam-{args.beam} ({args.max_len} "
+            f"steps max): {t_beam*1e3:.0f} ms -> total "
+            f"{(t_enc+t_beam)*1e3:.0f} ms/utterance "
+            f"({len(hyps)} finished hyps)"
+        )
+
+    # lockstep device beam over --utts utterances (the production path)
+    from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
+
+    ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
+    mem_np = np.asarray(memory, np.float32)[0]
+    memories = [mem_np] * args.utts
+    ctc_lps = [ctc_lp] * args.utts
+
+    def run_batched():
+        return joint_device_beam_batch(
+            dec_params, dec_cfg, memories, ctc_lps,
+            sos=vocab - 1, eos=vocab - 1, beam_size=args.beam,
+            weights={"decoder": 0.9, "ctc": 0.1}, max_len=args.max_len,
+        )
+
+    out = run_batched()  # compile warm
     t0 = time.perf_counter()
-    hyps = run()
-    t_beam = time.perf_counter() - t0
+    out = run_batched()
+    t_batch = time.perf_counter() - t0
     print(
-        f"BRAVEn-large VSR: encode {args.frames} frames {t_enc*1e3:.1f} ms; "
-        f"joint beam-{args.beam} ({args.max_len} steps max): "
-        f"{t_beam*1e3:.0f} ms -> total {(t_enc+t_beam)*1e3:.0f} ms/utterance "
-        f"({len(hyps)} finished hyps)"
+        f"BRAVEn-large VSR device beam: {args.utts} utterances lockstep, "
+        f"beam {args.beam}, {args.max_len} steps max: {t_batch*1e3:.0f} ms "
+        f"-> {t_batch/args.utts*1e3:.0f} ms/utterance (+{t_enc*1e3:.1f} ms "
+        f"encode); {len(out[0])} hyps/utt"
     )
 
 

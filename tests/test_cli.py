@@ -105,6 +105,23 @@ def test_finetune_and_inference_ger_cli(tiny_checkpoint, corpus_files, tmp_path,
         rows = json.load(fp)
     assert "WER" in rows[-1] and "p50_latency_s" in rows[-1]
 
+    # hypothesis-anchored speculative decoding must be token-identical:
+    # same WER through the same protocol
+    inference_ger.main(
+        [
+            "--test_path", str(corpus_files / "test.json"),
+            "--model_path", str(run_dir / "best_model.npz"),
+            "--llm_checkpoint", str(tiny_checkpoint),
+            "--dual_hypotheses", "--prompts_format", "DualHyp",
+            "--decode_batch", "2", "--max_new_tokens", "6",
+            "--speculative", "anchored", "--draft_len", "4",
+        ]
+    )
+    spec_rows = json.load(open(sorted(
+        (run_dir / "predictions").glob("*.json")
+    )[-1]))
+    assert spec_rows[-1]["WER"] == rows[-1]["WER"]
+
 
 def test_finetune_ger_cli_adapter_mode(tiny_checkpoint, corpus_files, tmp_path,
                                        monkeypatch):

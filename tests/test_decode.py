@@ -156,6 +156,118 @@ def test_generate_lookup_matches_generate_greedy():
                     )
 
 
+def test_generate_anchored_matches_generate_greedy():
+    """Hypothesis-anchored speculative decode is token-identical to greedy
+    generate() — across ragged batches, EOS, draft lengths, and with
+    present/absent/degenerate spans."""
+    from dualhyp_tpu.infer.decode import generate_anchored
+
+    for seed in (3, 11):
+        cfg = helpers.tiny_llama_config()
+        params = gpt.init(cfg, jax.random.key(seed))
+        rng = np.random.default_rng(seed)
+        b, t, max_new = 3, 10, 12
+        ids = rng.integers(1, cfg.vocab_size, (b, t)).astype(np.int32)
+        ids[0, 4:6] = ids[0, 0:2]
+        lens = np.asarray([t, t - 3, t - 5], np.int32)
+        for row, l in enumerate(lens):
+            ids[row, l:] = 0
+        # row 0: a real span; row 1: zero span (degrades to lookup);
+        # row 2: span covering the whole prompt
+        span_start = np.asarray([2, 0, 0], np.int32)
+        span_len = np.asarray([5, 0, t - 5], np.int32)
+        base = generate(
+            params, cfg, jnp.asarray(ids), jnp.asarray(lens),
+            max_new_tokens=max_new, temperature=0.2, top_k=1,
+            compute_dtype=jnp.float32,
+        )
+        eos = int(np.asarray(base[0])[0, lens[0]])
+        for draft_len in (1, 4, 8):
+            for eos_id in (None, eos):
+                want_tok, want_len = generate(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(lens),
+                    max_new_tokens=max_new, temperature=0.2, top_k=1,
+                    eos_id=eos_id, compute_dtype=jnp.float32,
+                )
+                got_tok, got_len = generate_anchored(
+                    params, cfg, jnp.asarray(ids), jnp.asarray(lens),
+                    jnp.asarray(span_start), jnp.asarray(span_len),
+                    max_new_tokens=max_new, eos_id=eos_id,
+                    draft_len=draft_len, compute_dtype=jnp.float32,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got_len), np.asarray(want_len),
+                    err_msg=f"seed={seed} draft={draft_len} eos={eos_id}",
+                )
+                for row in range(b):
+                    n = int(want_len[row])
+                    np.testing.assert_array_equal(
+                        np.asarray(got_tok)[row, :n],
+                        np.asarray(want_tok)[row, :n],
+                        err_msg=f"seed={seed} draft={draft_len} "
+                                f"eos={eos_id} row={row}",
+                    )
+
+
+def test_anchored_propose_follows_span_and_pointer():
+    """The anchored draft copies the hypothesis span continuation, uses
+    the EARLIEST at/after-pointer match (plain lookup would latch onto
+    the most-recent, e.g. self-repetition in the generated text), and
+    the pointer disambiguates repeated n-grams inside the span."""
+    from dualhyp_tpu.infer.decode import _anchored_propose, _lookup_propose
+
+    # buffer layout: [prefix 0..2][span 3..10][suffix][generated ...]
+    #   span = 7 8 9 5 7 8 9 6   (the trigram 7 8 9 occurs twice)
+    buf = np.zeros((32,), np.int32)
+    buf[:3] = [1, 2, 3]
+    span = [7, 8, 9, 5, 7, 8, 9, 6]
+    buf[3:11] = span
+    buf[11:14] = [4, 4, 4]  # other prompt text
+    # generated so far: copied "7 8 9" (the FIRST span occurrence)
+    buf[14:17] = [7, 8, 9]
+    length = 17
+
+    draft, span_pos = _anchored_propose(
+        jnp.asarray(buf), jnp.int32(length), jnp.int32(0),
+        jnp.int32(3), jnp.int32(8), draft_len=4, ngram=3,
+    )
+    # earliest match => continuation is "5 7 8 9" (not the 2nd occurrence)
+    assert list(np.asarray(draft)) == [5, 7, 8, 9]
+    assert int(span_pos) == 3  # continuation index within the span
+
+    # with the pointer advanced past the first occurrence, the SECOND
+    # occurrence's continuation ("6 ...") is proposed instead
+    draft2, span_pos2 = _anchored_propose(
+        jnp.asarray(buf), jnp.int32(length), jnp.int32(5),
+        jnp.int32(3), jnp.int32(8), draft_len=4, ngram=3,
+    )
+    assert list(np.asarray(draft2))[0] == 6
+    assert int(span_pos2) == 7
+
+    # plain whole-buffer lookup prefers the MOST RECENT occurrence — the
+    # second span copy — so the pointer genuinely changes the draft
+    fb = _lookup_propose(jnp.asarray(buf), jnp.int32(length),
+                         draft_len=4, ngram=3)
+    assert list(np.asarray(fb))[0] == 6
+
+    # zero span => identical to the whole-buffer fallback
+    d0, p0 = _anchored_propose(
+        jnp.asarray(buf), jnp.int32(length), jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), draft_len=4, ngram=3,
+    )
+    assert int(p0) == -1
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(fb))
+
+
+def test_find_subsequence_span():
+    from dualhyp_tpu.infer.decode import find_subsequence_span
+
+    assert find_subsequence_span([1, 2, 3, 4, 5], [3, 4]) == (2, 2)
+    assert find_subsequence_span([1, 2, 3], [4]) == (0, 0)
+    assert find_subsequence_span([1, 2, 3], []) == (0, 0)
+    assert find_subsequence_span([1, 2, 1, 2], [1, 2]) == (0, 2)
+
+
 def test_edit_distance_and_wer():
     assert ev.edit_distance("abc", "abc") == 0
     assert ev.edit_distance("abc".split(), "abc".split()) == 0

@@ -1,0 +1,190 @@
+"""Device-side lockstep joint beam == host joint_beam_search (which is
+itself ESPnet-parity-tested in test_joint_beam_search / test_avsr_e2e)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
+from dualhyp_tpu.infer.joint_beam_search import (
+    joint_beam_search,
+    static_shape_att_fn,
+)
+from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
+from dualhyp_tpu.models import espnet_decoder as ed
+
+_REF = Path("/root/reference/data/raven")
+if (_REF / "espnet").is_dir() and str(_REF) not in sys.path:
+    sys.path.insert(0, str(_REF))
+
+requires_espnet = pytest.mark.skipif(
+    not (_REF / "espnet").is_dir(), reason="vendored espnet unavailable"
+)
+
+ODIM = 14
+ADIM = 16
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    import torch
+
+    from espnet.nets.pytorch_backend.transformer.decoder import Decoder
+
+    torch.manual_seed(3)
+    dec = Decoder(
+        odim=ODIM, attention_dim=ADIM, attention_heads=2, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+        self_attention_dropout_rate=0.0, src_attention_dropout_rate=0.0,
+    )
+    dec.eval()
+    cfg = ed.EspnetDecoderConfig(
+        odim=ODIM, attention_dim=ADIM, attention_heads=2, linear_units=32,
+        num_blocks=2,
+    )
+    state = {k: v.detach().numpy() for k, v in dec.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, ed.convert_espnet_decoder(state, cfg)
+    )
+    return params, cfg
+
+
+@pytest.fixture(scope="module")
+def lm():
+    import argparse
+
+    import torch
+
+    from espnet.nets.pytorch_backend.lm.transformer import TransformerLM
+
+    from dualhyp_tpu.models import espnet_lm
+
+    args = argparse.Namespace(
+        layer=2, unit=32, att_unit=16, embed_unit=8, head=2,
+        dropout_rate=0.0, att_dropout_rate=0.0, emb_dropout_rate=0.0,
+        tie_weights=False, pos_enc="sinusoidal",
+    )
+    torch.manual_seed(5)
+    ref = TransformerLM(ODIM, args)
+    ref.eval()
+    cfg = espnet_lm.EspnetLMConfig(
+        n_vocab=ODIM, embed_unit=8, att_unit=16, head=2, unit=32, layer=2
+    )
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree_util.tree_map(
+        jnp.asarray, espnet_lm.convert_espnet_lm(state, cfg)
+    )
+    return params, cfg
+
+
+def _utterances(rng, n=3):
+    mems, ctcs = [], []
+    for i, (s, t) in enumerate(((7, 9), (11, 13), (9, 10))[:n]):
+        mems.append(rng.normal(size=(s, ADIM)).astype(np.float32) * 0.5)
+        ctcs.append(
+            np.log(rng.dirichlet(np.ones(ODIM), size=t)).astype(np.float32)
+        )
+    return mems, ctcs
+
+
+def _host_nbest(decoder, mem, ctc_lp, *, weights, beam, max_len,
+                lm_fn=None):
+    dec_params, dec_cfg = decoder
+    sos = eos = ODIM - 1
+    scorer = (
+        CTCPrefixScorer(ctc_lp, blank=0, eos=eos)
+        if ctc_lp is not None and weights.get("ctc", 0) != 0 else None
+    )
+    att_fn = static_shape_att_fn(
+        dec_params, dec_cfg, jnp.asarray(mem[None]), beam
+    )
+    return joint_beam_search(
+        att_fn, scorer, sos=sos, eos=eos, beam_size=beam,
+        weights=weights, max_len=max_len, lm_logprobs_fn=lm_fn, blank=0,
+    )
+
+
+def _assert_nbest_match(host_hyps, dev_hyps, n=5, rtol=2e-3):
+    sos = eos = ODIM - 1
+    h_tok = [h.result_tokens(sos, eos) for h in host_hyps[:n]]
+    d_tok = [h.result_tokens(sos, eos) for h in dev_hyps[:n]]
+    assert h_tok == d_tok, (h_tok, d_tok)
+    np.testing.assert_allclose(
+        [h.score for h in host_hyps[:n]],
+        [h.score for h in dev_hyps[:n]], rtol=rtol, atol=2e-3,
+    )
+
+
+@requires_espnet
+def test_device_beam_matches_host_batched(rng, decoder):
+    mems, ctcs = _utterances(rng)
+    weights = {"decoder": 0.7, "ctc": 0.3, "length_bonus": 0.1}
+    dev = joint_device_beam_batch(
+        decoder[0], decoder[1], mems, ctcs, sos=ODIM - 1, eos=ODIM - 1,
+        beam_size=4, weights=weights, max_len=8,
+    )
+    for mem, ctc_lp, dev_hyps in zip(mems, ctcs, dev):
+        host_hyps = _host_nbest(
+            decoder, mem, ctc_lp, weights=weights, beam=4, max_len=8
+        )
+        _assert_nbest_match(host_hyps, dev_hyps)
+
+
+@requires_espnet
+def test_device_beam_attention_only_matches_host(rng, decoder):
+    mems, _ = _utterances(rng)
+    weights = {"decoder": 1.0, "ctc": 0.0}
+    dev = joint_device_beam_batch(
+        decoder[0], decoder[1], mems, None, sos=ODIM - 1, eos=ODIM - 1,
+        beam_size=4, weights=weights, max_len=6,
+    )
+    for mem, dev_hyps in zip(mems, dev):
+        host_hyps = _host_nbest(
+            decoder, mem, None, weights=weights, beam=4, max_len=6
+        )
+        _assert_nbest_match(host_hyps, dev_hyps)
+
+
+@requires_espnet
+def test_device_beam_with_lm_matches_host(rng, decoder, lm):
+    from dualhyp_tpu.models import espnet_lm
+
+    lm_params, lm_cfg = lm
+    mems, ctcs = _utterances(rng, n=2)
+    weights = {"decoder": 0.6, "ctc": 0.3, "lm": 0.4, "length_bonus": 0.0}
+
+    def lm_fn(tokens):
+        return np.asarray(
+            espnet_lm.lm_logprobs(lm_params, lm_cfg, jnp.asarray(tokens))
+        )
+
+    dev = joint_device_beam_batch(
+        decoder[0], decoder[1], mems, ctcs, sos=ODIM - 1, eos=ODIM - 1,
+        beam_size=4, weights=weights, max_len=7, lm=(lm_params, lm_cfg),
+    )
+    for mem, ctc_lp, dev_hyps in zip(mems, ctcs, dev):
+        host_hyps = _host_nbest(
+            decoder, mem, ctc_lp, weights=weights, beam=4, max_len=7,
+            lm_fn=lm_fn,
+        )
+        _assert_nbest_match(host_hyps, dev_hyps)
+
+
+@requires_espnet
+def test_device_beam_single_utterance(rng, decoder):
+    """U=1 degenerate case."""
+    mems, ctcs = _utterances(rng, n=1)
+    weights = {"decoder": 0.5, "ctc": 0.5}
+    dev = joint_device_beam_batch(
+        decoder[0], decoder[1], mems, ctcs, sos=ODIM - 1, eos=ODIM - 1,
+        beam_size=3, weights=weights, max_len=8,
+    )
+    host_hyps = _host_nbest(
+        decoder, mems[0], ctcs[0], weights=weights, beam=3, max_len=8
+    )
+    _assert_nbest_match(host_hyps, dev[0], n=3)

@@ -135,17 +135,13 @@ def test_transcribe_nbest_batch_matches_single(rng):
         np.testing.assert_allclose(scores, s1, rtol=1e-4, atol=1e-4)
 
 
-def test_transcribe_vsr_nbest_tiny(rng):
-    """Full VSR path on tiny random weights: frontend -> encoder -> joint
-    CTC/attention n-best."""
+def _tiny_vsr_stack():
+    """Tiny random-but-valid VSR stack (frontend via the torch converter)."""
     import jax
     import jax.numpy as jnp
 
-    from dualhyp_tpu.cli.make_json_vsr import spm_detokenize, transcribe_vsr_nbest
     from dualhyp_tpu.models import espnet_decoder as ed
     from dualhyp_tpu.models import raven
-
-    assert spm_detokenize(["▁the", "▁cat", "s"]) == "the cats"
 
     token_list = ["<blank>"] + [f"▁w{i}" for i in range(10)] + ["<sos/eos>"]
     enc_cfg = raven.RavenEncoderConfig(
@@ -232,6 +228,20 @@ def test_transcribe_vsr_nbest_tiny(rng):
             {k: v.detach().numpy() for k, v in fe.state_dict().items()}
         ),
     )
+    return (token_list, frontend_params, enc_params, enc_cfg, dec_params,
+            dec_cfg, ctc_params)
+
+
+def test_transcribe_vsr_nbest_tiny(rng):
+    """Full VSR path on tiny random weights: frontend -> encoder -> joint
+    CTC/attention n-best."""
+    from dualhyp_tpu.cli.make_json_vsr import (
+        spm_detokenize, transcribe_vsr_nbest,
+    )
+
+    assert spm_detokenize(["▁the", "▁cat", "s"]) == "the cats"
+    (token_list, frontend_params, enc_params, enc_cfg, dec_params, dec_cfg,
+     ctc_params) = _tiny_vsr_stack()
 
     video = rng.normal(size=(6, 88, 88)).astype(np.float32)
     texts, scores = transcribe_vsr_nbest(
@@ -241,6 +251,34 @@ def test_transcribe_vsr_nbest_tiny(rng):
     )
     assert len(texts) == 5
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_transcribe_vsr_nbest_batch_matches_single(rng):
+    """Lockstep device-beam VSR batch == independent per-utterance decodes
+    (texts and scores)."""
+    from dualhyp_tpu.cli.make_json_vsr import (
+        transcribe_vsr_nbest, transcribe_vsr_nbest_batch,
+    )
+
+    (token_list, frontend_params, enc_params, enc_cfg, dec_params, dec_cfg,
+     ctc_params) = _tiny_vsr_stack()
+
+    videos = [
+        rng.normal(size=(t, 88, 88)).astype(np.float32) for t in (6, 8, 7)
+    ]
+    kwargs = dict(beam_size=4, ctc_weight=0.3, n_best=5, max_len=5)
+    batched = transcribe_vsr_nbest_batch(
+        videos, frontend_params, enc_params, enc_cfg, dec_params, dec_cfg,
+        ctc_params, token_list, **kwargs,
+    )
+    assert len(batched) == 3
+    for video, (texts, scores) in zip(videos, batched):
+        t1, s1 = transcribe_vsr_nbest(
+            video, frontend_params, enc_params, enc_cfg, dec_params,
+            dec_cfg, ctc_params, token_list, **kwargs,
+        )
+        assert texts == t1
+        np.testing.assert_allclose(scores, s1, rtol=1e-3, atol=1e-3)
 
 
 def test_cached_beam_search_matches_uncached(rng):
