@@ -137,7 +137,7 @@ def _lm_logprobs_at(lm_params, lm_cfg, tokens, pos):
     jax.jit,
     static_argnames=(
         "dec_cfg", "lm_cfg", "n_utt", "beam", "k_pre", "use_lm", "use_ctc",
-        "is_first",
+        "is_first", "t_pad",
     ),
 )
 def _joint_step(
@@ -163,9 +163,14 @@ def _joint_step(
     use_lm,
     use_ctc,
     is_first,
+    t_pad,
 ):
     """One lockstep token step for all U x beam rows. Returns (state,
-    packed (4, U, 2*beam) float32 [scores, flat_idx, token, psi])."""
+    packed (4, U, 2*beam) float32 [scores, flat_idx, token, psi]).
+
+    t_pad: static bucketed prefix width — the decoder/LM forwards run on
+    tokens[:, :t_pad] (t_pad >= pos+1; the causal mask makes the rest
+    invisible), so early steps don't pay the full max_len**2 attention."""
     import jax.numpy as jnp
 
     from dualhyp_tpu.models import espnet_decoder as ed
@@ -192,8 +197,9 @@ def _joint_step(
 
     w_dec, w_ctc, w_lm, penalty = weights
 
-    # full scorers at the current position
-    tokens_u = tokens.reshape(n_utt, beam, tokens.shape[-1])
+    # full scorers at the current position (bucketed prefix view)
+    t_view = jax.lax.slice(tokens, (0, 0), (r_cnt, t_pad))
+    tokens_u = t_view.reshape(n_utt, beam, t_pad)
 
     def att_per_utt(toks, mem, ml):
         mem_b = jnp.broadcast_to(mem[None], (beam,) + mem.shape)
@@ -208,7 +214,7 @@ def _joint_step(
     fulls = w_dec * att.reshape(r_cnt, -1).astype(jnp.float32)
     if use_lm:
         fulls = fulls + w_lm * _lm_logprobs_at(
-            lm_params, lm_cfg, tokens, pos
+            lm_params, lm_cfg, t_view, pos
         ).astype(jnp.float32)
     fulls = fulls + penalty
     if use_ctc:
@@ -221,7 +227,7 @@ def _joint_step(
 
     last_tokens = jax.vmap(
         lambda row: jax.lax.dynamic_index_in_dim(row, pos, 0, keepdims=False)
-    )(tokens)
+    )(t_view)
 
     if use_ctc:
         psi, r_new = _ctc_score_candidates(
@@ -371,12 +377,16 @@ def joint_device_beam_batch(
     )
 
     for step in range(max_len):
+        # bucketed prefix width: pays ~half the max_len^2 attention on
+        # average, at the cost of ~max_len/16 step compiles (cached)
+        t_need = step + 1
+        t_pad = min(-(-t_need // 16) * 16, t_buf)
         state, packed = _joint_step(
             dec_params, lm_params, memory_d, mem_len_d, ctc_x_d,
             ctc_valid_d, state, jnp.asarray(parents),
             jnp.asarray(new_scores), jnp.int32(step), w_tuple,
             jnp.int32(blank), jnp.int32(eos),
-            is_first=(step == 0), **step_kwargs,
+            is_first=(step == 0), t_pad=t_pad, **step_kwargs,
         )
         arr = np.asarray(packed)  # ONE host sync per token
         sel_scores, sel_flat, sel_tok, sel_psi = arr

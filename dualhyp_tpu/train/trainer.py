@@ -98,6 +98,8 @@ class TrainConfig:
     mode: str = "lora"  # lora | adapter | adapter_v2 | full
     pipeline_stages: int = 1       # >1: GPipe PP over the block stack
     pipeline_microbatches: int = 2  # microbatches in flight per PP step
+    pipeline_data: int = 1         # data extent of the (data, pipe) mesh
+    #                                (microbatch rows shard over it)
 
     @property
     def grad_accum(self) -> int:
@@ -165,14 +167,13 @@ class Trainer:
             from dualhyp_tpu.parallel.pipeline import make_pipe_mesh
 
             assert mesh is None, (
-                "pipeline_stages uses a dedicated pipe mesh; "
-                "combine dp/fsdp/tp via the sharded path instead"
+                "pipeline_stages builds its own (data, pipe) mesh; "
+                "fsdp/tensor/expert sharding does not compose with PP — "
+                "drop those flags or use the non-PP sharded path"
             )
-            assert model_cfg.lora_dropout == 0.0, (
-                "LoRA dropout is not threaded through the pipeline; "
-                "set lora_dropout=0 under pipeline_stages > 1"
-            )
-            self._pipe_mesh = make_pipe_mesh(train_cfg.pipeline_stages)
+            stages = train_cfg.pipeline_stages
+            dp = max(train_cfg.pipeline_data, 1)
+            self._pipe_mesh = make_pipe_mesh(stages, data=dp)
 
         self._step_fn = self._build_step()
         self._eval_fn = self._build_eval()
@@ -190,6 +191,7 @@ class Trainer:
                 self._pipe_mesh,
                 n_micro=self.cfg.pipeline_microbatches,
                 compute_dtype=self._compute_dtype,
+                rng=rng,  # dropout threads per (layer, microbatch)
             )
         else:
             hidden = gpt.forward(
