@@ -116,16 +116,11 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
             "(top_k=1)"
         )
     if scheduler == "continuous":
-        if mesh is not None:
-            raise ValueError(
-                "scheduler='continuous' is single-device; drop the mesh "
-                "flags or use the lockstep scheduler for multi-chip decode"
-            )
         return _run_inference_continuous(
             params, model_cfg, tokenizer, dataset,
             decode_batch=decode_batch, max_new_tokens=max_new_tokens,
             compute_dtype=compute_dtype, collect_latency=collect_latency,
-            draft_len=draft_len,
+            draft_len=draft_len, mesh=mesh,
         )
 
     batch_spec = None
@@ -241,10 +236,12 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
 
 def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
                               decode_batch, max_new_tokens, compute_dtype,
-                              collect_latency, draft_len):
+                              collect_latency, draft_len, mesh=None):
     """Continuous-batching evaluator: same records/metrics as the lockstep
     path, but finished sequences hand their slot to the next prompt
-    immediately (per-request latency, no straggler wait)."""
+    immediately (per-request latency, no straggler wait). mesh: the slot
+    pool shards over data x fsdp and params follow their NamedShardings
+    (TP for registry models too large for one chip)."""
     from dualhyp_tpu.infer.evaluate import evaluate_predictions, extract_response
     from dualhyp_tpu.infer.serve import ContinuousBatcher
 
@@ -255,7 +252,7 @@ def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
     batcher = ContinuousBatcher(
         params, model_cfg, slots=decode_batch,
         max_new_tokens=max_new_tokens, draft_len=draft_len,
-        eos_id=eos_id, compute_dtype=compute_dtype,
+        eos_id=eos_id, compute_dtype=compute_dtype, mesh=mesh,
     )
     # same truncation budget as the lockstep path (prompt + budget must
     # fit the context; submit() rejects over-length prompts)
@@ -347,13 +344,7 @@ def main(argv=None):
     mesh = None
     wants_mesh = (args.fsdp > 1 or args.tensor > 1 or args.expert > 1
                   or args.seq > 1 or (args.dp or 0) > 1)
-    if args.scheduler == "continuous" and wants_mesh:
-        raise SystemExit(
-            "--scheduler continuous is single-device; drop the mesh flags"
-        )
-    if args.scheduler != "continuous" and (
-        jax.device_count() > 1 or wants_mesh
-    ):
+    if jax.device_count() > 1 or wants_mesh:
         from dualhyp_tpu.parallel import make_mesh, shard_params
 
         mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor,

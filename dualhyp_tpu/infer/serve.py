@@ -58,7 +58,13 @@ class ContinuousBatcher:
         chunk_steps: int = 16,
         eos_id: Optional[int] = None,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """mesh: optional device mesh — params follow their
+        NamedShardings (TP/FSDP for >single-chip models) and the slot
+        pool shards over data x fsdp, so the decode chunk runs SPMD over
+        every chip (the reference decodes batch=1 on one GPU,
+        ref: inference/ger.py:67-94)."""
         self.params = params
         self.cfg = cfg
         self.slots = slots
@@ -68,11 +74,45 @@ class ContinuousBatcher:
         self.chunk_steps = chunk_steps
         self.eos_id = eos_id
         self.dtype = compute_dtype
+        self.mesh = mesh
         self.prompt_budget = cfg.block_size - 1
         self.buf = cfg.block_size + draft_len + 1
 
+        self._row_sharding = self._cache_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axes = tuple(
+                a for a in ("data", "fsdp") if a in mesh.axis_names
+            )
+            extent = 1
+            for a in axes:
+                extent *= mesh.shape[a]
+            assert slots % max(extent, 1) == 0, (
+                f"slots ({slots}) must divide the data x fsdp extent "
+                f"({extent}) for sharded serving"
+            )
+            self._row_sharding = NamedSharding(mesh, P(axes))
+            # cache leaves are (L, B, G, S, D): batch is axis 1
+            self._cache_sharding = NamedSharding(mesh, P(None, axes))
+            self._rep_sharding = NamedSharding(mesh, P())
+
         self._chunk_fn = self._build_chunk()
         self._refill_fns = {}
+
+    def _place_state(self, state, budget):
+        """Pin the slot pool to its mesh shardings (no-op single-device)."""
+        if self._row_sharding is None:
+            return state, budget
+        tokens, lengths, emitted, cache, done, last, steps = state
+        row = self._row_sharding
+        put = jax.device_put
+        state = (
+            put(tokens, row), put(lengths, row), put(emitted, row),
+            {k: put(v, self._cache_sharding) for k, v in cache.items()},
+            put(done, row), put(last, row), put(steps, self._rep_sharding),
+        )
+        return state, put(budget, row)
 
     # ---- jitted pieces ----
     def _build_chunk(self):
@@ -162,7 +202,7 @@ class ContinuousBatcher:
     # ---- incremental (live-serving) API ----
     def start(self) -> None:
         """Initialise the slot pool for incremental submit()/poll()."""
-        self._state, self._budget = self._empty_state()
+        self._state, self._budget = self._place_state(*self._empty_state())
         # (id, prompt_len, t_submit, t_enter): t_submit is submit() time,
         # t_enter is slot-entry time — latency_s covers queue wait too
         self._slot_req = [None] * self.slots

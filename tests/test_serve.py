@@ -63,6 +63,43 @@ def test_serve_matches_generate_with_refill():
         assert rec["latency_s"] > 0
 
 
+def test_serve_sharded_matches_single_device():
+    """ContinuousBatcher over a data x fsdp x tensor mesh must produce
+    token-identical records to the single-device batcher (sharded slot
+    pool + sharded params; lifts the 'continuous is single-device'
+    round-2 limitation)."""
+    from dualhyp_tpu.parallel import make_mesh, shard_params
+
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(3))
+    rng = np.random.default_rng(2)
+
+    max_new = 6
+    requests = []
+    for i in range(10):
+        n = int(rng.integers(3, 12))
+        requests.append((f"r{i}", rng.integers(1, cfg.vocab_size, n).tolist()))
+
+    plain = ContinuousBatcher(
+        params, cfg, slots=4, max_new_tokens=max_new, draft_len=3,
+        chunk_steps=2, compute_dtype=jnp.float32,
+    ).serve(requests)
+    want = {r["id"]: r["tokens"] for r in plain}
+
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    sharded_params, _ = shard_params(
+        jax.tree_util.tree_map(jnp.copy, params), mesh
+    )
+    batcher = ContinuousBatcher(
+        sharded_params, cfg, slots=4, max_new_tokens=max_new, draft_len=3,
+        chunk_steps=2, compute_dtype=jnp.float32, mesh=mesh,
+    )
+    records = batcher.serve(requests)
+    assert len(records) == len(requests)
+    for rec in records:
+        assert rec["tokens"] == want[rec["id"]], rec["id"]
+
+
 def test_serve_per_request_budgets():
     """Per-request max_new budgets: each request's output equals a greedy
     generate() run with that budget (the lockstep path can only cap a
