@@ -235,6 +235,7 @@ def main(argv=None):
     val_ds = DualHypothesesMaskDataset("val", args.val_path, **ds_kwargs)
 
     tcfg = RelPromptTrainConfig(
+        mode=args.mode,
         learning_rate=args.lr,
         classifier_learning_rate=args.classifier_lr,
         mask_loss_weight=args.mask_loss_weight,

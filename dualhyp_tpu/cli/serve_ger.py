@@ -50,6 +50,7 @@ def build_parser():
                         default=None)
     common.add_model_args(parser)
     common.add_data_args(parser)
+    common.add_mesh_args(parser)
     return parser
 
 
@@ -197,11 +198,23 @@ def main(argv=None):
             params = merge_lora(params, model_cfg)
         params = quantize_tree(params, mode=args.quantize)
 
+    mesh = None
+    import jax
+
+    if (args.fsdp > 1 or args.tensor > 1 or args.expert > 1 or args.seq > 1
+            or (args.dp or 0) > 1 or jax.device_count() > 1):
+        from dualhyp_tpu.parallel import make_mesh, shard_params
+
+        mesh = make_mesh(data=args.dp, fsdp=args.fsdp, tensor=args.tensor,
+                         expert=args.expert, seq=args.seq)
+        params, _ = shard_params(params, mesh)
+
     batcher = ContinuousBatcher(
         params, model_cfg, slots=args.slots,
         max_new_tokens=args.max_new_tokens, draft_len=args.draft_len,
         chunk_steps=args.chunk_steps,
         eos_id=getattr(tokenizer, "eos_token_id", None),
+        mesh=mesh,
     )
     Server(batcher, tokenizer).run(args.host, args.port)
 

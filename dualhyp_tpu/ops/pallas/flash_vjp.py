@@ -34,8 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dualhyp_tpu.ops.pallas import common
 
-_BLOCK_Q = 256
-_BLOCK_KV = 256
+import os
+
+# block shapes are tunable for on-TPU sweeps (scripts/bench_flash_bwd.py);
+# defaults were picked by measurement at the headline 1.1B shape
+_BLOCK_Q = int(os.environ.get("DUALHYP_FLASH_BLOCK_Q", 256))
+_BLOCK_KV = int(os.environ.get("DUALHYP_FLASH_BLOCK_KV", 256))
 _NEG_INF = -1e30
 
 
