@@ -63,6 +63,53 @@ def transcribe_avsr_nbest(video, audio, params, video_cfg, audio_cfg,
     return nbest_texts(beam_hyps, detok, n=n_best, normalizer=normalizer)
 
 
+def transcribe_avsr_nbest_batch(videos, audios, params, video_cfg, audio_cfg,
+                                dec_params, dec_cfg, ctc_params, token_list,
+                                *, beam_size=40, ctc_weight=0.1, penalty=0.0,
+                                n_best=5, max_len=100, normalizer=None):
+    """U (video, audio) pairs -> list of (texts, scores) in ONE lockstep
+    device-side joint beam (see make_json_vsr.transcribe_vsr_nbest_batch)."""
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_vsr import spm_detokenize
+    from dualhyp_tpu.infer.beam_search import BeamHypothesis, nbest_texts
+    from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
+    from dualhyp_tpu.models import avsr, espnet_decoder as ed, raven
+
+    sos = eos = len(token_list) - 1
+    blank = 0
+    memories, ctc_lps = [], []
+    for video, audio in zip(videos, audios):
+        video_feats = raven.conv3d_frontend(
+            params["video_frontend"], jnp.asarray(video[None, None], jnp.float32)
+        )
+        audio_feats = avsr.conv1d_frontend(
+            params["audio_frontend"], jnp.asarray(audio[None], jnp.float32)
+        )
+        memory = avsr.avsr_encode(
+            params, video_cfg, audio_cfg, video_feats, audio_feats
+        )
+        memories.append(np.asarray(memory, np.float32)[0])
+        ctc_lps.append(np.asarray(ed.ctc_log_probs(ctc_params, memory))[0])
+
+    all_hyps = joint_device_beam_batch(
+        dec_params, dec_cfg, memories,
+        ctc_lps if ctc_weight > 0 else None,
+        sos=sos, eos=eos, beam_size=beam_size,
+        weights={"decoder": 1.0 - ctc_weight, "ctc": ctc_weight,
+                 "length_bonus": penalty},
+        max_len=max_len, blank=blank,
+    )
+    detok = lambda toks: spm_detokenize([token_list[t] for t in toks])
+    return [
+        nbest_texts(
+            [BeamHypothesis(h.result_tokens(sos, eos), h.score) for h in hyps],
+            detok, n=n_best, normalizer=normalizer,
+        )
+        for hyps in all_hyps
+    ]
+
+
 def make_json(cfg: dict, shard_index=0, num_shards=1):
     import jax
     import jax.numpy as jnp
@@ -111,7 +158,66 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
 
     rng = np.random.default_rng(cfg.get("seed", 0) + shard_index)
     occ_type = cfg.get("occ_type", "pixelate")
+    decode_batch = int(cfg.get("decode_batch", 8))
+    beam_kwargs = dict(
+        beam_size=int(cfg.get("beam_size", 40)),
+        ctc_weight=float(cfg.get("ctc_weight", 0.1)),
+        n_best=int(cfg.get("n_best", 5)),
+        normalizer=normalizer,
+    )
 
+    def emit(uid, wav_path, roi_path, caption, prior, vcfg, texts, scores):
+        if not texts:
+            return
+        caption_norm = normalizer(caption)
+        records.append(
+            {
+                "Dataset": cfg.get("dataset_name", ""),
+                "Uid": uid,
+                "Caption": caption_norm,
+                "Clean_Wav": wav_path,
+                "Mouthroi": roi_path,
+                "nhyps": {"hyps": texts, "scores": scores},
+                "Audio_Corruption": (prior or {}).get("Audio_Corruption"),
+                "Visual_Corruption": vcfg,
+                "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
+            }
+        )
+
+    def flush(pending):
+        """ONE lockstep device beam per group; per-utterance fallback so
+        one bad sample can't sink its neighbours."""
+        if not pending:
+            return
+        try:
+            if len(pending) > 1:
+                results = transcribe_avsr_nbest_batch(
+                    [p[5] for p in pending], [p[4] for p in pending],
+                    params, video_cfg, audio_cfg, dec_params, dec_cfg,
+                    ctc_params, token_list, **beam_kwargs,
+                )
+                for (uid, wav_path, roi_path, caption, _a, _v, prior,
+                     vcfg), (texts, scores) in zip(pending, results):
+                    emit(uid, wav_path, roi_path, caption, prior, vcfg,
+                         texts, scores)
+                return
+        except Exception as exc:
+            print(f"batched decode failed ({type(exc).__name__}: {exc}); "
+                  f"falling back to per-utterance")
+        for uid, wav_path, roi_path, caption, audio, processed, prior, vcfg \
+                in pending:
+            try:
+                texts, scores = transcribe_avsr_nbest(
+                    processed, audio, params, video_cfg, audio_cfg,
+                    dec_params, dec_cfg, ctc_params, token_list,
+                    **beam_kwargs,
+                )
+                emit(uid, wav_path, roi_path, caption, prior, vcfg, texts,
+                     scores)
+            except Exception as exc:
+                print(f"skip {uid}: {type(exc).__name__}: {exc}")
+
+    pending = []
     for idx, line in enumerate(lines):
         uid, wav_path, roi_path, caption = line.split("\t")
         if uid in done:
@@ -129,36 +235,21 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
                 video, occ_type, rng=rng, return_config=True
             )
             processed = corruption.eval_pipeline(corrupted.astype(np.float32))
-            texts, scores = transcribe_avsr_nbest(
-                processed, audio, params, video_cfg, audio_cfg,
-                dec_params, dec_cfg, ctc_params, token_list,
-                beam_size=int(cfg.get("beam_size", 40)),
-                ctc_weight=float(cfg.get("ctc_weight", 0.1)),
-                n_best=int(cfg.get("n_best", 5)),
-                normalizer=normalizer,
-            )
-            if not texts:
-                continue
-            caption_norm = normalizer(caption)
-            records.append(
-                {
-                    "Dataset": cfg.get("dataset_name", ""),
-                    "Uid": uid,
-                    "Caption": caption_norm,
-                    "Clean_Wav": wav_path,
-                    "Mouthroi": roi_path,
-                    "nhyps": {"hyps": texts, "scores": scores},
-                    "Audio_Corruption": (prior or {}).get("Audio_Corruption"),
-                    "Visual_Corruption": vcfg,
-                    "WER_1st-hyp": word_error_rate([texts[0]], [caption_norm]),
-                }
-            )
         except Exception as exc:
             print(f"skip {uid}: {type(exc).__name__}: {exc}")
             continue
+        pending.append(
+            (uid, wav_path, roi_path, caption, audio, processed, prior, vcfg)
+        )
+        if len(pending) >= decode_batch:
+            flush(pending)
+            pending = []
         if (idx + 1) % int(cfg.get("dump_every", 25)) == 0:
+            flush(pending)
+            pending = []
             with open(out_path, "w", encoding="utf-8") as fp:
                 json.dump(records, fp, indent=1, ensure_ascii=False)
+    flush(pending)
     with open(out_path, "w", encoding="utf-8") as fp:
         json.dump(records, fp, indent=1, ensure_ascii=False)
     print(f"wrote {len(records)} records to {out_path}")

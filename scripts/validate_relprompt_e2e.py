@@ -74,6 +74,8 @@ def write_checkpoint(ckpt_dir: Path, vocab):
         rotary_percentage=1.0, parallel_residual=False, bias=False,
         norm_class="RMSNorm", mlp_class="LLaMAMLP", intermediate_size=256,
         lora_r=0,
+        whisper_dim=WHISPER_DIM, raven_dim=RAVEN_DIM,
+        classifier_pool_size=POOL, classifier_hidden_dim=64,
     )
     params = gpt.init(cfg, jax.random.key(0))
     save_params(ckpt_dir / "dualhyp_model.npz", params)

@@ -263,3 +263,21 @@ def test_avsr_nbest_token_parity(av_ref, rng):
     assert [tuple(t) for t in our_tokens[:n]] == [
         tuple(t) for t in ref_tokens[:n]
     ]
+
+    # the device-side lockstep beam must match the vendored reference too
+    # (two copies of the utterance decode identically in one batch)
+    from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
+
+    mem_np = np.asarray(memory, np.float32)[0]
+    dev = joint_device_beam_batch(
+        dec_params, dec_cfg, [mem_np, mem_np], [ctc_lp, ctc_lp],
+        sos=sos, eos=eos, beam_size=beam_size,
+        weights={"decoder": 1.0 - ctc_weight, "ctc": ctc_weight,
+                 "length_bonus": 0.0},
+        max_len=int(memory.shape[1]), blank=0,
+    )
+    for dev_hyps in dev:
+        dev_tokens = [h.result_tokens(sos, eos) for h in dev_hyps]
+        assert [tuple(t) for t in dev_tokens[:n]] == [
+            tuple(t) for t in ref_tokens[:n]
+        ]
