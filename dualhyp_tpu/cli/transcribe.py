@@ -1,0 +1,87 @@
+"""Long-form transcription CLI (the reference ships `whisper.transcribe`'s
+cli — ref: data/whisper/transcribe.py:459-559; this is its TPU-native
+equivalent over infer/transcribe.py).
+
+    python -m dualhyp_tpu.cli.transcribe audio1.wav audio2.wav \\
+        --whisper_checkpoint checkpoints/whisper-large-v3 \\
+        --beam_size 5 --language en --output_dir out/
+
+Per audio file, writes <stem>.json with the n-best long-form transcripts
+({"text", "segments", "language"} per hypothesis rank — the fork's
+distinctive per-hypothesis seek output) and prints the best text.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("audio", nargs="+", help="wav file(s), 16 kHz mono")
+    parser.add_argument("--whisper_checkpoint", required=True,
+                        help="HF whisper dir (safetensors + config.json)")
+    parser.add_argument("--output_dir", "-o", default=".")
+    parser.add_argument("--language", default="en")
+    parser.add_argument("--beam_size", type=int, default=5)
+    parser.add_argument("--patience", type=float, default=None)
+    parser.add_argument("--length_penalty", type=float, default=None)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--temperature_increment_on_fallback", type=float,
+                        default=0.2)
+    parser.add_argument("--compression_ratio_threshold", type=float,
+                        default=2.4)
+    parser.add_argument("--logprob_threshold", type=float, default=-1.0)
+    parser.add_argument("--no_speech_threshold", type=float, default=0.6)
+    parser.add_argument("--initial_prompt", default=None)
+    parser.add_argument("--word_timestamps", action="store_true")
+    parser.add_argument("--max_new_tokens", type=int, default=224)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from dualhyp_tpu.cli.make_json_asr import load_whisper
+    from dualhyp_tpu.data.corruption import load_wav
+    from dualhyp_tpu.infer.transcribe import transcribe
+
+    encoder, decoder, tokenizer = load_whisper(args.whisper_checkpoint)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.temperature_increment_on_fallback is not None:
+        temperature = tuple(
+            np.arange(args.temperature, 1.0 + 1e-6,
+                      args.temperature_increment_on_fallback).tolist()
+        )
+    else:
+        temperature = args.temperature
+
+    for path in args.audio:
+        audio = load_wav(path)
+        results = transcribe(
+            audio, encoder, decoder, tokenizer,
+            language=args.language, beam_size=args.beam_size,
+            temperature=temperature,
+            compression_ratio_threshold=args.compression_ratio_threshold,
+            logprob_threshold=args.logprob_threshold,
+            no_speech_threshold=args.no_speech_threshold,
+            initial_prompt=args.initial_prompt,
+            max_new_tokens=args.max_new_tokens,
+            patience=args.patience, length_penalty=args.length_penalty,
+            word_timestamps=args.word_timestamps,
+        )
+        out_path = out_dir / (Path(path).stem + ".json")
+        with open(out_path, "w", encoding="utf-8") as fp:
+            json.dump(results, fp, indent=2, ensure_ascii=False)
+        print(f"{path}: {results[0]['text']}")
+        print(f"  ({len(results)} hypotheses -> {out_path})")
+
+
+if __name__ == "__main__":
+    main()

@@ -405,15 +405,20 @@ def _split_heads(cfg: GPTConfig, qkv):
     return q, k, v
 
 
-def _moe_mlp_sparse(cfg: GPTConfig, leaves, x):
+def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
     """Dropless sparse-compute MoE: tokens sort by assigned expert and each
-    expert runs grouped matmuls over its contiguous span via
-    `jax.lax.ragged_dot` (megablox-style grouped GEMM on TPU). FLOPs scale
+    expert runs grouped matmuls over its contiguous span. FLOPs scale
     with top-k instead of n_expert — the production path for large expert
     counts. Numerically equivalent to `_moe_mlp` (same top-k softmax
-    weights; tested in tests/test_moe.py). Select with
-    DUALHYP_MOE_IMPL=sparse; the dense path stays the default because it
-    partitions trivially under expert-parallel sharding.
+    weights; tested in tests/test_moe.py).
+
+    Grouped-GEMM primitive by DUALHYP_MOE_IMPL:
+      * "sparse"   — `jax.lax.ragged_dot` (measured only 1.12x end-to-end
+                     on v5e where the FLOP ratio promises 4x,
+                     BENCH_NOTES.md)
+      * "megablox" — the Pallas megablox `gmm` kernel (TPU only)
+    The dense path stays the default because it partitions trivially
+    under expert-parallel sharding.
     """
     e, k = cfg.n_expert, cfg.n_expert_per_token
     orig_shape = x.shape
@@ -435,13 +440,23 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x):
     w1 = leaves["fc_1"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,D,O)
     w2 = leaves["fc_2"]["weight"].astype(x.dtype).transpose(0, 2, 1)
     wp = leaves["proj"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,O,D)
-    # precision=HIGHEST: this environment defaults matmuls to bf16 even for
-    # fp32 operands (CLAUDE.md), which would break dense-path equivalence
-    prec = jax.lax.Precision.HIGHEST
-    h = jax.nn.silu(
-        jax.lax.ragged_dot(xr, w1, group_sizes, precision=prec)
-    ) * jax.lax.ragged_dot(xr, w2, group_sizes, precision=prec)
-    out = jax.lax.ragged_dot(h, wp, group_sizes, precision=prec)  # (N*K, D)
+    if impl == "megablox":
+        from jax.experimental.pallas.ops.tpu.megablox import gmm as _gmm
+
+        def gdot(lhs, rhs, gs):
+            return _gmm(lhs, rhs.astype(lhs.dtype), gs,
+                        preferred_element_type=jnp.float32).astype(lhs.dtype)
+    else:
+        # precision=HIGHEST: this environment defaults matmuls to bf16
+        # even for fp32 operands (CLAUDE.md), which would break
+        # dense-path equivalence
+        def gdot(lhs, rhs, gs):
+            return jax.lax.ragged_dot(
+                lhs, rhs, gs, precision=jax.lax.Precision.HIGHEST
+            )
+
+    h = jax.nn.silu(gdot(xr, w1, group_sizes)) * gdot(xr, w2, group_sizes)
+    out = gdot(h, wp, group_sizes)  # (N*K, D)
 
     inv = jnp.argsort(order)
     out = jnp.take(out, inv, axis=0).reshape(n, k, d)
@@ -461,8 +476,9 @@ def _moe_mlp(cfg: GPTConfig, leaves, x):
     """
     import os
 
-    if os.environ.get("DUALHYP_MOE_IMPL") == "sparse":
-        return _moe_mlp_sparse(cfg, leaves, x)
+    impl = os.environ.get("DUALHYP_MOE_IMPL")
+    if impl in ("sparse", "megablox"):
+        return _moe_mlp_sparse(cfg, leaves, x, impl=impl)
     e, k = cfg.n_expert, cfg.n_expert_per_token
     router = einsum("...d,ed->...e", x, leaves["gate"]["weight"].astype(x.dtype))
     router = router.astype(jnp.float32)

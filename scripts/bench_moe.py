@@ -27,8 +27,8 @@ MB, SEQ = 4, 1024
 
 
 def run(impl: str) -> float:
-    if impl == "sparse":
-        os.environ["DUALHYP_MOE_IMPL"] = "sparse"
+    if impl in ("sparse", "megablox"):
+        os.environ["DUALHYP_MOE_IMPL"] = impl
     else:
         os.environ.pop("DUALHYP_MOE_IMPL", None)
     cfg = GPTConfig(
@@ -61,10 +61,35 @@ def run(impl: str) -> float:
     return dt
 
 
+def check_equivalence():
+    """dense vs megablox MoE layer outputs on one batch (bf16 tolerance)."""
+    cfg = GPTConfig(
+        name="moe-eq", block_size=256, vocab_size=512, padding_multiple=64,
+        n_layer=1, n_head=8, n_query_groups=4, n_embd=256,
+        rotary_percentage=1.0, parallel_residual=False, bias=False,
+        norm_class="RMSNorm", mlp_class="LLaMAMoE", intermediate_size=512,
+        n_expert=8, n_expert_per_token=2,
+    )
+    params = gpt.init(cfg, jax.random.key(3))
+    leaves = jax.tree_util.tree_map(lambda l: l[0], params["blocks"]["mlp"])
+    x = jax.random.normal(jax.random.key(4), (2, 128, 256), jnp.float32)
+    dense = np.asarray(gpt._moe_mlp(cfg, leaves, x))
+    mb = np.asarray(gpt._moe_mlp_sparse(cfg, leaves, x, impl="megablox"))
+    err = np.abs(dense - mb).max() / max(np.abs(dense).max(), 1e-6)
+    print(f"megablox vs dense max rel err: {err:.2e}", flush=True)
+    assert err < 2e-2, err
+
+
 def main():
     d = run("dense")
     s = run("sparse")
-    print(f"sparse vs dense: x{d/s:.2f}")
+    print(f"sparse (ragged_dot) vs dense: x{d/s:.2f}")
+    try:
+        check_equivalence()
+        m = run("megablox")
+        print(f"megablox gmm vs dense: x{d/m:.2f}")
+    except Exception as exc:
+        print(f"megablox path unavailable: {type(exc).__name__}: {exc}")
 
 
 if __name__ == "__main__":
