@@ -37,9 +37,12 @@ from dualhyp_tpu.ops.pallas import common
 import os
 
 # block shapes are tunable for on-TPU sweeps (scripts/bench_flash_bwd.py);
-# defaults were picked by measurement at the headline 1.1B shape
-_BLOCK_Q = int(os.environ.get("DUALHYP_FLASH_BLOCK_Q", 256))
-_BLOCK_KV = int(os.environ.get("DUALHYP_FLASH_BLOCK_KV", 256))
+# defaults measured best at the headline 1.1B GQA shape (v5e, seq 1024,
+# q_per_kv=8): q=128/kv=512 beat the library splash kernel by ~11%
+# (4.27 vs 4.79 ms fwd+bwd; q=256/kv=256 was 4.89). Larger q blocks
+# VMEM-OOM because the GQA row packing multiplies them by q_per_kv.
+_BLOCK_Q = int(os.environ.get("DUALHYP_FLASH_BLOCK_Q", 128))
+_BLOCK_KV = int(os.environ.get("DUALHYP_FLASH_BLOCK_KV", 512))
 _NEG_INF = -1e30
 
 
@@ -305,12 +308,19 @@ def _bwd_rule(scale, residuals, g_out):
     )(qg, k, v, do_rows, lse_rows, delta_rows)
 
     n_kv_blocks = t // block_kv
-    # 4-D grid specs: q-side blocks indexed by the innermost dim
-    qrow4 = pl.BlockSpec((1, 1, block_q_rows, d),
-                         lambda bb, gg, kk, qq: (bb, gg, qq, 0),
+    # 4-D grid specs: q-side blocks indexed by the innermost dim. The
+    # index map CLAMPS causally-irrelevant iterations (q block entirely
+    # before this kv block) to the first relevant q block, so Mosaic sees
+    # an unchanged block index and skips the DMA — the kernel's pl.when
+    # (keyed on the RAW program id) still skips the compute. Halves the
+    # dkv kernel's q/do traffic under the causal mask.
+    def q_index(bb, gg, kk, qq):
+        first = (kk * block_kv) // block_q_seq
+        return (bb, gg, jnp.maximum(qq, first), 0)
+
+    qrow4 = pl.BlockSpec((1, 1, block_q_rows, d), q_index,
                          memory_space=pltpu.VMEM)
-    qscal4 = pl.BlockSpec((1, 1, block_q_rows, 1),
-                          lambda bb, gg, kk, qq: (bb, gg, qq, 0),
+    qscal4 = pl.BlockSpec((1, 1, block_q_rows, 1), q_index,
                           memory_space=pltpu.VMEM)
     kv4 = pl.BlockSpec((1, 1, block_kv, d),
                        lambda bb, gg, kk, qq: (bb, gg, kk, 0),
