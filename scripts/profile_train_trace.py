@@ -73,24 +73,50 @@ def analyze(trace_dir: str, steps: int):
     for plane in device_planes:
         meta = {m.id: (m.display_name or m.name)
                 for m in plane.event_metadata.values()}
-        totals = collections.Counter()
-        counts = collections.Counter()
-        plane_total = 0
+        smeta = {m.id: m.name for m in plane.stat_metadata.values()}
+        # stats (hlo category, flops, bytes) live on the event metadata
+        estats = {}
+        for m in plane.event_metadata.values():
+            d = {}
+            for st in m.stats:
+                key = smeta.get(st.metadata_id, "")
+                val = (st.str_value or st.int64_value or st.uint64_value
+                       or st.double_value or st.ref_value)
+                if key in ("hlo_category", "flops", "bytes_accessed",
+                           "tf_op", "hlo_op"):
+                    if key != "hlo_category" and st.ref_value:
+                        val = smeta.get(st.ref_value, val)
+                    elif st.ref_value and not st.str_value:
+                        val = smeta.get(st.ref_value, val)
+                    d[key] = val
+            estats[m.id] = d
+
         for line in plane.lines:
+            totals = collections.Counter()
+            counts = collections.Counter()
+            cats = {}
+            line_total = 0
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 totals[name] += ev.duration_ps
                 counts[name] += 1
-                plane_total += ev.duration_ps
-        if not totals:
-            continue
-        print(f"\n== plane: {plane.name} "
-              f"(total {plane_total/1e12*1e3:.2f} ms over {steps} steps, "
-              f"{plane_total/1e12*1e3/steps:.2f} ms/step) ==")
-        for name, ps in totals.most_common(28):
-            print(f"  {ps/1e12*1e3/steps:9.3f} ms/step  "
-                  f"{ps/max(plane_total,1)*100:5.1f}%  x{counts[name]:<4d} "
-                  f"{name[:110]}")
+                cats[name] = estats.get(ev.metadata_id, {})
+                line_total += ev.duration_ps
+            if not totals:
+                continue
+            print(f"\n== {plane.name} / line '{line.display_name or line.name}' "
+                  f"({line_total/1e12*1e3/steps:.2f} ms/step busy) ==")
+            for name, ps in totals.most_common(20):
+                extra = cats.get(name, {})
+                cat = extra.get("hlo_category", "")
+                flops = extra.get("flops", 0) or 0
+                gflops_s = (
+                    float(flops) * counts[name] / (ps / 1e12) / 1e9
+                    if flops and ps else 0
+                )
+                print(f"  {ps/1e12*1e3/steps:9.3f} ms/step "
+                      f"{ps/max(line_total,1)*100:5.1f}% x{counts[name]:<4d} "
+                      f"[{cat}] {gflops_s:8.0f} GF/s  {name[:90]}")
 
 
 def main():
