@@ -66,6 +66,23 @@ def time_steps(trainer, batch, n_warmup=2, n_measure=8):
     return (time.perf_counter() - t0) / n_measure
 
 
+def time_chunked(trainer, batch, chunk=8, n_measure=2):
+    """Multi-step dispatch (Trainer.train_chunk): removes the per-step
+    host dispatch RTT (~10% of the headline step through the tunnel,
+    BENCH_NOTES round-3 MFU diagnosis). Semantics == N train_steps
+    (tests/test_trainer.py)."""
+    key = jax.random.key(1)
+    batches = [batch] * chunk
+    trainer.train_chunk(batches, max_iters=10_000, warmup_steps=10, rng=key)
+    jax.block_until_ready(trainer.trainable)
+    t0 = time.perf_counter()
+    for _ in range(n_measure):
+        trainer.train_chunk(batches, max_iters=10_000, warmup_steps=10,
+                            rng=key)
+    jax.block_until_ready(trainer.trainable)
+    return (time.perf_counter() - t0) / (n_measure * chunk)
+
+
 def main():
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel:
@@ -122,6 +139,13 @@ def main():
         try:
             trainer, batch = build_trainer(cfg, mb, sl, remat=remat)
             step_time = time_steps(trainer, batch)
+            if on_accel:
+                # chunked (8-step) dispatch is the steady-state production
+                # mode; keep whichever measures faster
+                try:
+                    step_time = min(step_time, time_chunked(trainer, batch))
+                except Exception as exc:
+                    print(f"# chunked dispatch failed: {exc}", file=sys.stderr)
             tps = mb * sl / step_time
             if tps > best:
                 best, best_cfg = tps, (mb, sl, step_time)

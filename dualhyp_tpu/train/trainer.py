@@ -255,7 +255,36 @@ class Trainer:
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss_sum / accum
 
+        self._step_body = step  # reused by the multi-step chunk builder
+        self._chunk_fns = {}
         return jax.jit(step, donate_argnums=(0, 2))
+
+    def _chunk_fn(self, n_steps: int):
+        """N optimizer steps as ONE jitted lax.scan — one host dispatch
+        per N steps instead of per step (the per-step dispatch RTT through
+        the tunnel is ~10% of the headline step, BENCH_NOTES round-3 MFU
+        diagnosis)."""
+        if n_steps in self._chunk_fns:
+            return self._chunk_fns[n_steps]
+        body = self._step_body
+
+        def chunk(trainable, frozen, opt_state, ids, labels, lrs, rngs):
+            # ids: (N, accum, micro, T); lrs: (N,); rngs: (N,) keys
+            def one(carry, xs):
+                tr, st = carry
+                ids_i, labels_i, lr_i, rng_i = xs
+                tr, st, loss = body(tr, frozen, st, ids_i, labels_i,
+                                    lr_i, rng_i)
+                return (tr, st), loss
+
+            (trainable, opt_state), losses = jax.lax.scan(
+                one, (trainable, opt_state), (ids, labels, lrs, rngs)
+            )
+            return trainable, opt_state, losses
+
+        fn = jax.jit(chunk, donate_argnums=(0, 2))
+        self._chunk_fns[n_steps] = fn
+        return fn
 
     def _build_eval(self):
         def eval_loss(trainable, frozen, input_ids, labels):
@@ -387,6 +416,48 @@ class Trainer:
             seq_len=int(ids.shape[-1]),
         )
         return loss, lr
+
+    def train_chunk(self, batches, max_iters, warmup_steps, rng):
+        """N optimizer steps in ONE device dispatch (lax.scan over steps).
+
+        batches: list of superbatch dicts with IDENTICAL shapes (pad to a
+        shared bucket). LR advances per step exactly as N train_step
+        calls would; rng splits per step. Returns (losses (N,) device
+        array, last lr). Semantics == N sequential train_step calls
+        (tested); use for steady-state training where the per-step host
+        dispatch would otherwise cap throughput."""
+        if not hasattr(self, "_step_body"):
+            raise NotImplementedError(
+                f"{type(self).__name__} does not expose a scan-able step "
+                "body; use train_step"
+            )
+        n = len(batches)
+        accum = self.cfg.grad_accum
+        mb = self.cfg.micro_batch_size
+        ids = np.stack([
+            np.asarray(b["input_ids"]).reshape(accum, mb, -1) for b in batches
+        ])
+        labels = np.stack([
+            np.asarray(b["labels"]).reshape(accum, mb, -1) for b in batches
+        ])
+        ids, labels = self._shard_batch(ids, labels, batch_axis=2)
+        lrs = []
+        for _ in range(n):
+            self.micro_iter += accum
+            lrs.append(self._lr(max_iters, warmup_steps))
+        rngs = jax.random.split(rng, n)
+        fn = self._chunk_fn(n)
+        self.trainable, self.opt_state, losses = fn(
+            self.trainable, self.frozen, self.opt_state, ids, labels,
+            jnp.asarray(lrs, jnp.float32), rngs,
+        )
+        for i in range(n):
+            self.opt_step += 1
+            self._record_step(
+                losses[i], lrs[i], tokens=int(ids.size // n),
+                samples=int(accum * mb), seq_len=int(ids.shape[-1]),
+            )
+        return losses, lrs[-1]
 
     # ---- exact-resume checkpointing (the reference cannot resume training:
     # it dumps best/final model weights only, no optimizer state or step

@@ -160,3 +160,50 @@ def test_train_state_resume_is_exact(rng, tmp_path):
     ]
     np.testing.assert_allclose(resumed_losses, ref_losses[3:],
                                rtol=1e-6, atol=1e-7)
+
+
+def test_train_chunk_matches_sequential_steps():
+    """N steps in one dispatch == N train_step calls (losses + final
+    weights), with the same per-step key derivation."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.models import gpt
+    from dualhyp_tpu.train import TrainConfig, Trainer
+    from tests import helpers
+
+    cfg = helpers.tiny_llama_config(
+        n_layer=2, lora_r=4, lora_alpha=8, lora_dropout=0.05,
+        lora_query=True, lora_value=True,
+    )
+    params = gpt.init(cfg, jax.random.key(1))
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(3):
+        ids = rng.integers(1, cfg.vocab_size, (4, 16)).astype(np.int32)
+        labels = ids.copy()
+        labels[:, :4] = -1
+        batches.append({"input_ids": ids, "labels": labels})
+
+    tcfg = TrainConfig(batch_size=4, micro_batch_size=2,
+                       compute_dtype="float32")
+    key = jax.random.key(9)
+    keys = jax.random.split(key, 3)
+
+    seq = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    seq_losses = [
+        float(seq.train_step(b, max_iters=10, warmup_steps=2, rng=k)[0])
+        for b, k in zip(batches, keys)
+    ]
+
+    chk = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+    losses, last_lr = chk.train_chunk(batches, max_iters=10, warmup_steps=2,
+                                      rng=key)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses,
+                               rtol=1e-6, atol=1e-7)
+    assert chk.opt_step == seq.opt_step == 3
+    assert chk.micro_iter == seq.micro_iter
+    for a, b in zip(jax.tree_util.tree_leaves(seq.trainable),
+                    jax.tree_util.tree_leaves(chk.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
