@@ -447,13 +447,18 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
             return _gmm(lhs, rhs.astype(lhs.dtype), gs,
                         preferred_element_type=jnp.float32).astype(lhs.dtype)
     else:
-        # precision=HIGHEST: this environment defaults matmuls to bf16
-        # even for fp32 operands (CLAUDE.md), which would break
-        # dense-path equivalence
+        # precision=HIGHEST only for f32 operands: this environment
+        # defaults matmuls to bf16 even for fp32 (CLAUDE.md), which would
+        # break dense-path equivalence — but requesting fp32 contract
+        # precision on bf16 operands makes the Mosaic ragged_dot lowering
+        # fail ("Bad lhs type"), so bf16 keeps DEFAULT
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+        )
+
         def gdot(lhs, rhs, gs):
-            return jax.lax.ragged_dot(
-                lhs, rhs, gs, precision=jax.lax.Precision.HIGHEST
-            )
+            return jax.lax.ragged_dot(lhs, rhs, gs, precision=prec)
 
     h = jax.nn.silu(gdot(xr, w1, group_sizes)) * gdot(xr, w2, group_sizes)
     out = gdot(h, wp, group_sizes)  # (N*K, D)
