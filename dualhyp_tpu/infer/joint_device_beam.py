@@ -143,10 +143,11 @@ def _lm_logprobs_at(lm_params, lm_cfg, tokens, pos):
 def _joint_step(
     dec_params,
     lm_params,
-    memory,        # (U, S_pad, D)
+    cross_kv,      # precomputed source K/V: dict of (L, U, H, S, dk)
     mem_len,       # (U,)
     ctc_x,         # (U, T_ctc_pad, V)
     ctc_valid,     # (U,)
+    pos_table,     # (T_buf, adim) absolute positional encodings
     state,         # device-carried: see below
     parents,       # (R,) flat candidate index within the utterance (h*K + j)
     new_scores,    # (R,) beam scores chosen by host
@@ -168,15 +169,17 @@ def _joint_step(
     """One lockstep token step for all U x beam rows. Returns (state,
     packed (4, U, 2*beam) float32 [scores, flat_idx, token, psi]).
 
-    t_pad: static bucketed prefix width — the decoder/LM forwards run on
-    tokens[:, :t_pad] (t_pad >= pos+1; the causal mask makes the rest
-    invisible), so early steps don't pay the full max_len**2 attention."""
+    The attention decoder advances ONE cached step per token
+    (espnet_decoder.decode_step_cached: self-attn K/V cache gathered
+    through the parents mechanism, grouped source attention against the
+    precomputed cross_kv) instead of recomputing the whole prefix.
+    t_pad: static bucketed prefix width for the (uncached) LM forward."""
     import jax.numpy as jnp
 
     from dualhyp_tpu.models import espnet_decoder as ed
 
     (tokens, beam_scores, ctc_scores, r_live, psi_cand, r_cand,
-     cand_tok) = state
+     cand_tok, cache) = state
     r_cnt = n_utt * beam
     u = jnp.arange(r_cnt) // beam
 
@@ -191,27 +194,24 @@ def _joint_step(
             lambda row, v: jax.lax.dynamic_update_index_in_dim(row, v, pos, 0)
         )(tokens, new_tok)
         beam_scores = new_scores
+        cache = {k: v[:, gparent] for k, v in cache.items()}
         if use_ctc:
             ctc_scores = psi_cand[gparent, j]
             r_live = r_cand[gparent, j]
 
     w_dec, w_ctc, w_lm, penalty = weights
 
-    # full scorers at the current position (bucketed prefix view)
     t_view = jax.lax.slice(tokens, (0, 0), (r_cnt, t_pad))
-    tokens_u = t_view.reshape(n_utt, beam, t_pad)
+    last_tokens = jax.vmap(
+        lambda row: jax.lax.dynamic_index_in_dim(row, pos, 0, keepdims=False)
+    )(t_view)
 
-    def att_per_utt(toks, mem, ml):
-        mem_b = jnp.broadcast_to(mem[None], (beam,) + mem.shape)
-        lp = jax.nn.log_softmax(
-            ed.decode_logits(dec_params, dec_cfg, toks, mem_b,
-                             memory_length=jnp.full((beam,), ml, jnp.int32)),
-            axis=-1,
-        )
-        return jax.lax.dynamic_index_in_dim(lp, pos, axis=1, keepdims=False)
-
-    att = jax.vmap(att_per_utt)(tokens_u, memory, mem_len)  # (U, H, V)
-    fulls = w_dec * att.reshape(r_cnt, -1).astype(jnp.float32)
+    att_logits, cache = ed.decode_step_cached(
+        dec_params, dec_cfg, last_tokens, pos, cache, cross_kv, mem_len,
+        pos_table, n_per_group=beam,
+    )
+    att = jax.nn.log_softmax(att_logits, axis=-1)
+    fulls = w_dec * att.astype(jnp.float32)
     if use_lm:
         fulls = fulls + w_lm * _lm_logprobs_at(
             lm_params, lm_cfg, t_view, pos
@@ -224,10 +224,6 @@ def _joint_step(
         )
 
     top_vals, cand = jax.lax.top_k(fulls, k_pre)  # (R, K)
-
-    last_tokens = jax.vmap(
-        lambda row: jax.lax.dynamic_index_in_dim(row, pos, 0, keepdims=False)
-    )(t_view)
 
     if use_ctc:
         psi, r_new = _ctc_score_candidates(
@@ -258,7 +254,8 @@ def _joint_step(
         sel_tok.astype(jnp.float32),
         sel_psi.astype(jnp.float32),
     ])
-    state = (tokens, beam_scores, ctc_scores, r_live, psi, r_new, cand)
+    state = (tokens, beam_scores, ctc_scores, r_live, psi, r_new, cand,
+             cache)
     return state, packed
 
 
@@ -342,6 +339,20 @@ def joint_device_beam_batch(
     beam_scores0 = np.full((r_cnt,), -1e30, np.float32)
     beam_scores0[::h] = 0.0
 
+    from dualhyp_tpu.models import espnet_decoder as ed
+    from dualhyp_tpu.models.raven import abs_positions
+
+    memory_d = jnp.asarray(memory)
+    mem_len_d = jnp.asarray(mem_len)
+    ctc_x_d = jnp.asarray(ctc_x)
+    ctc_valid_d = jnp.asarray(ctc_valid)
+
+    # precompute source-attention K/V once; the step advances the cached
+    # decoder by one token (O(T) instead of full-prefix O(T^2))
+    cross_kv = ed.precompute_cross_kv(dec_params, dec_cfg, memory_d)
+    cache0 = ed.init_self_cache(dec_cfg, r_cnt, t_buf, dtype=memory_d.dtype)
+    pos_table = jnp.asarray(abs_positions(t_buf, dec_cfg.attention_dim))
+
     state = (
         jnp.asarray(tokens0),
         jnp.asarray(beam_scores0),
@@ -350,16 +361,12 @@ def joint_device_beam_batch(
         jnp.full((r_cnt, k_pre), LOG_ZERO, jnp.float32),
         jnp.full((r_cnt, k_pre, t_pad, 2), LOG_ZERO, jnp.float32),
         jnp.zeros((r_cnt, k_pre), jnp.int32),
+        cache0,
     )
     w_tuple = jnp.asarray(
         [weights["decoder"], weights["ctc"], weights["lm"],
          weights["length_bonus"]], jnp.float32,
     )
-
-    memory_d = jnp.asarray(memory)
-    mem_len_d = jnp.asarray(mem_len)
-    ctc_x_d = jnp.asarray(ctc_x)
-    ctc_valid_d = jnp.asarray(ctc_valid)
 
     # host-side beams: per utterance, list of live hypotheses in row order
     live: List[List[JointHypothesis]] = [
@@ -377,13 +384,15 @@ def joint_device_beam_batch(
     )
 
     for step in range(max_len):
-        # bucketed prefix width: pays ~half the max_len^2 attention on
-        # average, at the cost of ~max_len/16 step compiles (cached)
-        t_need = step + 1
-        t_pad = min(-(-t_need // 16) * 16, t_buf)
+        if use_lm:
+            # bucketed prefix width for the (uncached) LM forward only;
+            # the attention decoder steps through its cache at O(T)
+            t_pad = min(-(-(step + 1) // 16) * 16, t_buf)
+        else:
+            t_pad = t_buf  # single compile
         state, packed = _joint_step(
-            dec_params, lm_params, memory_d, mem_len_d, ctc_x_d,
-            ctc_valid_d, state, jnp.asarray(parents),
+            dec_params, lm_params, cross_kv, mem_len_d, ctc_x_d,
+            ctc_valid_d, pos_table, state, jnp.asarray(parents),
             jnp.asarray(new_scores), jnp.int32(step), w_tuple,
             jnp.int32(blank), jnp.int32(eos),
             is_first=(step == 0), t_pad=t_pad, **step_kwargs,

@@ -86,6 +86,117 @@ def ctc_log_probs(params: dict, memory):
     return jax.nn.log_softmax(_linear(params["ctc_lo"], memory), axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# cached single-token decoding (for the device joint beam: the full-prefix
+# recompute is O(T^2) per emitted token; caching the self-attention K/V and
+# the source-attention K/V makes each step O(T))
+# ---------------------------------------------------------------------------
+
+def precompute_cross_kv(params: dict, cfg: EspnetDecoderConfig, memory):
+    """Source-attention K/V per layer from the encoder memory, once per
+    utterance. memory: (U, S, adim) -> dict of (L, U, H, S, dk)."""
+    u, s, d = memory.shape
+    h = cfg.attention_heads
+    dk = cfg.attention_dim // h
+    ks, vs = [], []
+    for i in range(cfg.num_blocks):
+        leaf = params["layers"][str(i)]["src_attn"]
+        k = _linear(leaf["linear_k"], memory).reshape(u, s, h, dk)
+        v = _linear(leaf["linear_v"], memory).reshape(u, s, h, dk)
+        ks.append(k.transpose(0, 2, 1, 3))
+        vs.append(v.transpose(0, 2, 1, 3))
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+
+def init_self_cache(cfg: EspnetDecoderConfig, batch: int, max_len: int,
+                    dtype=jnp.float32):
+    h = cfg.attention_heads
+    dk = cfg.attention_dim // h
+    shape = (cfg.num_blocks, batch, h, max_len, dk)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def decode_step_cached(params: dict, cfg: EspnetDecoderConfig, tokens, pos,
+                       cache: dict, cross_kv: dict, memory_length,
+                       pos_table, n_per_group: int = 1):
+    """One decoder step for (R,) tokens at scalar position `pos`.
+
+    cache: self-attention K/V (L, R, H, T_max, dk), written at `pos`;
+    cross_kv: precomputed source K/V (L, U, H, S, dk) with R = U *
+    n_per_group rows grouped per utterance (beam rows share a memory);
+    memory_length: (U,) valid frames; pos_table: (T_max, adim) absolute
+    positional encodings. Returns (logits (R, V), cache).
+    Numerics match `decode_logits` at the same position (tested)."""
+    r = tokens.shape[0]
+    d = cfg.attention_dim
+    h = cfg.attention_heads
+    dk = d // h
+    u = r // n_per_group
+    t_max = cache["k"].shape[3]
+    s = cross_kv["k"].shape[3]
+
+    x = jnp.take(params["embed"]["weight"], tokens, axis=0)
+    x = x * math.sqrt(d) + jax.lax.dynamic_index_in_dim(
+        pos_table, pos, axis=0, keepdims=True
+    ).astype(x.dtype)
+    x = x[:, None, :]  # (R, 1, D)
+
+    scale = 1.0 / math.sqrt(dk)
+    new_cache_k, new_cache_v = [], []
+    for i in range(cfg.num_blocks):
+        leaf = params["layers"][str(i)]
+        # self attention: write this token's K/V at pos, attend <= pos
+        n1 = _ln(leaf["norm1"], x)
+        sa = leaf["self_attn"]
+        q = _linear(sa["linear_q"], n1).reshape(r, h, 1, dk)
+        k_new = _linear(sa["linear_k"], n1).reshape(r, h, 1, dk)
+        v_new = _linear(sa["linear_v"], n1).reshape(r, h, 1, dk)
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"][i], k_new.astype(cache["k"].dtype), (0, 0, pos, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"][i], v_new.astype(cache["v"].dtype), (0, 0, pos, 0)
+        )
+        new_cache_k.append(ck)
+        new_cache_v.append(cv)
+        scores = einsum(
+            "rhqd,rhtd->rhqt", q.astype(jnp.float32),
+            ck.astype(jnp.float32),
+        ) * scale
+        valid = jnp.arange(t_max)[None, None, None, :] <= pos
+        scores = jnp.where(valid, scores, -jnp.inf)
+        w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        sa_out = einsum("rhqt,rhtd->rhqd", w, cv.astype(x.dtype))
+        sa_out = sa_out.transpose(0, 2, 1, 3).reshape(r, 1, d)
+        x = x + _linear(sa["linear_out"], sa_out)
+
+        # source attention, grouped: beam rows share the utterance memory
+        n2 = _ln(leaf["norm2"], x)
+        src = leaf["src_attn"]
+        q2 = _linear(src["linear_q"], n2).reshape(u, n_per_group, h, dk)
+        kk = cross_kv["k"][i].astype(jnp.float32)  # (U, H, S, dk)
+        vv = cross_kv["v"][i].astype(x.dtype)
+        s_scores = einsum(
+            "ughd,uhsd->ughs", q2.astype(jnp.float32), kk
+        ) * scale
+        s_valid = jnp.arange(s)[None, None, None, :] < memory_length[
+            :, None, None, None
+        ]
+        s_scores = jnp.where(s_valid, s_scores, -jnp.inf)
+        sw = jax.nn.softmax(s_scores, axis=-1).astype(x.dtype)
+        src_out = einsum("ughs,uhsd->ughd", sw, vv)
+        src_out = src_out.reshape(r, 1, d)
+        x = x + _linear(src["linear_out"], src_out)
+
+        n3 = _ln(leaf["norm3"], x)
+        x = x + _linear(leaf["feed_forward"]["w_2"],
+                        jax.nn.relu(_linear(leaf["feed_forward"]["w_1"], n3)))
+
+    x = _ln(params["after_norm"], x)
+    logits = _linear(params["output_layer"], x)[:, 0]
+    return logits, {"k": jnp.stack(new_cache_k), "v": jnp.stack(new_cache_v)}
+
+
 def convert_espnet_decoder(state: Dict[str, np.ndarray],
                            cfg: EspnetDecoderConfig, prefix: str = "") -> dict:
     from dualhyp_tpu.models.raven import _nest

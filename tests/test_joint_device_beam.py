@@ -176,6 +176,47 @@ def test_device_beam_with_lm_matches_host(rng, decoder, lm):
 
 
 @requires_espnet
+def test_cached_decoder_step_matches_full_forward(rng, decoder):
+    """decode_step_cached walked token-by-token == decode_logits on the
+    full prefix (per-position logits), incl. grouped source attention
+    and memory-length masking."""
+    from dualhyp_tpu.models.raven import abs_positions
+
+    dec_params, dec_cfg = decoder
+    u, beam = 2, 3
+    r = u * beam
+    t = 6
+    s_pad = 12
+    mem = rng.normal(size=(u, s_pad, ADIM)).astype(np.float32) * 0.5
+    mem_len = np.asarray([9, 12], np.int32)
+    for i, ml in enumerate(mem_len):
+        mem[i, ml:] = 0.0
+    tokens = rng.integers(0, ODIM, (r, t)).astype(np.int32)
+
+    # full forward per row (memory repeated per beam row)
+    mem_rows = np.repeat(mem, beam, axis=0)
+    ml_rows = np.repeat(mem_len, beam, axis=0)
+    want = np.asarray(ed.decode_logits(
+        dec_params, dec_cfg, jnp.asarray(tokens), jnp.asarray(mem_rows),
+        memory_length=jnp.asarray(ml_rows),
+    ))
+
+    cross = ed.precompute_cross_kv(dec_params, dec_cfg, jnp.asarray(mem))
+    cache = ed.init_self_cache(dec_cfg, r, t)
+    pos_table = jnp.asarray(abs_positions(t, dec_cfg.attention_dim))
+    for p in range(t):
+        logits, cache = ed.decode_step_cached(
+            dec_params, dec_cfg, jnp.asarray(tokens[:, p]), jnp.int32(p),
+            cache, cross, jnp.asarray(mem_len), pos_table,
+            n_per_group=beam,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), want[:, p], rtol=2e-4, atol=2e-4,
+            err_msg=f"pos {p}",
+        )
+
+
+@requires_espnet
 def test_device_beam_single_utterance(rng, decoder):
     """U=1 degenerate case."""
     mems, ctcs = _utterances(rng, n=1)
