@@ -26,7 +26,9 @@ def build_parser():
     parser.add_argument("--whisper_checkpoint", required=True,
                         help="HF whisper dir (safetensors + config.json)")
     parser.add_argument("--output_dir", "-o", default=".")
-    parser.add_argument("--language", default="en")
+    parser.add_argument("--language", default=None,
+                        help="spoken language code; omit to detect from "
+                             "the first 30 seconds")
     parser.add_argument("--beam_size", type=int, default=5)
     parser.add_argument("--patience", type=float, default=None)
     parser.add_argument("--length_penalty", type=float, default=None)

@@ -56,6 +56,53 @@ def compression_ratio(text: str) -> float:
     return len(text_bytes) / len(zlib.compress(text_bytes))
 
 
+# the whisper language codes (public model vocabulary,
+# ref: data/whisper/tokenizer.py LANGUAGES)
+WHISPER_LANGUAGES = (
+    "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el "
+    "ms cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az "
+    "sl kn et mk br eu is hy ne mn bs kk sq sw gl mr pa si km sn yo so af "
+    "oc ka be tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as "
+    "tt haw ln ha ba jw su yue"
+).split()
+
+
+def detect_language(features, decoder, tokenizer) -> Tuple[str, dict]:
+    """Most probable language from the first window's encoder output:
+    P(language token | sot) (ref: data/whisper/decoding.py
+    detect_language). Returns (code, {code: prob}); falls back to "en"
+    when the tokenizer has no language tokens."""
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_asr import _token_id
+    from dualhyp_tpu.models import whisper as w
+
+    dec_params, dec_cfg = decoder
+    sot = _token_id(tokenizer, "<|startoftranscript|>")
+    if sot < 0:
+        return "en", {"en": 1.0}
+    lang_ids = {}
+    for code in WHISPER_LANGUAGES:
+        tid = _token_id(tokenizer, f"<|{code}|>")
+        if tid >= 0:
+            lang_ids[code] = tid
+    if not lang_ids:
+        return "en", {"en": 1.0}
+    logits = np.asarray(
+        w.decode_logits(
+            dec_params, dec_cfg, jnp.asarray([[sot]], jnp.int32), features
+        )[0, 0]
+    )
+    mask = np.full_like(logits, -np.inf)
+    ids = np.asarray(list(lang_ids.values()))
+    mask[ids] = logits[ids]
+    e = np.exp(mask - mask.max())
+    probs = e / e.sum()
+    out = {code: float(probs[tid]) for code, tid in lang_ids.items()}
+    best = max(out, key=out.get)
+    return best, out
+
+
 @dataclass
 class WindowResult:
     """Per-window decode outcome (the DecodingResult surface transcribe
@@ -266,7 +313,7 @@ def transcribe(
     decoder,
     tokenizer,
     *,
-    language: str = "en",
+    language: Optional[str] = "en",
     beam_size: int = 5,
     temperature: Union[float, Sequence[float]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
     compression_ratio_threshold: Optional[float] = 2.4,
@@ -282,7 +329,9 @@ def transcribe(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     seed: int = 0,
 ) -> List[dict]:
-    """audio: float32 16 kHz waveform of any length. Returns one dict per
+    """audio: float32 16 kHz waveform of any length. language=None
+    detects it from the first window
+    (ref: data/whisper/transcribe.py:129-143). Returns one dict per
     hypothesis rank: {"text", "segments", "language"}
     (ref: data/whisper/transcribe.py:451-457)."""
     import jax.numpy as jnp
@@ -303,6 +352,13 @@ def transcribe(
     )
     mel = w.log_mel_spectrogram(padded, enc_cfg.n_mels)
     content_frames = mel.shape[-1] - N_FRAMES
+
+    if language is None:
+        first_mel = w.pad_or_trim(mel[:, :N_FRAMES], N_FRAMES)
+        first_feats = w.encode(
+            enc_params, enc_cfg, jnp.asarray(first_mel[None])
+        )
+        language, _ = detect_language(first_feats, decoder, tokenizer)
 
     input_stride = N_FRAMES // enc_cfg.n_ctx  # mel frames per token: 2
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s

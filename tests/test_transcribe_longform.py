@@ -230,6 +230,41 @@ def test_transcribe_word_timestamps_smoke(rng):
             assert 0.0 <= word["probability"] <= 1.0
 
 
+def test_language_detection(rng):
+    """language=None picks the argmax language token at the sot position
+    (ref: data/whisper/decoding.py detect_language)."""
+    encoder, decoder = _tiny_whisper()
+
+    class MultiLangTok(FakeTok):
+        def convert_tokens_to_ids(self, token):
+            table = {"<|endoftext|>": 59, "<|startoftranscript|>": 60,
+                     "<|en|>": 61, "<|fr|>": 58, "<|transcribe|>": 62,
+                     "<|notimestamps|>": 63, "<|0.00|>": 64,
+                     "<|startofprev|>": -1, "<|nospeech|>": -1}
+            return table.get(token, -1)
+
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.models import whisper as w
+
+    tok = MultiLangTok()
+    mel = rng.normal(size=(80, 3000)).astype(np.float32)
+    (enc, enc_cfg), _ = encoder, decoder
+    feats = w.encode(enc, enc_cfg, jnp.asarray(mel[None]))
+    code, probs = tr.detect_language(feats, decoder, tok)
+    assert code in ("en", "fr")
+    assert abs(sum(probs.values()) - 1.0) < 1e-5
+    assert probs[code] == max(probs.values())
+
+    # end-to-end: language=None resolves through detection
+    audio = rng.normal(size=(16000,)).astype(np.float32) * 0.05
+    out = tr.transcribe(
+        audio, encoder, decoder, tok, language=None, beam_size=1,
+        temperature=0.0, max_new_tokens=4, no_speech_threshold=None,
+    )
+    assert out[0]["language"] in ("en", "fr")
+
+
 def test_find_alignment_monotonic_times(rng):
     """DTW times must be non-decreasing across words."""
     encoder, decoder = _tiny_whisper()
