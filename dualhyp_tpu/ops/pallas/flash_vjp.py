@@ -13,10 +13,18 @@ the (T, T) matrix:
     dK   += dS^T Q * scale      (dkv kernel: grid over kv x q blocks,
                                  accumulating in VMEM scratch)
 
-GQA layout matches flash_fwd.py: queries of one KV group stack head-major as
-rows, so K/V gradients from every query head in the group accumulate
-naturally. Causal block skipping on both sides of the backward (irrelevant
-q/kv block pairs are predicated out with pl.when).
+GQA layout: the queries of one KV group are processed as a row-stacked
+(q_per_kv * block_q_seq, d) tile so K/V gradients from every query head in
+the group accumulate naturally. Round 3: the tile is fetched DIRECTLY from
+the raw (B, Hq, T, D) arrays via 4-D BlockSpecs — q[b, g*qpk:(g+1)*qpk,
+j*bq:(j+1)*bq] is contiguous, so the old host-side pack/unpack transposes
+(extra HBM round trips + an XLA fusion barrier around the custom-call) are
+gone; the row-merge happens as a free in-VMEM reshape.
+
+Causal block skipping on both sides of the backward: irrelevant q/kv block
+pairs are predicated out with pl.when, and the dkv kernel's q-side index
+map CLAMPS skipped iterations to the first relevant block so Mosaic sees an
+unchanged index and skips the DMA too.
 
 Gradient parity vs the XLA attention is tested in tests/test_pallas.py;
 runs compiled on TPU and interpreted on CPU.
@@ -26,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,40 +43,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dualhyp_tpu.ops.pallas import common
 
-import os
-
 # block shapes are tunable for on-TPU sweeps (scripts/bench_flash_bwd.py);
 # defaults measured best at the headline 1.1B GQA shape (v5e, seq 1024,
-# q_per_kv=8): q=128/kv=512 beat the library splash kernel by ~11%
-# (4.27 vs 4.79 ms fwd+bwd; q=256/kv=256 was 4.89). Larger q blocks
-# VMEM-OOM because the GQA row packing multiplies them by q_per_kv.
+# q_per_kv=8): q=128/kv=512 beat the library splash kernel by ~7%
+# (4.24 vs 4.56 ms fwd+bwd; q=256/kv=256 was 4.89). Larger q blocks
+# VMEM-OOM because the GQA row tiling multiplies them by q_per_kv.
 _BLOCK_Q = int(os.environ.get("DUALHYP_FLASH_BLOCK_Q", 128))
 _BLOCK_KV = int(os.environ.get("DUALHYP_FLASH_BLOCK_KV", 512))
 _NEG_INF = -1e30
 
 
-# ---------------------------------------------------------------------------
-# layout helpers (shared with flash_fwd)
-# ---------------------------------------------------------------------------
-
-def _pack_rows(q, g, q_per_kv, n_q_blocks, block_q_seq):
-    b = q.shape[0]
-    d = q.shape[-1]
-    qg = q.reshape(b, g, q_per_kv, n_q_blocks, block_q_seq, d)
-    qg = qg.transpose(0, 1, 3, 2, 4, 5)
-    return qg.reshape(b, g, n_q_blocks * q_per_kv * block_q_seq, d)
-
-
-def _unpack_rows(rows, b, g, q_per_kv, n_q_blocks, block_q_seq, d):
-    t = n_q_blocks * block_q_seq
-    x = rows.reshape(b, g, n_q_blocks, q_per_kv, block_q_seq, d)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g, q_per_kv, t, d)
-    return x.reshape(b, g * q_per_kv, t, d)
-
-
 def _q_positions(qblk, block_q_rows, rows_per_head):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q_rows, 1), 0)
     return qblk * rows_per_head + (row_ids % rows_per_head)
+
+
+def _rows(ref):
+    """(1, qpk, bq, d) VMEM block -> (qpk*bq, d) row tile (free reshape)."""
+    _, qpk, bq, d = ref.shape
+    return ref[0].reshape(qpk * bq, d)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +72,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, block_kv, t_kv,
                 q_per_kv, block_q_rows, scale):
     qblk = pl.program_id(2)
     d = q_ref.shape[-1]
-    q = q_ref[0, 0].astype(jnp.float32) * scale
+    q = _rows(q_ref).astype(jnp.float32) * scale
     rows_per_head = block_q_rows // q_per_kv
     q_pos = _q_positions(qblk, block_q_rows, rows_per_head)
     n_kv_blocks = t_kv // block_kv
@@ -105,8 +99,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, block_kv, t_kv,
     m0 = jnp.full((block_q_rows, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q_rows, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_relevant, body, (acc, m0, l0))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    l_ref[0, 0] = (m + jnp.log(jnp.maximum(l, 1e-30))).astype(l_ref.dtype)
+    bq = rows_per_head
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype).reshape(
+        q_per_kv, bq, d
+    )
+    l_ref[0] = (m + jnp.log(jnp.maximum(l, 1e-30))).astype(
+        l_ref.dtype
+    ).reshape(q_per_kv, bq, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -117,10 +116,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                block_kv, t_kv, q_per_kv, block_q_rows, scale):
     qblk = pl.program_id(2)
     d = q_ref.shape[-1]
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0].astype(jnp.float32)      # (rows, 1)
-    delta = delta_ref[0, 0].astype(jnp.float32)  # (rows, 1)
+    q = _rows(q_ref).astype(jnp.float32) * scale
+    do = _rows(do_ref).astype(jnp.float32)
+    lse = _rows(lse_ref).astype(jnp.float32)      # (rows, 1)
+    delta = _rows(delta_ref).astype(jnp.float32)  # (rows, 1)
     rows_per_head = block_q_rows // q_per_kv
     q_pos = _q_positions(qblk, block_q_rows, rows_per_head)
     n_kv_blocks = t_kv // block_kv
@@ -143,7 +142,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     n_relevant = jnp.minimum(last_q // block_kv + 1, n_kv_blocks)
     dq = jax.lax.fori_loop(0, n_relevant,
                            body, jnp.zeros((block_q_rows, d), jnp.float32))
-    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype).reshape(
+        q_per_kv, rows_per_head, d
+    )
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -168,10 +169,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _accumulate():
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].astype(jnp.float32)
-        delta = delta_ref[0, 0].astype(jnp.float32)
+        q = _rows(q_ref).astype(jnp.float32) * scale
+        do = _rows(do_ref).astype(jnp.float32)
+        lse = _rows(lse_ref).astype(jnp.float32)
+        delta = _rows(delta_ref).astype(jnp.float32)
         q_pos = _q_positions(j, block_q_rows, rows_per_head)
         kv_pos = kv_start + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_kv), 1
@@ -211,11 +212,13 @@ def flash_attention(q, k, v, scale=None):
     return out
 
 
-def _specs(block_q_rows, t, d):
-    row_spec = pl.BlockSpec((1, 1, block_q_rows, d),
+def _specs(q_per_kv, block_q_seq, t, d):
+    """4-D blocks straight off the raw (B, Hq, T, D) layout: group g's
+    heads are q[:, g*qpk:(g+1)*qpk] — contiguous, so no host packing."""
+    row_spec = pl.BlockSpec((1, q_per_kv, block_q_seq, d),
                             lambda bb, gg, qq: (bb, gg, qq, 0),
                             memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1, block_q_rows, 1),
+    scalar_spec = pl.BlockSpec((1, q_per_kv, block_q_seq, 1),
                                lambda bb, gg, qq: (bb, gg, qq, 0),
                                memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, 1, t, d), lambda bb, gg, qq: (bb, gg, 0, 0),
@@ -238,24 +241,22 @@ def _forward(q, k, v, scale):
     block_kv = min(_BLOCK_KV, t)
     n_q_blocks = t // block_q_seq
     block_q_rows = q_per_kv * block_q_seq
-    qg = _pack_rows(q, g, q_per_kv, n_q_blocks, block_q_seq)
-    row_spec, scalar_spec, kv_spec = _specs(block_q_rows, t, d)
+    row_spec, scalar_spec, kv_spec = _specs(q_per_kv, block_q_seq, t, d)
 
-    out_rows, lse_rows = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_kv=block_kv, t_kv=t,
                           q_per_kv=q_per_kv, block_q_rows=block_q_rows,
                           scale=scale),
         out_shape=(
-            jax.ShapeDtypeStruct(qg.shape, q.dtype),
-            jax.ShapeDtypeStruct(qg.shape[:-1] + (1,), jnp.float32),
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(q.shape[:-1] + (1,), jnp.float32),
         ),
         grid=(b, g, n_q_blocks),
         in_specs=[row_spec, kv_spec, kv_spec],
         out_specs=(row_spec, scalar_spec),
         interpret=common.interpret_mode(),
-    )(qg, k, v)
-    out = _unpack_rows(out_rows, b, g, q_per_kv, n_q_blocks, block_q_seq, d)
-    return out, (qg, k, v, out_rows, lse_rows)
+    )(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _fwd_rule(q, k, v, scale):
@@ -266,46 +267,42 @@ def _fwd_rule(q, k, v, scale):
 
 
 def _bwd_rule(scale, residuals, g_out):
-    qg, k, v, out_rows, lse_rows = residuals
-    if out_rows is None:
+    q, k, v, out, lse = residuals
+    if out is None:
         # unaligned fallback: differentiate the XLA path
         from dualhyp_tpu.ops.attention import _causal_attention_xla
 
-        q_orig, k_orig, v_orig = qg, k, v
-        s = scale if scale is not None else 1.0 / math.sqrt(q_orig.shape[-1])
+        s = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
         _, vjp = jax.vjp(lambda q_, k_, v_: _causal_attention_xla(q_, k_, v_, s),
-                         q_orig, k_orig, v_orig)
+                         q, k, v)
         return vjp(g_out)
 
-    b, g_heads, rows, d = qg.shape
-    t = k.shape[2]
+    b, hq, t, d = q.shape
+    g_heads = k.shape[1]
+    q_per_kv = hq // g_heads
     block_q_seq = min(_BLOCK_Q, t)
     block_kv = min(_BLOCK_KV, t)
     n_q_blocks = t // block_q_seq
-    q_per_kv = rows // t
     block_q_rows = q_per_kv * block_q_seq
     s = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    do_rows = _pack_rows(
-        g_out, g_heads, q_per_kv, n_q_blocks, block_q_seq
-    )
-    delta_rows = jnp.sum(
-        do_rows.astype(jnp.float32) * out_rows.astype(jnp.float32),
+    delta = jnp.sum(
+        g_out.astype(jnp.float32) * out.astype(jnp.float32),
         axis=-1, keepdims=True,
     )
-    row_spec, scalar_spec, kv_spec = _specs(block_q_rows, t, d)
+    row_spec, scalar_spec, kv_spec = _specs(q_per_kv, block_q_seq, t, d)
 
-    dq_rows = pl.pallas_call(
+    dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_kv=block_kv, t_kv=t,
                           q_per_kv=q_per_kv, block_q_rows=block_q_rows,
                           scale=s),
-        out_shape=jax.ShapeDtypeStruct(qg.shape, qg.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(b, g_heads, n_q_blocks),
         in_specs=[row_spec, kv_spec, kv_spec, row_spec, scalar_spec,
                   scalar_spec],
         out_specs=row_spec,
         interpret=common.interpret_mode(),
-    )(qg, k, v, do_rows, lse_rows, delta_rows)
+    )(q, k, v, g_out, lse, delta)
 
     n_kv_blocks = t // block_kv
     # 4-D grid specs: q-side blocks indexed by the innermost dim. The
@@ -318,9 +315,9 @@ def _bwd_rule(scale, residuals, g_out):
         first = (kk * block_kv) // block_q_seq
         return (bb, gg, jnp.maximum(qq, first), 0)
 
-    qrow4 = pl.BlockSpec((1, 1, block_q_rows, d), q_index,
+    qrow4 = pl.BlockSpec((1, q_per_kv, block_q_seq, d), q_index,
                          memory_space=pltpu.VMEM)
-    qscal4 = pl.BlockSpec((1, 1, block_q_rows, 1), q_index,
+    qscal4 = pl.BlockSpec((1, q_per_kv, block_q_seq, 1), q_index,
                           memory_space=pltpu.VMEM)
     kv4 = pl.BlockSpec((1, 1, block_kv, d),
                        lambda bb, gg, kk, qq: (bb, gg, kk, 0),
@@ -346,9 +343,8 @@ def _bwd_rule(scale, residuals, g_out):
                                  "arbitrary"),
         ),
         interpret=common.interpret_mode(),
-    )(qg, k, v, do_rows, lse_rows, delta_rows)
+    )(q, k, v, g_out, lse, delta)
 
-    dq = _unpack_rows(dq_rows, b, g_heads, q_per_kv, n_q_blocks, block_q_seq, d)
     return dq, dk, dv
 
 
