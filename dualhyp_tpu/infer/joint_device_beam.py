@@ -51,12 +51,28 @@ def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
 
     r_cnt, k = cand.shape
     t_frames = ctc_x.shape[1]
-    u = jnp.arange(r_cnt) // n_hyps_per_utt  # row -> utterance
+    n_utt = ctc_x.shape[0]
+    h = n_hyps_per_utt
+    u = jnp.arange(r_cnt) // h  # row -> utterance
 
-    # per-row candidate emission columns (R, T, K) and blank column (R, T)
-    xs = ctc_x[u[:, None, None],
-               jnp.arange(t_frames)[None, :, None],
-               cand[:, None, :]]
+    # per-row candidate emission columns (R, T, K): gathered as a one-hot
+    # MXU contraction per utterance — the naive (R, T, K) fancy gather
+    # measured 18.5 ms/step on v5e (gather "custom fusion"), the one-hot
+    # dot is bandwidth-bound on (U, T, V) ~ a few MB
+    vocab = ctc_x.shape[2]
+    onehot = jax.nn.one_hot(
+        cand.reshape(n_utt, h * k), vocab, dtype=jnp.float32
+    )  # (U, H*K, V)
+    xs_u = jax.lax.dot_general(
+        ctc_x.astype(jnp.float32), onehot,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (U, T, H*K)
+    xs = (
+        xs_u.reshape(n_utt, t_frames, h, k)
+        .transpose(0, 2, 1, 3)
+        .reshape(r_cnt, t_frames, k)
+    )
     xb = jnp.take(ctc_x, blank, axis=2)[u]  # (R, T)
 
     r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])  # (R, T)
@@ -137,10 +153,10 @@ def _lm_logprobs_at(lm_params, lm_cfg, tokens, pos):
     jax.jit,
     static_argnames=(
         "dec_cfg", "lm_cfg", "n_utt", "beam", "k_pre", "use_lm", "use_ctc",
-        "is_first", "t_pad",
+        "n_steps", "t_pad",
     ),
 )
-def _joint_step(
+def _joint_chunk(
     dec_params,
     lm_params,
     cross_kv,      # precomputed source K/V: dict of (L, U, H, S, dk)
@@ -148,10 +164,10 @@ def _joint_step(
     ctc_x,         # (U, T_ctc_pad, V)
     ctc_valid,     # (U,)
     pos_table,     # (T_buf, adim) absolute positional encodings
-    state,         # device-carried: see below
-    parents,       # (R,) flat candidate index within the utterance (h*K + j)
-    new_scores,    # (R,) beam scores chosen by host
-    pos,           # traced: position of the last token (prefix len - 1)
+    state,         # (tokens, beam_scores, ctc_scores, r_live, cache)
+    live_count,    # (U,) live hypotheses per utterance
+    fin_count,     # (U,) finished hypotheses per utterance
+    pos0,          # traced: first position of this chunk
     weights,       # (w_dec, w_ctc, w_lm, penalty) f32
     blank,
     eos,
@@ -163,100 +179,145 @@ def _joint_step(
     k_pre,
     use_lm,
     use_ctc,
-    is_first,
+    n_steps,
     t_pad,
 ):
-    """One lockstep token step for all U x beam rows. Returns (state,
-    packed (4, U, 2*beam) float32 [scores, flat_idx, token, psi]).
+    """`n_steps` lockstep beam steps with DEVICE-side ESPnet candidate
+    selection, ONE host transfer per chunk.
 
-    The attention decoder advances ONE cached step per token
-    (espnet_decoder.decode_step_cached: self-attn K/V cache gathered
-    through the parents mechanism, grouped source attention against the
-    precomputed cross_kv) instead of recomputing the whole prefix.
-    t_pad: static bucketed prefix width for the (uncached) LM forward."""
+    Per step: cached decoder step + LM + CTC prefix scoring + per-
+    utterance top-2*beam, then the ESPnet fill rule applied on device
+    (eos candidates retire until `beam` live survivors are taken; dead-
+    parent candidates masked; done utterances freeze their counters).
+    Host replays the identical rule over the returned
+    (n_steps, 4, U, 2*beam) pack to rebuild token lists — same inputs,
+    same deterministic rule, so host and device stay in lockstep.
+    (ref selection semantics: data/raven/espnet/nets/beam_search.py
+    post_process / batch_beam_search.py:30)"""
     import jax.numpy as jnp
 
     from dualhyp_tpu.models import espnet_decoder as ed
 
-    (tokens, beam_scores, ctc_scores, r_live, psi_cand, r_cand,
-     cand_tok, cache) = state
-    r_cnt = n_utt * beam
-    u = jnp.arange(r_cnt) // beam
-
-    if not is_first:
-        # apply the host's selections: re-gather rows from the previous
-        # step's candidate pool (whisper_device_beam parents mechanism)
-        gparent = u * beam + parents // k_pre  # global parent row
-        j = parents % k_pre
-        tokens = tokens[gparent]
-        new_tok = cand_tok[gparent, j]
-        tokens = jax.vmap(
-            lambda row, v: jax.lax.dynamic_update_index_in_dim(row, v, pos, 0)
-        )(tokens, new_tok)
-        beam_scores = new_scores
-        cache = {k: v[:, gparent] for k, v in cache.items()}
-        if use_ctc:
-            ctc_scores = psi_cand[gparent, j]
-            r_live = r_cand[gparent, j]
-
+    h = beam
+    r_cnt = n_utt * h
+    u_of_row = jnp.arange(r_cnt) // h
+    row_in_u = jnp.arange(r_cnt) % h
     w_dec, w_ctc, w_lm, penalty = weights
 
-    t_view = jax.lax.slice(tokens, (0, 0), (r_cnt, t_pad))
-    last_tokens = jax.vmap(
-        lambda row: jax.lax.dynamic_index_in_dim(row, pos, 0, keepdims=False)
-    )(t_view)
+    def one(carry, s):
+        (tokens, beam_scores, ctc_scores, r_live, cache,
+         live_count, fin_count) = carry
+        pos = pos0 + s
+        done_prev = (fin_count >= h) | (live_count <= 0)
 
-    att_logits, cache = ed.decode_step_cached(
-        dec_params, dec_cfg, last_tokens, pos, cache, cross_kv, mem_len,
-        pos_table, n_per_group=beam,
-    )
-    att = jax.nn.log_softmax(att_logits, axis=-1)
-    fulls = w_dec * att.astype(jnp.float32)
-    if use_lm:
-        fulls = fulls + w_lm * _lm_logprobs_at(
-            lm_params, lm_cfg, t_view, pos
-        ).astype(jnp.float32)
-    fulls = fulls + penalty
-    if use_ctc:
-        vocab = fulls.shape[-1]
-        fulls = jnp.where(
-            jnp.arange(vocab)[None, :] == blank, -jnp.inf, fulls
+        # ---- score ----
+        t_view = jax.lax.slice(tokens, (0, 0), (r_cnt, t_pad))
+        last_tokens = jnp.take_along_axis(
+            t_view, jnp.full((r_cnt, 1), pos, jnp.int32), axis=1
+        )[:, 0]
+        att_logits, cache = ed.decode_step_cached(
+            dec_params, dec_cfg, last_tokens, pos, cache, cross_kv,
+            mem_len, pos_table, n_per_group=h,
+        )
+        fulls = w_dec * jax.nn.log_softmax(att_logits, axis=-1).astype(
+            jnp.float32
+        )
+        if use_lm:
+            fulls = fulls + w_lm * _lm_logprobs_at(
+                lm_params, lm_cfg, t_view, pos
+            ).astype(jnp.float32)
+        fulls = fulls + penalty
+        if use_ctc:
+            fulls = jnp.where(
+                jnp.arange(fulls.shape[-1])[None, :] == blank, -jnp.inf,
+                fulls,
+            )
+        top_vals, cand = jax.lax.top_k(fulls, k_pre)  # (R, K)
+        if use_ctc:
+            psi, r_new = _ctc_score_candidates(
+                ctc_x, ctc_valid, r_live, last_tokens, cand, pos, blank,
+                eos, h,
+            )
+            total = (beam_scores[:, None] + top_vals
+                     + w_ctc * (psi - ctc_scores[:, None]))
+        else:
+            psi = jnp.zeros_like(top_vals)
+            r_new = None
+            total = beam_scores[:, None] + top_vals
+
+        # dead parent rows produce no candidates
+        row_live = row_in_u < live_count[u_of_row]
+        total = jnp.where(row_live[:, None], total, -jnp.inf)
+
+        flat = total.reshape(n_utt, h * k_pre)
+        sel_scores, sel_flat = jax.lax.top_k(flat, 2 * h)  # sorted desc
+        cand_flat = cand.reshape(n_utt, h * k_pre)
+        psi_flat = psi.reshape(n_utt, h * k_pre)
+        sel_tok = jnp.take_along_axis(cand_flat, sel_flat, axis=1)
+        sel_psi = jnp.take_along_axis(psi_flat, sel_flat, axis=1)
+
+        # ---- ESPnet fill rule on device ----
+        valid = jnp.isfinite(sel_scores)
+        eosm = (sel_tok == eos) & valid
+        live_c = valid & ~eosm
+        l_inc = jnp.cumsum(live_c.astype(jnp.int32), axis=1)
+        keep_live = live_c & (l_inc <= h)
+        live_before = l_inc - live_c.astype(jnp.int32)
+        keep_eos = eosm & (live_before < h)
+
+        uu = jnp.arange(n_utt)[:, None]
+        dst = jnp.where(keep_live, l_inc - 1, h)  # h == dropped
+        live_flat = jnp.zeros((n_utt, h), jnp.int32).at[uu, dst].set(
+            sel_flat, mode="drop")
+        live_tok = jnp.zeros((n_utt, h), jnp.int32).at[uu, dst].set(
+            sel_tok, mode="drop")
+        live_scores = jnp.full((n_utt, h), -1e30, jnp.float32).at[
+            uu, dst].set(sel_scores, mode="drop")
+        live_psi = jnp.zeros((n_utt, h), jnp.float32).at[uu, dst].set(
+            sel_psi, mode="drop")
+
+        new_live_count = jnp.where(
+            done_prev, live_count, jnp.minimum(l_inc[:, -1], h)
+        )
+        new_fin_count = jnp.where(
+            done_prev, fin_count, fin_count + keep_eos.sum(axis=1)
         )
 
-    top_vals, cand = jax.lax.top_k(fulls, k_pre)  # (R, K)
-
-    if use_ctc:
-        psi, r_new = _ctc_score_candidates(
-            ctc_x, ctc_valid, r_live, last_tokens, cand, pos, blank, eos,
-            beam,
+        # ---- apply the selection ----
+        parents_flat = live_flat.reshape(-1)
+        gparent = u_of_row * h + parents_flat // k_pre
+        j = parents_flat % k_pre
+        tokens = tokens[gparent]
+        # masked write beats a vmapped dynamic_update (which lowers to a
+        # per-row loop: 320 tiny fused updates per step in the trace)
+        col = jnp.arange(tokens.shape[1])[None, :]
+        tokens = jnp.where(
+            col == pos + 1, live_tok.reshape(-1)[:, None], tokens
         )
-        total = (
-            beam_scores[:, None]
-            + top_vals
-            + w_ctc * (psi - ctc_scores[:, None])
-        )
-    else:
-        psi = jnp.zeros_like(top_vals)
-        r_new = r_cand  # unchanged placeholder
-        total = beam_scores[:, None] + top_vals
+        cache = {k: v[:, gparent] for k, v in cache.items()}
+        beam_scores = live_scores.reshape(-1)
+        if use_ctc:
+            ctc_scores = live_psi.reshape(-1)
+            r_live = r_new[gparent, j]
 
-    # per-utterance joint top-2*beam over the (beam * k_pre) pool
-    flat = total.reshape(n_utt, beam * k_pre)
-    sel_scores, sel_flat = jax.lax.top_k(flat, 2 * beam)  # (U, 2H)
-    cand_flat = cand.reshape(n_utt, beam * k_pre)
-    psi_flat = psi.reshape(n_utt, beam * k_pre)
-    sel_tok = jnp.take_along_axis(cand_flat, sel_flat, axis=1)
-    sel_psi = jnp.take_along_axis(psi_flat, sel_flat, axis=1)
+        ys = jnp.stack([
+            sel_scores.astype(jnp.float32),
+            sel_flat.astype(jnp.float32),
+            sel_tok.astype(jnp.float32),
+            sel_psi.astype(jnp.float32),
+        ])
+        carry = (tokens, beam_scores, ctc_scores, r_live, cache,
+                 new_live_count, new_fin_count)
+        return carry, ys
 
-    packed = jnp.stack([
-        sel_scores.astype(jnp.float32),
-        sel_flat.astype(jnp.float32),
-        sel_tok.astype(jnp.float32),
-        sel_psi.astype(jnp.float32),
-    ])
-    state = (tokens, beam_scores, ctc_scores, r_live, psi, r_new, cand,
-             cache)
-    return state, packed
+    (tokens, beam_scores, ctc_scores, r_live, cache) = state
+    carry0 = (tokens, beam_scores, ctc_scores, r_live, cache,
+              live_count, fin_count)
+    carry, ys = jax.lax.scan(one, carry0, jnp.arange(n_steps))
+    (tokens, beam_scores, ctc_scores, r_live, cache,
+     live_count, fin_count) = carry
+    state = (tokens, beam_scores, ctc_scores, r_live, cache)
+    return state, live_count, fin_count, ys
 
 
 def joint_device_beam_batch(
@@ -274,9 +335,13 @@ def joint_device_beam_batch(
     pre_beam_ratio: float = 1.5,
     blank: int = 0,
     mem_pad_multiple: int = 32,
+    chunk_steps: int = 8,
 ) -> List[List[JointHypothesis]]:
     """Lockstep joint beam over U utterances; per-utterance results match
-    `joint_beam_search` (same scores, same n-best ordering)."""
+    `joint_beam_search` (same scores, same n-best ordering).
+
+    chunk_steps: beam steps per host round-trip (selection runs on
+    device; the host replays it from the returned scalar pack)."""
     import jax.numpy as jnp
 
     weights = {
@@ -348,9 +413,13 @@ def joint_device_beam_batch(
     ctc_valid_d = jnp.asarray(ctc_valid)
 
     # precompute source-attention K/V once; the step advances the cached
-    # decoder by one token (O(T) instead of full-prefix O(T^2))
+    # decoder by one token (O(T) instead of full-prefix O(T^2)). The
+    # self-attn cache stores at the DECODER's dtype (bf16 in production:
+    # halves the per-step parents-gather traffic; tests run f32 params so
+    # parity checks stay exact)
+    dec_dtype = jax.tree_util.tree_leaves(dec_params)[0].dtype
     cross_kv = ed.precompute_cross_kv(dec_params, dec_cfg, memory_d)
-    cache0 = ed.init_self_cache(dec_cfg, r_cnt, t_buf, dtype=memory_d.dtype)
+    cache0 = ed.init_self_cache(dec_cfg, r_cnt, t_buf, dtype=dec_dtype)
     pos_table = jnp.asarray(abs_positions(t_buf, dec_cfg.attention_dim))
 
     state = (
@@ -358,11 +427,10 @@ def joint_device_beam_batch(
         jnp.asarray(beam_scores0),
         jnp.zeros((r_cnt,), jnp.float32),
         jnp.asarray(r_live0),
-        jnp.full((r_cnt, k_pre), LOG_ZERO, jnp.float32),
-        jnp.full((r_cnt, k_pre, t_pad, 2), LOG_ZERO, jnp.float32),
-        jnp.zeros((r_cnt, k_pre), jnp.int32),
         cache0,
     )
+    live_count_d = jnp.ones((n_utt,), jnp.int32)
+    fin_count_d = jnp.zeros((n_utt,), jnp.int32)
     w_tuple = jnp.asarray(
         [weights["decoder"], weights["ctc"], weights["lm"],
          weights["length_bonus"]], jnp.float32,
@@ -375,67 +443,59 @@ def joint_device_beam_batch(
     finished: List[List[JointHypothesis]] = [[] for _ in range(n_utt)]
     utt_done = [False] * n_utt
 
-    parents = np.zeros((r_cnt,), np.int32)
-    new_scores = np.asarray(beam_scores0)
-
     step_kwargs = dict(
         dec_cfg=dec_cfg, lm_cfg=lm_cfg, n_utt=n_utt, beam=h, k_pre=k_pre,
         use_lm=use_lm, use_ctc=use_ctc,
     )
 
-    for step in range(max_len):
+    step = 0
+    while step < max_len and not all(utt_done):
+        n_steps = min(chunk_steps, max_len - step)
         if use_lm:
             # bucketed prefix width for the (uncached) LM forward only;
             # the attention decoder steps through its cache at O(T)
-            t_pad = min(-(-(step + 1) // 16) * 16, t_buf)
+            t_pad_c = min(-(-(step + n_steps) // 16) * 16, t_buf)
         else:
-            t_pad = t_buf  # single compile
-        state, packed = _joint_step(
+            t_pad_c = t_buf  # single compile
+        state, live_count_d, fin_count_d, ys = _joint_chunk(
             dec_params, lm_params, cross_kv, mem_len_d, ctc_x_d,
-            ctc_valid_d, pos_table, state, jnp.asarray(parents),
-            jnp.asarray(new_scores), jnp.int32(step), w_tuple,
-            jnp.int32(blank), jnp.int32(eos),
-            is_first=(step == 0), t_pad=t_pad, **step_kwargs,
+            ctc_valid_d, pos_table, state, live_count_d, fin_count_d,
+            jnp.int32(step), w_tuple, jnp.int32(blank), jnp.int32(eos),
+            n_steps=n_steps, t_pad=t_pad_c, **step_kwargs,
         )
-        arr = np.asarray(packed)  # ONE host sync per token
-        sel_scores, sel_flat, sel_tok, sel_psi = arr
+        arr = np.asarray(ys)  # ONE host sync per chunk of n_steps tokens
 
-        parents = np.zeros((r_cnt,), np.int32)
-        new_scores = np.full((r_cnt,), -1e30, np.float32)
-        any_live = False
-        for ui in range(n_utt):
-            if utt_done[ui]:
-                continue
-            new_live: List[JointHypothesis] = []
-            new_parents: List[int] = []
-            for ci in range(2 * h):
-                flat = int(sel_flat[ui, ci])
-                parent_row = flat // k_pre
-                if parent_row >= len(live[ui]):
-                    continue  # dead row candidate
-                tok = int(sel_tok[ui, ci])
-                score = float(sel_scores[ui, ci])
-                hyp = live[ui][parent_row]
-                new = JointHypothesis(
-                    hyp.tokens + [tok], score, ctc_score=float(sel_psi[ui, ci])
-                )
-                if tok == eos:
-                    finished[ui].append(new)
-                else:
-                    new_live.append(new)
-                    new_parents.append(flat)
-                if len(new_live) >= h:
-                    break
-            live[ui] = new_live
-            if len(finished[ui]) >= beam_size or not new_live:
-                utt_done[ui] = True
-                continue
-            any_live = True
-            for row, (hyp, flat) in enumerate(zip(new_live, new_parents)):
-                parents[ui * h + row] = flat
-                new_scores[ui * h + row] = hyp.score
-        if not any_live:
-            break
+        # replay the device's selection rule to rebuild token lists
+        for s in range(n_steps):
+            sel_scores, sel_flat, sel_tok, sel_psi = arr[s]
+            for ui in range(n_utt):
+                if utt_done[ui]:
+                    continue
+                new_live: List[JointHypothesis] = []
+                for ci in range(2 * h):
+                    score = float(sel_scores[ui, ci])
+                    if not np.isfinite(score):
+                        continue  # dead-parent candidate (masked on device)
+                    flat = int(sel_flat[ui, ci])
+                    parent_row = flat // k_pre
+                    if parent_row >= len(live[ui]):
+                        continue
+                    tok = int(sel_tok[ui, ci])
+                    hyp = live[ui][parent_row]
+                    new = JointHypothesis(
+                        hyp.tokens + [tok], score,
+                        ctc_score=float(sel_psi[ui, ci]),
+                    )
+                    if tok == eos:
+                        finished[ui].append(new)
+                    else:
+                        new_live.append(new)
+                    if len(new_live) >= h:
+                        break
+                live[ui] = new_live
+                if len(finished[ui]) >= beam_size or not new_live:
+                    utt_done[ui] = True
+        step += n_steps
 
     results: List[List[JointHypothesis]] = []
     for ui in range(n_utt):

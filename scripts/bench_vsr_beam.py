@@ -96,6 +96,7 @@ def main():
     ap.add_argument("--max_len", type=int, default=40)
     ap.add_argument("--utts", type=int, default=8,
                     help="lockstep batch width for the device beam")
+    ap.add_argument("--chunk_steps", type=int, default=8)
     ap.add_argument("--host_beam", action="store_true",
                     help="also time the host-driven per-utterance beam")
     args = ap.parse_args()
@@ -172,6 +173,7 @@ def main():
             dec_params, dec_cfg, memories, ctc_lps,
             sos=vocab - 1, eos=vocab - 1, beam_size=args.beam,
             weights={"decoder": 0.9, "ctc": 0.1}, max_len=args.max_len,
+            chunk_steps=args.chunk_steps,
         )
 
     out = run_batched()  # compile warm
