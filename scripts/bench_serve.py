@@ -76,17 +76,25 @@ def main():
                 max_new_tokens=cap, temperature=0.2, top_k=1,
             )
             jax.block_until_ready(toks)
-            el = time.perf_counter() - t0
-            lat.extend([el] * len(chunk))
-        return time.perf_counter() - t_all, lat
+            now = time.perf_counter()
+            # end-to-end latency: all requests arrive at t_all, so a
+            # request completes when ITS batch does (incl. earlier
+            # batches) — same submit->done accounting the continuous
+            # batcher reports
+            lat.extend([now - t_all] * len(chunk))
+            dec.extend([now - t0] * len(chunk))
+        return time.perf_counter() - t_all, lat, dec
 
-    wall, lat = lockstep()  # compile warmup
-    wall, lat = lockstep()
+    dec = []
+    wall, lat, dec = lockstep()  # compile warmup
+    dec = []
+    wall, lat, dec = lockstep()
     print(
         f"A. lockstep batch={SLOTS} (batch cap = max member budget): "
-        f"{wall:.2f}s total, {N_REQ/wall:.2f} utt/s, latency p50 "
+        f"{wall:.2f}s total, {N_REQ/wall:.2f} utt/s, end-to-end p50 "
         f"{np.percentile(lat,50)*1e3:.0f} ms p90 "
-        f"{np.percentile(lat,90)*1e3:.0f} ms"
+        f"{np.percentile(lat,90)*1e3:.0f} ms, decode-only p50 "
+        f"{np.percentile(dec,50)*1e3:.0f} ms"
     )
 
     # ---- B. continuous batching + speculation, per-request budgets ----
@@ -99,11 +107,13 @@ def main():
     recs = batcher.serve(prompts)
     wall_c = time.perf_counter() - t0
     lat_c = [r["latency_s"] for r in recs]
+    dec_c = [r["decode_s"] for r in recs]
     print(
         f"B. continuous slots={SLOTS} draft=8 chunk=16: {wall_c:.2f}s "
-        f"total, {N_REQ/wall_c:.2f} utt/s, latency p50 "
+        f"total, {N_REQ/wall_c:.2f} utt/s, end-to-end p50 "
         f"{np.percentile(lat_c,50)*1e3:.0f} ms p90 "
-        f"{np.percentile(lat_c,90)*1e3:.0f} ms | x{wall/wall_c:.2f} throughput"
+        f"{np.percentile(lat_c,90)*1e3:.0f} ms, in-slot decode p50 "
+        f"{np.percentile(dec_c,50)*1e3:.0f} ms | x{wall/wall_c:.2f} throughput"
     )
 
 
