@@ -197,7 +197,7 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     rng = np.random.default_rng(cfg.get("seed", 0) + shard_index)
     occ_type = cfg.get("occ_type", "pixelate")
     dump_every = int(cfg.get("dump_every", 25))
-    decode_batch = int(cfg.get("decode_batch", 8))
+    decode_batch = int(cfg.get("decode_batch", 16))
     beam_kwargs = dict(
         beam_size=int(cfg.get("beam_size", 40)),
         ctc_weight=float(cfg.get("ctc_weight", 0.1)),
