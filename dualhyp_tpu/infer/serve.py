@@ -88,10 +88,13 @@ class ContinuousBatcher:
             extent = 1
             for a in axes:
                 extent *= mesh.shape[a]
-            assert slots % max(extent, 1) == 0, (
-                f"slots ({slots}) must divide the data x fsdp extent "
-                f"({extent}) for sharded serving"
-            )
+            extent = max(extent, 1)
+            if slots % extent != 0:
+                # round the pool up so the data x fsdp extent divides it
+                # (an assert here broke default --slots on 3/6-device
+                # meshes); extra slots just idle until the queue fills
+                slots = -(-slots // extent) * extent
+                self.slots = slots
             self._row_sharding = NamedSharding(mesh, P(axes))
             # cache leaves are (L, B, G, S, D): batch is axis 1
             self._cache_sharding = NamedSharding(mesh, P(None, axes))

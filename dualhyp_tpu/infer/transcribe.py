@@ -151,6 +151,7 @@ def decode_window_with_fallback(
     initial_prompt_tokens: Sequence[int] = (),
     enc_cfg=None,
     seed: int = 0,
+    seed_salt: int = 0,
 ) -> Tuple[WindowResult, callable]:
     """Temperature-escalating decode of one encoded window
     (ref: data/whisper/transcribe.py:157-195). Returns (result, detok)."""
@@ -192,7 +193,7 @@ def decode_window_with_fallback(
         )
 
     result = None
-    for t in temperatures:
+    for t_idx, t in enumerate(temperatures):
         if t == 0:
             hyps = device_beam_search(
                 dec_params, dec_cfg, features, prefix, **beam_kwargs
@@ -209,7 +210,10 @@ def decode_window_with_fallback(
                 suppress_blank_ids=beam_kwargs["suppress_blank_ids"],
                 timestamp_rules=ts_rules,
                 length_penalty=length_penalty,
-                rng=np.random.default_rng(seed),
+                # distinct stream per (window, fallback temperature) so
+                # retries are not gumbel-correlated (the fork's generator
+                # advances between decodes)
+                rng=np.random.default_rng([seed, seed_salt, t_idx]),
             )
         while len(hyps) < beam_size:  # degenerate tiny-vocab edge
             hyps.append(hyps[-1])
@@ -390,7 +394,7 @@ def transcribe(
             max_new_tokens=max_new_tokens, language=language,
             patience=patience, length_penalty=length_penalty,
             initial_prompt_tokens=initial_prompt_tokens,
-            enc_cfg=enc_cfg, seed=seed,
+            enc_cfg=enc_cfg, seed=seed, seed_salt=seek,
         )
         return result, detok, features
 

@@ -200,8 +200,20 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 # ---------------------------------------------------------------------------
 
 def _aligned(t):
-    return t >= 128 and t % 128 == 0 and t % min(_BLOCK_Q, t) == 0 and \
-        t % min(_BLOCK_KV, t) == 0
+    return t >= 128 and t % 128 == 0
+
+
+def _pick_block(t, cap):
+    """Largest multiple of 128 that divides t, capped at the configured
+    block — so t=768/1280/... run the kernel with a shrunk block instead
+    of silently falling back to XLA attention."""
+    best = 128
+    b = 256
+    while b <= min(cap, t):
+        if t % b == 0:
+            best = b
+        b += 128
+    return best
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -237,8 +249,8 @@ def _forward(q, k, v, scale):
 
         return _causal_attention_xla(q, k, v, scale), None
 
-    block_q_seq = min(_BLOCK_Q, t)
-    block_kv = min(_BLOCK_KV, t)
+    block_q_seq = _pick_block(t, _BLOCK_Q)
+    block_kv = _pick_block(t, _BLOCK_KV)
     n_q_blocks = t // block_q_seq
     block_q_rows = q_per_kv * block_q_seq
     row_spec, scalar_spec, kv_spec = _specs(q_per_kv, block_q_seq, t, d)
@@ -280,8 +292,8 @@ def _bwd_rule(scale, residuals, g_out):
     b, hq, t, d = q.shape
     g_heads = k.shape[1]
     q_per_kv = hq // g_heads
-    block_q_seq = min(_BLOCK_Q, t)
-    block_kv = min(_BLOCK_KV, t)
+    block_q_seq = _pick_block(t, _BLOCK_Q)
+    block_kv = _pick_block(t, _BLOCK_KV)
     n_q_blocks = t // block_q_seq
     block_q_rows = q_per_kv * block_q_seq
     s = scale if scale is not None else 1.0 / math.sqrt(d)
