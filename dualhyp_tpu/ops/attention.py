@@ -58,15 +58,16 @@ def _causal_attention_xla(q, k, v, scale):
 def causal_attention(q, k, v, scale: float | None = None):
     """q: (B, Hq, T, D); k, v: (B, G, T, D) with G = n_query_groups.
 
-    pallas backend: DUALHYP_ATTN_IMPL selects 'splash' (default, library
-    fused-VJP kernel) or 'own' (our first-party fwd+bwd kernels,
-    ops/pallas/flash_vjp.py)."""
+    pallas backend: DUALHYP_ATTN_IMPL selects 'own' (default since round
+    4: our first-party fwd + merged-bwd kernels, ops/pallas/flash_vjp.py,
+    14,461 vs 13,766 tok/s over splash on the headline train step) or
+    'splash' (the library fused-VJP kernel)."""
     import os
 
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend.get_backend() == "pallas":
-        if os.environ.get("DUALHYP_ATTN_IMPL") == "own":
+        if os.environ.get("DUALHYP_ATTN_IMPL", "own") == "own":
             from dualhyp_tpu.ops.pallas import flash_vjp
 
             return flash_vjp.flash_attention(q, k, v, scale)

@@ -9,9 +9,14 @@ the (T, T) matrix:
     P     = exp(QK^T * scale - L)
     dV   += P^T dO
     dS    = P * (dO V^T - Delta)
-    dQ   += dS K * scale        (dq kernel: grid over q blocks)
-    dK   += dS^T Q * scale      (dkv kernel: grid over kv x q blocks,
-                                 accumulating in VMEM scratch)
+    dQ   += dS K * scale
+    dK   += dS^T Q * scale
+
+Round 4: the backward is ONE merged kernel (grid over q blocks, full-T
+K/V resident in VMEM) emitting dq, dk and dv from a single computation
+of s/p/ds per block pair — the earlier split dq/dkv kernels recomputed
+those matmuls twice (7 vs 5 matmuls per pair) and cost XLA a second
+custom-call scheduling boundary.
 
 GQA layout: the queries of one KV group are processed as a row-stacked
 (q_per_kv * block_q_seq, d) tile so K/V gradients from every query head in
@@ -21,10 +26,11 @@ j*bq:(j+1)*bq] is contiguous, so the old host-side pack/unpack transposes
 (extra HBM round trips + an XLA fusion barrier around the custom-call) are
 gone; the row-merge happens as a free in-VMEM reshape.
 
-Causal block skipping on both sides of the backward: irrelevant q/kv block
-pairs are predicated out with pl.when, and the dkv kernel's q-side index
-map CLAMPS skipped iterations to the first relevant block so Mosaic sees an
-unchanged index and skips the DMA too.
+Causal block skipping: each (q, kv) block pair of the backward is wrapped
+in pl.when, so pairs entirely above the diagonal skip their loads and
+matmuls; the kv loop is a static unroll so the dk/dv scratch accumulation
+stores stay at static offsets (traced dynamic stores are a Mosaic
+lowering gap).
 
 Gradient parity vs the XLA attention is tested in tests/test_pallas.py;
 runs compiled on TPU and interpreted on CPU.
@@ -112,82 +118,75 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, block_kv, t_kv,
 # backward kernels
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-               block_kv, t_kv, q_per_kv, block_q_rows, scale):
-    qblk = pl.program_id(2)
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dq_ref, dk_ref, dv_ref, acc_dq, acc_dk, acc_dv, *,
+                block_kv, t_kv, q_per_kv, block_q_rows, scale, n_q_blocks):
+    """Merged backward: ONE kernel produces dq, dk and dv.
+
+    Grid (b, g, q_blk) with q_blk innermost ("arbitrary"): each step
+    streams this q block against every causally-relevant kv block of the
+    VMEM-resident full-length K/V, computing s/p/ds ONCE per block pair
+    and emitting all three gradient contributions from it — the split
+    dq/dkv kernels each recomputed s, p and dp, so the merge drops the
+    backward from 7 to 5 matmuls per block pair besides removing the
+    second custom-call XLA had to schedule around. dq writes out per
+    step; dk/dv accumulate in full-length f32 scratch across the q steps
+    of one (b, g) and write out on the last.
+    """
+    j = pl.program_id(2)
     d = q_ref.shape[-1]
-    q = _rows(q_ref).astype(jnp.float32) * scale
-    do = _rows(do_ref).astype(jnp.float32)
-    lse = _rows(lse_ref).astype(jnp.float32)      # (rows, 1)
-    delta = _rows(delta_ref).astype(jnp.float32)  # (rows, 1)
-    rows_per_head = block_q_rows // q_per_kv
-    q_pos = _q_positions(qblk, block_q_rows, rows_per_head)
-    n_kv_blocks = t_kv // block_kv
-
-    def body(i, dq_acc):
-        k = k_ref[0, 0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        kv_pos = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        s = jnp.where(kv_pos <= q_pos, s, _NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        return dq_acc + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-    last_q = qblk * rows_per_head + rows_per_head - 1
-    n_relevant = jnp.minimum(last_q // block_kv + 1, n_kv_blocks)
-    dq = jax.lax.fori_loop(0, n_relevant,
-                           body, jnp.zeros((block_q_rows, d), jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype).reshape(
-        q_per_kv, rows_per_head, d
-    )
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, acc_dk, acc_dv, *, block_q_rows,
-                q_per_kv, block_kv, scale, n_q_blocks):
-    """Grid (b, g, kv_blk, q_blk): the innermost q_blk dimension accumulates
-    this kv block's gradients in VMEM scratch; the final step writes out."""
-    kvblk = pl.program_id(2)
-    j = pl.program_id(3)
 
     @pl.when(j == 0)
     def _init():
         acc_dk[:] = jnp.zeros_like(acc_dk)
         acc_dv[:] = jnp.zeros_like(acc_dv)
 
+    q = _rows(q_ref).astype(jnp.float32) * scale
+    do = _rows(do_ref).astype(jnp.float32)
+    lse = _rows(lse_ref).astype(jnp.float32)      # (rows, 1)
+    delta = _rows(delta_ref).astype(jnp.float32)  # (rows, 1)
     rows_per_head = block_q_rows // q_per_kv
-    kv_start = kvblk * block_kv
-    # causal: this q block contributes iff its last position >= kv_start
-    relevant = (j + 1) * rows_per_head - 1 >= kv_start
+    q_pos = _q_positions(j, block_q_rows, rows_per_head)
+    last_q = (j + 1) * rows_per_head - 1
+    n_kv_blocks = t_kv // block_kv
 
-    @pl.when(relevant)
-    def _accumulate():
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        q = _rows(q_ref).astype(jnp.float32) * scale
-        do = _rows(do_ref).astype(jnp.float32)
-        lse = _rows(lse_ref).astype(jnp.float32)
-        delta = _rows(delta_ref).astype(jnp.float32)
-        q_pos = _q_positions(j, block_q_rows, rows_per_head)
-        kv_pos = kv_start + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_kv), 1
-        )
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = jnp.where(kv_pos <= q_pos, s, _NEG_INF)
-        p = jnp.exp(s - lse)
-        acc_dv[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
-        acc_dk[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_dq[:] = jnp.zeros_like(acc_dq)
+    # static unroll over kv blocks: scratch stores stay at static offsets
+    # (traced dynamic stores are a Mosaic lowering gap); the whole block
+    # pair — loads, matmuls and stores — sits under pl.when so causally
+    # irrelevant pairs are fully skipped, like the split kernels did
+    for i in range(n_kv_blocks):
+        kv_start = i * block_kv
+
+        @pl.when(last_q >= kv_start)
+        def _pair(i=i, kv_start=kv_start):
+            k = k_ref[0, 0, kv_start:kv_start + block_kv, :].astype(
+                jnp.float32)
+            v = v_ref[0, 0, kv_start:kv_start + block_kv, :].astype(
+                jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            kv_pos = kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_kv), 1
+            )
+            s = jnp.where(kv_pos <= q_pos, s, _NEG_INF)
+            p = jnp.exp(s - lse)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            acc_dq[:] += jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_dv[i * block_kv:(i + 1) * block_kv] += jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_dk[i * block_kv:(i + 1) * block_kv] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    dq_ref[0] = (acc_dq[:] * scale).astype(dq_ref.dtype).reshape(
+        q_per_kv, rows_per_head, d
+    )
 
     @pl.when(j == n_q_blocks - 1)
     def _write():
@@ -304,55 +303,29 @@ def _bwd_rule(scale, residuals, g_out):
     )
     row_spec, scalar_spec, kv_spec = _specs(q_per_kv, block_q_seq, t, d)
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, block_kv=block_kv, t_kv=t,
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, block_kv=block_kv, t_kv=t,
                           q_per_kv=q_per_kv, block_q_rows=block_q_rows,
-                          scale=s),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(b, g_heads, n_q_blocks),
-        in_specs=[row_spec, kv_spec, kv_spec, row_spec, scalar_spec,
-                  scalar_spec],
-        out_specs=row_spec,
-        interpret=common.interpret_mode(),
-    )(q, k, v, g_out, lse, delta)
-
-    n_kv_blocks = t // block_kv
-    # 4-D grid specs: q-side blocks indexed by the innermost dim. The
-    # index map CLAMPS causally-irrelevant iterations (q block entirely
-    # before this kv block) to the first relevant q block, so Mosaic sees
-    # an unchanged block index and skips the DMA — the kernel's pl.when
-    # (keyed on the RAW program id) still skips the compute. Halves the
-    # dkv kernel's q/do traffic under the causal mask.
-    def q_index(bb, gg, kk, qq):
-        first = (kk * block_kv) // block_q_seq
-        return (bb, gg, jnp.maximum(qq, first), 0)
-
-    qrow4 = pl.BlockSpec((1, q_per_kv, block_q_seq, d), q_index,
-                         memory_space=pltpu.VMEM)
-    qscal4 = pl.BlockSpec((1, q_per_kv, block_q_seq, 1), q_index,
-                          memory_space=pltpu.VMEM)
-    kv4 = pl.BlockSpec((1, 1, block_kv, d),
-                       lambda bb, gg, kk, qq: (bb, gg, kk, 0),
-                       memory_space=pltpu.VMEM)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, block_q_rows=block_q_rows,
-                          q_per_kv=q_per_kv, block_kv=block_kv, scale=s,
-                          n_q_blocks=n_q_blocks),
+                          scale=s, n_q_blocks=n_q_blocks),
         out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(b, g_heads, n_kv_blocks, n_q_blocks),
-        in_specs=[qrow4, kv4, kv4, qrow4, qscal4, qscal4],
-        out_specs=(kv4, kv4),
+        grid=(b, g_heads, n_q_blocks),
+        in_specs=[row_spec, kv_spec, kv_spec, row_spec, scalar_spec,
+                  scalar_spec],
+        # dk/dv use the full-length kv spec (index map constant in the
+        # q-block dim): the out buffer stays resident across the q steps
+        # and writes back to HBM once per (b, g)
+        out_specs=(row_spec, kv_spec, kv_spec),
         scratch_shapes=[
-            pltpu.VMEM((block_kv, d), jnp.float32),
-            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_q_rows, d), jnp.float32),
+            pltpu.VMEM((t, d), jnp.float32),
+            pltpu.VMEM((t, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=common.interpret_mode(),
     )(q, k, v, g_out, lse, delta)
