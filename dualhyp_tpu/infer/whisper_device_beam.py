@@ -1,21 +1,29 @@
-"""Device-side Whisper beam search step.
+"""Device-side Whisper beam search with chunked host sync.
 
-The round-1 `CachedWhisperStepper` was python-bound: token-by-token python
-prefill, a host dict rebuild per step, and — worst — it pulled the whole
-self-attention KV cache to host to reorder beam rows. This module keeps the
-entire per-step compute on device in ONE jitted call:
+Round 1 kept the whole beam on host (python prefill, cache pulled to host
+to reorder rows). Round 2 moved the per-step compute on device but still
+crossed (beam, beam+1) candidate scalars to host EVERY token — through
+the tunneled TPU that round-trip (~30-60 ms) dominated the ~110 ms/step.
+Round 4 applies the recipe that took the VSR joint beam from 2.8 s to
+126 ms/utt (infer/joint_device_beam.py): the BeamSearchDecoder update
+rule itself — candidate ranking, eos retirement, beam refill
+(ref: data/whisper/decoding.py:338-441) — runs ON DEVICE inside a
+lax.scan over `chunk_steps` tokens, and the host syncs once per chunk,
+replaying the identical deterministic rule over the returned
+(n_steps, 3, U, 2*beam) scalar pack to rebuild token lists.
 
-    gather parent cache rows -> cached decoder step -> logit rules
-    (blank / suppress / timestamp) -> log_softmax -> per-row top(beam+1)
+Per scan step, everything stays on device: gather parent cache rows ->
+cached decoder step -> logit rules (blank / suppress / timestamp) ->
+log_softmax -> per-row top(beam+1) -> per-utterance top(2*beam) ->
+eos-retire/refill selection -> state scatter. The timestamp rules
+(ref: decoding.py:482-547) need three per-row scalars that are
+data-dependent on token history; they are carried ON DEVICE as O(1)
+state (last/penultimate was-timestamp, last emitted timestamp) updated
+incrementally at each selection instead of recomputed on host.
 
-Only (beam, beam+1) candidate scores/ids cross to host per step; the host
-does the reference-exact candidate ranking (BeamSearchDecoder.update,
-ref: data/whisper/decoding.py:338-441) on those few scalars. The KV cache
-never leaves HBM and is donated through the jit so it updates in place.
-
-Timestamp rules (ref: decoding.py:482-547) are data-dependent on token
-history; the host passes three tiny per-row scalars (last/penultimate
-was-timestamp, last-timestamp bound) and the rest vectorises on device.
+The self-attention KV cache never leaves HBM, stores at the decoder
+params' dtype (bf16 in production — halves the parents-gather traffic;
+f32 under tests so parity stays exact), and is donated through the jit.
 
 Token-for-token parity with `beam_search_nbest` + the vendored
 DecodingTask is asserted in tests/test_whisper_decoding_rules.py.
@@ -23,7 +31,7 @@ DecodingTask is asserted in tests/test_whisper_decoding_rules.py.
 
 from __future__ import annotations
 
-import functools
+from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -32,73 +40,191 @@ import numpy as np
 
 from dualhyp_tpu.infer.beam_search import BeamHypothesis, TimestampRules
 
+_NEG = jnp.float32(-jnp.inf)
 
-def _build_step(dec_params, dec_cfg, *, n_vocab, suppress_ids, blank_ids,
-                ts_rules: Optional[TimestampRules], k_top):
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dec_cfg", "n_utt", "beam", "k_top", "sel_k", "n_steps",
+        "sample_begin", "eos", "max_cand", "use_ts", "tb", "eot",
+        "max_init_idx", "use_suppress", "use_blank", "use_ts_static",
+    ),
+    donate_argnums=(2,),
+)
+def _beam_chunk(
+    dec_params,
+    cross,
+    state,          # (tokens, scores, cache, lt, pt, has, stamp, live, fin)
+    suppress_mask,  # (V,) f32 additive (zeros when unused)
+    blank_mask,     # (V,) f32 additive
+    ts_static_mask, # (V,) f32 additive (<|notimestamps|> suppression)
+    pos0,           # traced: decoder position of this chunk's first step
+    *,
+    dec_cfg,
+    n_utt,
+    beam,
+    k_top,
+    sel_k,
+    n_steps,
+    sample_begin,
+    eos,
+    max_cand,
+    use_ts,
+    tb,
+    eot,
+    max_init_idx,
+    use_suppress,
+    use_blank,
+    use_ts_static,
+):
+    """`n_steps` lockstep beam steps with DEVICE-side candidate selection
+    (the reference BeamSearchDecoder.update rule), ONE host transfer per
+    chunk. The host replays the identical rule over the returned pack.
+
+    dec_params is a jit ARGUMENT — closing over it would bake the full
+    decoder (1.8 GB for large-v3) into the HLO as constants."""
     from dualhyp_tpu.models import whisper as w
 
-    neg = jnp.float32(-jnp.inf)
-    suppress_mask = None
-    if suppress_ids:
-        m = np.zeros((n_vocab,), np.float32)
-        m[list(suppress_ids)] = -np.inf
-        suppress_mask = jnp.asarray(m)
-    blank_mask = None
-    if blank_ids:
-        m = np.zeros((n_vocab,), np.float32)
-        m[list(blank_ids)] = -np.inf
-        blank_mask = jnp.asarray(m)
-    ts_static = None
-    if ts_rules is not None and ts_rules.no_timestamps is not None:
-        m = np.zeros((n_vocab,), np.float32)
-        m[ts_rules.no_timestamps] = -np.inf
-        ts_static = jnp.asarray(m)
+    n_vocab = dec_cfg.n_vocab
+    rows = n_utt * beam
+    u_of_row = jnp.arange(rows) // beam
+    row_in_u = jnp.arange(rows) % beam
+    iota = jnp.arange(n_vocab)
 
-    # dec_params is a jit ARGUMENT - closing over it would bake the full
-    # decoder (1.8 GB for large-v3) into the HLO as constants
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def _step(params, last_tokens, parents, cache, cross, pos, is_first,
-              last_was_ts, pen_was_ts, ts_last):
-        cache = {k: v[:, parents] for k, v in cache.items()}
+    def one(carry, s):
+        (tokens, scores, cache, lt, pt, has, stamp,
+         live_count, fin_count) = carry
+        pos = pos0 + s
+        is_first = pos == sample_begin - 1
+        done_prev = (fin_count >= max_cand) | (live_count <= 0)
+
+        last_tokens = jax.lax.dynamic_index_in_dim(
+            tokens, pos, axis=1, keepdims=False
+        )
         logits, cache = w.decode_step_cached(
-            params, dec_cfg, last_tokens, pos, cache, cross
+            dec_params, dec_cfg, last_tokens, pos, cache, cross
         )
         logits = logits.astype(jnp.float32)
-        if blank_mask is not None:
+        if use_blank:
             logits = jnp.where(is_first, logits + blank_mask, logits)
-        if suppress_mask is not None:
+        if use_suppress:
             logits = logits + suppress_mask
-        if ts_rules is not None:
-            tb, eot = ts_rules.timestamp_begin, ts_rules.eot
-            if ts_static is not None:
-                logits = logits + ts_static
-            iota = jnp.arange(n_vocab)
+        if use_ts:
+            if use_ts_static:
+                logits = logits + ts_static_mask
+            # effective last-timestamp bound from the carried O(1) state
+            # (== host ts_scalars: stamps[-1] if last-and-not-penultimate
+            # else stamps[-1]+1; timestamp_begin when no stamp yet)
+            tl = jnp.where(
+                has, jnp.where(lt & ~pt, stamp, stamp + 1), tb
+            )
             is_ts = (iota >= tb)[None]
-            lt = last_was_ts[:, None]
-            pt = pen_was_ts[:, None]
-            mask = lt & pt & is_ts
-            mask |= lt & ~pt & (iota < eot)[None]
-            mask |= is_ts & (iota < ts_last[:, None])
+            mask = (lt & pt)[:, None] & is_ts
+            mask |= (lt & ~pt)[:, None] & (iota < eot)[None]
+            mask |= is_ts & (iota < tl[:, None])
             first_mask = (iota < tb)[None]
-            if ts_rules.max_initial_timestamp_index is not None:
-                first_mask = first_mask | (
-                    iota > tb + ts_rules.max_initial_timestamp_index
-                )[None]
+            if max_init_idx is not None:
+                first_mask = first_mask | (iota > tb + max_init_idx)[None]
             mask |= is_first & first_mask
-            logits = jnp.where(mask, neg, logits)
+            logits = jnp.where(mask, _NEG, logits)
             lp = jax.nn.log_softmax(logits, axis=-1)
             ts_lp = jax.nn.logsumexp(lp[:, tb:], axis=-1)
             max_text = lp[:, :tb].max(axis=-1)
             force = (ts_lp > max_text)[:, None] & (iota < tb)[None]
-            logits = jnp.where(force, neg, logits)
+            logits = jnp.where(force, _NEG, logits)
         logprobs = jax.nn.log_softmax(logits, axis=-1)
-        scores, ids = jax.lax.top_k(logprobs, k_top)
-        return scores, ids, cache
+        cand_scores, cand = jax.lax.top_k(logprobs, k_top)  # (R, k_top)
 
-    def step(*args):
-        return _step(dec_params, *args)
+        # ---- BeamSearchDecoder.update on device ----
+        total = scores[:, None] + cand_scores
+        row_live = row_in_u < live_count[u_of_row]
+        total = jnp.where(row_live[:, None], total, _NEG)
+        flat = total.reshape(n_utt, beam * k_top)
+        sel_scores, sel_flat = jax.lax.top_k(flat, sel_k)  # sorted desc
+        sel_tok = jnp.take_along_axis(
+            cand.reshape(n_utt, beam * k_top), sel_flat, axis=1
+        )
+        valid = jnp.isfinite(sel_scores)
+        eosm = (sel_tok == eos) & valid
+        live_c = valid & ~eosm
+        l_inc = jnp.cumsum(live_c.astype(jnp.int32), axis=1)
+        keep_live = live_c & (l_inc <= beam)
+        live_before = l_inc - live_c.astype(jnp.int32)
+        # eos candidates ranked before the beam-th live survivor retire
+        # to `finished` (ref: decoding.py:368-388)
+        keep_eos = eosm & (live_before < beam)
 
-    return step
+        uu = jnp.arange(n_utt)[:, None]
+        dst = jnp.where(keep_live, l_inc - 1, beam)  # beam == dropped
+        new_parent = jnp.zeros((n_utt, beam), jnp.int32).at[uu, dst].set(
+            sel_flat // k_top, mode="drop")
+        new_tok = jnp.zeros((n_utt, beam), jnp.int32).at[uu, dst].set(
+            sel_tok, mode="drop")
+        new_scores = jnp.full((n_utt, beam), -jnp.inf, jnp.float32).at[
+            uu, dst].set(sel_scores, mode="drop")
+
+        live_count = jnp.where(
+            done_prev, live_count, jnp.minimum(l_inc[:, -1], beam)
+        )
+        fin_count = jnp.where(
+            done_prev, fin_count, fin_count + keep_eos.sum(axis=1)
+        )
+
+        # ---- apply the selection ----
+        gparent = u_of_row * beam + new_parent.reshape(-1)
+        tokf = new_tok.reshape(-1)
+        tokens = tokens[gparent]
+        # masked write beats a vmapped dynamic_update (per-row loop)
+        col = jnp.arange(tokens.shape[1])[None, :]
+        tokens = jnp.where(col == pos + 1, tokf[:, None], tokens)
+        cache = {k: v[:, gparent] for k, v in cache.items()}
+        scores = new_scores.reshape(-1)
+        if use_ts:
+            new_lt = tokf >= tb
+            # penultimate-is-timestamp after append: True when the new
+            # sampled length is 1, else the parent's last-is-timestamp
+            new_pt = jnp.logical_or(is_first, lt[gparent])
+            new_has = has[gparent] | new_lt
+            new_stamp = jnp.where(new_lt, tokf, stamp[gparent])
+            lt, pt, has, stamp = new_lt, new_pt, new_has, new_stamp
+
+        ys = jnp.stack([
+            sel_scores,
+            sel_flat.astype(jnp.float32),
+            sel_tok.astype(jnp.float32),
+        ])
+        carry = (tokens, scores, cache, lt, pt, has, stamp,
+                 live_count, fin_count)
+        return carry, ys
+
+    carry, ys = jax.lax.scan(one, state, jnp.arange(n_steps))
+    live_count, fin_count = carry[-2], carry[-1]
+    return carry, live_count, fin_count, ys
+
+
+@partial(jax.jit, static_argnames=("dec_cfg",), donate_argnums=(3,))
+def _prefill(dec_params, cross, prefix_arr, cache, *, dec_cfg):
+    """Walk the shared sot sequence (positions 0..len(prefix_arr)-1) for
+    every row in one jitted scan; the first chunk step consumes the LAST
+    prefix token, so this stops one short of it."""
+    from dualhyp_tpu.models import whisper as w
+
+    rows = cache["k"].shape[1]
+
+    def body(cache, inp):
+        t, tok = inp
+        _, cache = w.decode_step_cached(
+            dec_params, dec_cfg, jnp.full((rows,), tok, jnp.int32), t,
+            cache, cross,
+        )
+        return cache, None
+
+    n = prefix_arr.shape[0]
+    cache, _ = jax.lax.scan(
+        body, cache, (jnp.arange(n), prefix_arr)
+    )
+    return cache
 
 
 def device_beam_search(
@@ -115,14 +241,14 @@ def device_beam_search(
     timestamp_rules: Optional[TimestampRules] = None,
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
-    cache_dtype=jnp.float32,
+    cache_dtype=None,
+    chunk_steps: int = 8,
 ) -> List[BeamHypothesis]:
-    """Whisper DecodingTask beam search with the per-step compute on device.
+    """Whisper DecodingTask beam search with the per-step compute AND the
+    candidate selection on device.
 
     Semantics identical to `beam_search_nbest` driven by a cached stepper
     (and therefore to the reference DecodingTask)."""
-    import jax.numpy as _jnp
-
     feats = features
     if feats.ndim == 2:
         feats = feats[None]
@@ -132,6 +258,7 @@ def device_beam_search(
         suppress_tokens=suppress_tokens, suppress_blank_ids=suppress_blank_ids,
         timestamp_rules=timestamp_rules, patience=patience,
         length_penalty=length_penalty, cache_dtype=cache_dtype,
+        chunk_steps=chunk_steps,
     )[0]
 
 
@@ -149,17 +276,19 @@ def device_beam_search_batch(
     timestamp_rules: Optional[TimestampRules] = None,
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
-    cache_dtype=jnp.float32,
+    cache_dtype=None,
+    chunk_steps: int = 8,
 ) -> List[List[BeamHypothesis]]:
-    """Beam search over U utterances at once: one (U x beam_size)-row
-    device step per token amortises the per-step host round-trip (the
-    dominant cost on tunneled TPUs) and fills the MXU better than
-    beam_size-row steps. Utterances advance in lockstep; finished ones
-    keep dead rows until all complete.
+    """Beam search over U utterances at once: (U x beam_size)-row device
+    steps amortise per-step work and fill the MXU; the host syncs once
+    per `chunk_steps` tokens and replays the device's selection rule from
+    the returned scalar pack. Utterances advance in lockstep; finished
+    ones keep dead rows until all complete.
 
     features: (U, S, n_state) encoder outputs (shared prefix — one
     DecodingOptions per run, like the reference's batched DecodingTask,
     ref: data/whisper/decoding.py:568-580, 719-747).
+    cache_dtype: KV cache dtype; defaults to the decoder params' dtype.
     Returns one List[BeamHypothesis] per utterance, each sorted by
     `ranking_score` (sum-logprob / length**length_penalty)."""
     from dualhyp_tpu.models import whisper as w
@@ -169,140 +298,112 @@ def device_beam_search_batch(
     sample_begin = len(prefix)
     max_candidates = int(round(beam_size * (patience or 1.0)))
     assert max_candidates > 0, f"invalid beam_size/patience: {beam_size}/{patience}"
+    n_vocab = dec_cfg.n_vocab
+    k_top = min(beam_size + 1, n_vocab)
+    sel_k = min(2 * beam_size, beam_size * k_top)
+    if cache_dtype is None:
+        cache_dtype = jax.tree_util.tree_leaves(dec_params)[0].dtype
 
     # (L, U, S, n_state) memory KV: rows map to utterance row // beam_size
     # inside decode_step_cached's grouped cross-attention path
     cross = w.precompute_cross_kv(dec_params, dec_cfg, features)
-    cache = w.init_self_cache(
-        dec_cfg, rows, sample_begin + max_new_tokens, dtype=cache_dtype
+    t_buf = sample_begin + max_new_tokens
+    cache = w.init_self_cache(dec_cfg, rows, t_buf, dtype=cache_dtype)
+
+    def vocab_mask(ids):
+        m = np.zeros((n_vocab,), np.float32)
+        if ids:
+            m[list(ids)] = -np.inf
+        return jnp.asarray(m)
+
+    use_suppress = bool(suppress_tokens)
+    use_blank = bool(suppress_blank_ids)
+    use_ts = timestamp_rules is not None
+    use_ts_static = use_ts and timestamp_rules.no_timestamps is not None
+    suppress_mask = vocab_mask(suppress_tokens if use_suppress else None)
+    blank_mask = vocab_mask(suppress_blank_ids if use_blank else None)
+    ts_static_mask = vocab_mask(
+        [timestamp_rules.no_timestamps] if use_ts_static else None
     )
-    step = _build_step(
-        dec_params, dec_cfg,
-        n_vocab=dec_cfg.n_vocab,
-        suppress_ids=suppress_tokens,
-        blank_ids=suppress_blank_ids,
-        ts_rules=timestamp_rules,
-        k_top=min(beam_size + 1, dec_cfg.n_vocab),
+    tb = timestamp_rules.timestamp_begin if use_ts else 0
+    eot = timestamp_rules.eot if use_ts else eos_id
+    max_init_idx = (
+        timestamp_rules.max_initial_timestamp_index if use_ts else None
     )
 
-    identity = jnp.arange(rows, dtype=jnp.int32)
-    no_ts = np.zeros((rows,), bool)
-    tb0 = np.full(
-        (rows,),
-        timestamp_rules.timestamp_begin if timestamp_rules else 0,
-        np.int32,
-    )
-
-    # prefill: all rows walk the shared sot sequence; the LAST prefill call
-    # also produces the first sampled step's candidates
-    for t in range(sample_begin):
-        scores_d, ids_d, cache = step(
-            jnp.full((rows,), prefix[t], jnp.int32),
-            identity,
-            cache,
-            cross,
-            jnp.int32(t),
-            jnp.bool_(t == sample_begin - 1),
-            jnp.asarray(no_ts),
-            jnp.asarray(no_ts),
-            jnp.asarray(tb0),
+    if sample_begin > 1:
+        cache = _prefill(
+            dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32), cache,
+            dec_cfg=dec_cfg,
         )
 
-    # host-side per-utterance beam state (reference BeamSearchDecoder.update)
-    live = [
-        [
-            {"tokens": list(prefix), "score": 0.0, "alive": i == 0,
-             "parent": u * beam_size}
-            for i in range(beam_size)
-        ]
-        for u in range(n_utt)
-    ]
+    tokens0 = np.zeros((rows, t_buf), np.int32)
+    tokens0[:, :sample_begin] = prefix
+    state = (
+        jnp.asarray(tokens0),
+        # only row 0 of each utterance is live at the first selection
+        jnp.zeros((rows,), jnp.float32),
+        cache,
+        jnp.zeros((rows,), bool),   # last sampled token is a timestamp
+        jnp.ones((rows,), bool),    # penultimate is a timestamp (len<2)
+        jnp.zeros((rows,), bool),   # any timestamp sampled yet
+        jnp.zeros((rows,), jnp.int32),  # last sampled timestamp token
+        jnp.ones((n_utt,), jnp.int32),  # live_count
+        jnp.zeros((n_utt,), jnp.int32),  # fin_count
+    )
+
+    chunk_kwargs = dict(
+        dec_cfg=dec_cfg, n_utt=n_utt, beam=beam_size, k_top=k_top,
+        sel_k=sel_k, sample_begin=sample_begin, eos=eos_id,
+        max_cand=max_candidates, use_ts=use_ts, tb=tb, eot=eot,
+        max_init_idx=max_init_idx, use_suppress=use_suppress,
+        use_blank=use_blank, use_ts_static=use_ts_static,
+    )
+
+    # host-side mirrors, rebuilt by replaying the device rule
+    live: List[List[tuple]] = [[(list(prefix), 0.0)] for _ in range(n_utt)]
     finished: List[dict] = [{} for _ in range(n_utt)]
     utt_done = [False] * n_utt
 
-    def ts_scalars():
-        lt, pt, tl = [], [], []
-        tb = timestamp_rules.timestamp_begin if timestamp_rules else 0
-        for hyps in live:
-            for h in hyps:
-                seq = h["tokens"][sample_begin:]
-                last = len(seq) >= 1 and seq[-1] >= tb
-                pen = len(seq) < 2 or seq[-2] >= tb
-                stamps = [t for t in seq if t >= tb]
-                if stamps:
-                    eff = stamps[-1] if (last and not pen) else stamps[-1] + 1
-                else:
-                    eff = tb
-                lt.append(last and timestamp_rules is not None)
-                pt.append(pen)
-                tl.append(eff)
-        return (np.asarray(lt), np.asarray(pt), np.asarray(tl, np.int32))
+    step_done = 0
+    while step_done < max_new_tokens and not all(utt_done):
+        n_steps = min(chunk_steps, max_new_tokens - step_done)
+        state, live_d, fin_d, ys = _beam_chunk(
+            dec_params, cross, state, suppress_mask, blank_mask,
+            ts_static_mask, jnp.int32(sample_begin - 1 + step_done),
+            n_steps=n_steps, **chunk_kwargs,
+        )
+        arr = np.asarray(ys)  # ONE host sync per chunk of n_steps tokens
 
-    for step_idx in range(max_new_tokens):
-        scores = np.asarray(scores_d)
-        ids = np.asarray(ids_d)
-
-        for u in range(n_utt):
-            if utt_done[u]:
-                continue
-            # rank ALL candidates together; dict keyed by sequence collapses
-            # duplicates from identical rows (ref: decoding.py:368-379)
-            pool: dict = {}
-            for i, h in enumerate(live[u]):
-                if not h["alive"]:
+        # replay the device's selection rule to rebuild token lists
+        # (same inputs, same deterministic rule — host and device stay
+        # in lockstep; ref: decoding.py:338-441)
+        for s in range(n_steps):
+            sel_scores, sel_flat, sel_tok = arr[s]
+            for u in range(n_utt):
+                if utt_done[u]:
                     continue
-                row = u * beam_size + i
-                for sc, tok in zip(scores[row], ids[row]):
-                    seq = tuple(h["tokens"]) + (int(tok),)
-                    if seq not in pool:
-                        pool[seq] = (h["score"] + float(sc), row)
-            ordered = sorted(pool.items(), key=lambda kv: -kv[1][0])
-
-            new_live = []
-            newly_finished = []
-            for seq, (score, row) in ordered:
-                if seq[-1] == eos_id:
-                    newly_finished.append((seq[:-1], score))
-                else:
-                    new_live.append({"tokens": list(seq), "score": score,
-                                     "alive": True, "parent": row})
-                    if len(new_live) == beam_size:
-                        break
-            for seq, score in newly_finished:
-                if len(finished[u]) >= max_candidates:
-                    break
-                finished[u].setdefault(seq, score)
-
-            # pad to beam_size rows (tiny vocabs); padded rows are dead
-            while len(new_live) < beam_size:
-                proto = new_live[0] if new_live else {
-                    "tokens": list(prefix) + [0], "score": -np.inf,
-                    "parent": u * beam_size,
-                }
-                new_live.append({**proto, "tokens": list(proto["tokens"]),
-                                 "alive": False})
-            live[u] = new_live
-            if len(finished[u]) >= max_candidates or not any(
-                h["alive"] for h in live[u]
-            ):
-                utt_done[u] = True
-
-        if all(utt_done) or step_idx == max_new_tokens - 1:
-            break
-
-        parents = jnp.asarray(
-            [h["parent"] for hyps in live for h in hyps], jnp.int32
-        )
-        last_tokens = jnp.asarray(
-            [h["tokens"][-1] for hyps in live for h in hyps], jnp.int32
-        )
-        lt, pt, tl = ts_scalars()
-        scores_d, ids_d, cache = step(
-            last_tokens, parents, cache, cross,
-            jnp.int32(sample_begin + step_idx),
-            jnp.bool_(False),
-            jnp.asarray(lt), jnp.asarray(pt), jnp.asarray(tl),
-        )
+                new_live: List[tuple] = []
+                for ci in range(sel_k):
+                    score = float(sel_scores[u, ci])
+                    if not np.isfinite(score):
+                        continue  # dead-row candidate (masked on device)
+                    parent = int(sel_flat[u, ci]) // k_top
+                    if parent >= len(live[u]):
+                        continue
+                    tok = int(sel_tok[u, ci])
+                    seq = live[u][parent][0] + [tok]
+                    if tok == eos_id:
+                        if len(finished[u]) < max_candidates:
+                            finished[u].setdefault(tuple(seq[:-1]), score)
+                    else:
+                        new_live.append((seq, score))
+                        if len(new_live) == beam_size:
+                            break
+                live[u] = new_live
+                if len(finished[u]) >= max_candidates or not new_live:
+                    utt_done[u] = True
+        step_done += n_steps
 
     out: List[List[BeamHypothesis]] = []
     for u in range(n_utt):
@@ -311,12 +412,8 @@ def device_beam_search_batch(
             for seq, score in finished[u].items()
         ]
         if len(results) < beam_size:
-            for h in sorted(
-                (h for h in live[u] if h["alive"]), key=lambda h: -h["score"]
-            ):
-                results.append(
-                    BeamHypothesis(list(h["tokens"]), h["score"], sample_begin)
-                )
+            for toks, sc in sorted(live[u], key=lambda x: -x[1]):
+                results.append(BeamHypothesis(list(toks), sc, sample_begin))
                 if len(results) >= beam_size:
                     break
         results.sort(key=lambda h: -h.ranking_score(length_penalty))
