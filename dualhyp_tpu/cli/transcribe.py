@@ -40,6 +40,14 @@ def build_parser():
     parser.add_argument("--logprob_threshold", type=float, default=-1.0)
     parser.add_argument("--no_speech_threshold", type=float, default=0.6)
     parser.add_argument("--initial_prompt", default=None)
+    parser.add_argument(
+        "--condition_on_previous_text",
+        type=lambda s: s.lower() not in ("false", "0", "no"),
+        default=True,
+        help="roll each window's decoded tokens into the next window's "
+             "prompt per hypothesis stream (ref: data/whisper/"
+             "transcribe.py:48,490)",
+    )
     parser.add_argument("--word_timestamps", action="store_true")
     parser.add_argument("--max_new_tokens", type=int, default=224)
     return parser
@@ -73,6 +81,7 @@ def main(argv=None):
             compression_ratio_threshold=args.compression_ratio_threshold,
             logprob_threshold=args.logprob_threshold,
             no_speech_threshold=args.no_speech_threshold,
+            condition_on_previous_text=args.condition_on_previous_text,
             initial_prompt=args.initial_prompt,
             max_new_tokens=args.max_new_tokens,
             patience=args.patience, length_penalty=args.length_penalty,

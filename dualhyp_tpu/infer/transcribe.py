@@ -23,6 +23,17 @@ Re-implements the reference fork's `transcribe()` semantics
   * deviation: the fork's empty-segment clearing loop reads a stale
     `segment` variable after the first window (transcribe.py:442-443, an
     upstream bug); here every segment of the current window is cleared.
+  * `condition_on_previous_text` (default True like the fork's flag,
+    transcribe.py:48): each window's decoded tokens roll into the next
+    window's `<|startofprev|>` prompt PER HYPOTHESIS STREAM, with the
+    prompt reset after a temperature>0.5 fallback (upstream whisper's
+    `all_tokens[prompt_reset_since:]` protocol). NOTE the fork's
+    per-hypothesis refactor severed its own rolling feed — its
+    `all_tokens` is only ever extended with the initial prompt
+    (transcribe.py:204-209) and `prompt_reset_since` is never advanced,
+    so the fork's EXECUTED behavior equals `condition_on_previous_text=
+    False` here (static initial_prompt replayed into every window). We
+    implement the intended/upstream semantics and keep the flag.
 
 Word timestamps (`word_timestamps=True`) run the DTW alignment of
 `infer/whisper_timing.py` per decoded window — capability the fork
@@ -323,6 +334,7 @@ def transcribe(
     compression_ratio_threshold: Optional[float] = 2.4,
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
     initial_prompt: Optional[str] = None,
     max_new_tokens: int = 224,
     patience: Optional[float] = None,
@@ -382,7 +394,7 @@ def transcribe(
     ts_begin = ts_begin_id if ts_begin_id >= 0 else None
     no_ts = _token_id(tokenizer, "<|notimestamps|>")
 
-    def decode_window(seek):
+    def decode_window(seek, prompt_tokens):
         mel_segment = w.pad_or_trim(mel[:, seek:seek + N_FRAMES], N_FRAMES)
         features = w.encode(enc_params, enc_cfg, jnp.asarray(mel_segment[None]))
         result, detok = decode_window_with_fallback(
@@ -393,7 +405,7 @@ def transcribe(
             no_speech_threshold=no_speech_threshold,
             max_new_tokens=max_new_tokens, language=language,
             patience=patience, length_penalty=length_penalty,
-            initial_prompt_tokens=initial_prompt_tokens,
+            initial_prompt_tokens=prompt_tokens,
             enc_cfg=enc_cfg, seed=seed, seed_salt=seek,
         )
         return result, detok, features
@@ -463,12 +475,33 @@ def transcribe(
     segments_per_hyp: List[List[dict]] = [[] for _ in range(n_hyps)]
     tokens_per_hyp: List[List[int]] = [[] for _ in range(n_hyps)]
     last_ts_per_hyp = [0.0] * n_hyps
+    # rolling per-hypothesis prompt conditioning (upstream whisper's
+    # all_tokens[prompt_reset_since:] protocol; the fork declares it at
+    # transcribe.py:48 but its refactor never extends all_tokens)
+    all_tokens_per_hyp = [list(initial_prompt_tokens) for _ in range(n_hyps)]
+    prompt_reset_per_hyp = [0] * n_hyps
+
+    def window_prompt(j):
+        if condition_on_previous_text:
+            return all_tokens_per_hyp[j][prompt_reset_per_hyp[j]:]
+        # flag off == the fork's executed behavior: the static initial
+        # prompt replays into every window
+        return initial_prompt_tokens
+
+    def roll_prompt(j, segs, result):
+        all_tokens_per_hyp[j].extend(
+            t for seg in segs for t in seg["tokens"]
+        )
+        if result.temperature > 0.5:
+            # unreliable window: don't condition the next one on it
+            # (upstream transcribe's prompt_reset_since advance)
+            prompt_reset_per_hyp[j] = len(all_tokens_per_hyp[j])
 
     # first window decoded once, consumed by every hypothesis stream
     # (ref: transcribe.py:230-344)
     seeks = [0] * n_hyps
     if content_frames > 0:
-        first, detok, first_features = decode_window(0)
+        first, detok, first_features = decode_window(0, initial_prompt_tokens)
         segment_size0 = min(N_FRAMES, content_frames)
         if should_skip(first):
             seeks = [segment_size0] * n_hyps
@@ -491,13 +524,14 @@ def transcribe(
                 tokens_per_hyp[j].extend(
                     t for seg in segs for t in seg["tokens"]
                 )
+                roll_prompt(j, segs, first)
                 seeks[j] += inc
 
     # per-hypothesis sliding windows (ref: transcribe.py:346-449)
     for j in range(n_hyps):
         seek = seeks[j]
         while seek < content_frames:
-            result, detok, features = decode_window(seek)
+            result, detok, features = decode_window(seek, window_prompt(j))
             segment_size = min(N_FRAMES, content_frames - seek)
             if should_skip(result):
                 seek += segment_size
@@ -516,6 +550,7 @@ def transcribe(
             clear_degenerate(segs)
             segments_per_hyp[j].extend(segs)
             tokens_per_hyp[j].extend(t for seg in segs for t in seg["tokens"])
+            roll_prompt(j, segs, result)
             seek += max(inc, 1)  # guard: a zero advance would loop forever
 
     detok_final = lambda toks: tokenizer.decode(

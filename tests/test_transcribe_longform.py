@@ -283,3 +283,99 @@ def test_find_alignment_monotonic_times(rng):
     assert starts == sorted(starts)
     for t in timings:
         assert t.start <= t.end
+
+
+# ---------------------------------------------------------------------------
+# condition_on_previous_text: rolling per-hypothesis prompt
+# ---------------------------------------------------------------------------
+
+def _fake_fallback(calls, temps_by_call):
+    """Stand-in decode_window_with_fallback: records the prompt each window
+    receives and returns deterministic per-call hypotheses, so the rolling
+    all_tokens[prompt_reset_since:] protocol is observable exactly."""
+    from dualhyp_tpu.infer.beam_search import BeamHypothesis
+
+    def fake(features, decoder, tokenizer, *, initial_prompt_tokens=(),
+             temperatures=(0.0,), **kw):
+        k = len(calls) + 1
+        calls.append(list(initial_prompt_tokens))
+        prefix = [60, 61, 62]
+        hyps = [
+            BeamHypothesis(prefix + [10 + k, 20 + k], -1.0, len(prefix)),
+            BeamHypothesis(prefix + [30 + k, 40 + k], -2.0, len(prefix)),
+        ]
+        result = tr.WindowResult(
+            hyps=hyps, sample_begin=len(prefix), avg_logprob=-0.1,
+            no_speech_prob=0.0, compression_ratio=1.0,
+            temperature=temps_by_call.get(k, 0.0),
+        )
+        return result, lambda toks: " ".join(f"w{t}" for t in toks)
+
+    return fake
+
+
+def _run_conditioned(monkeypatch, *, condition, temps_by_call=None,
+                     initial_prompt=None, tokenizer=None):
+    encoder, decoder = _tiny_whisper()
+    calls = []
+    monkeypatch.setattr(
+        tr, "decode_window_with_fallback",
+        _fake_fallback(calls, temps_by_call or {}),
+    )
+    audio = np.zeros(75 * 16000, np.float32)  # 3 windows of content
+    tr.transcribe(
+        audio, encoder, decoder, tokenizer or FakeTok(),
+        beam_size=2, temperature=0.0, max_new_tokens=4,
+        no_speech_threshold=None,
+        condition_on_previous_text=condition,
+        initial_prompt=initial_prompt,
+    )
+    return calls
+
+
+def test_condition_on_previous_text_rolls_tokens(monkeypatch):
+    """Each window's decoded tokens feed the next window's prompt, per
+    hypothesis stream (ref: data/whisper/transcribe.py:48,237,357 — the
+    upstream all_tokens[prompt_reset_since:] protocol the fork declares)."""
+    calls = _run_conditioned(monkeypatch, condition=True)
+    # call 1: shared first window; calls 2-3: hyp0 stream; 4-5: hyp1
+    assert len(calls) == 5
+    assert calls[0] == []
+    assert calls[1] == [11, 21]                    # hyp0's window-1 tokens
+    assert calls[2] == [11, 21, 12, 22]            # + hyp0's window-2 tokens
+    assert calls[3] == [31, 41]                    # hyp1's OWN stream
+    assert calls[4] == [31, 41, 34, 44]
+
+
+def test_condition_off_replays_static_prompt(monkeypatch):
+    """Flag off == the fork's EXECUTED behavior (its refactor never extends
+    all_tokens, transcribe.py:204-209): the initial prompt replays into
+    every window unchanged."""
+    calls = _run_conditioned(monkeypatch, condition=False)
+    assert calls == [[]] * 5
+
+
+def test_condition_resets_after_high_temperature_fallback(monkeypatch):
+    """A window decoded at temperature > 0.5 does not condition the next
+    one (upstream prompt_reset_since advance after an unreliable window)."""
+    calls = _run_conditioned(monkeypatch, condition=True,
+                             temps_by_call={2: 0.8})
+    assert calls[1] == [11, 21]
+    assert calls[2] == []                # reset: window 2 fell back hot
+    assert calls[3] == [31, 41]          # other stream unaffected
+    assert calls[4] == [31, 41, 34, 44]
+
+
+def test_condition_includes_initial_prompt(monkeypatch):
+    """The initial prompt seeds all_tokens, so the rolling prompt is
+    initial + decoded (upstream transcribe.py all_tokens seeding)."""
+
+    class PromptTok(FakeTok):
+        def encode(self, text, add_special_tokens=False):
+            return [7, 8]
+
+    calls = _run_conditioned(monkeypatch, condition=True,
+                             initial_prompt="hi", tokenizer=PromptTok())
+    assert calls[0] == [7, 8]
+    assert calls[1] == [7, 8, 11, 21]
+    assert calls[2] == [7, 8, 11, 21, 12, 22]
