@@ -121,6 +121,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
             decode_batch=decode_batch, max_new_tokens=max_new_tokens,
             compute_dtype=compute_dtype, collect_latency=collect_latency,
             draft_len=draft_len, mesh=mesh,
+            draft_source="anchored" if speculative == "anchored" else "lookup",
         )
 
     batch_spec = None
@@ -236,7 +237,8 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
 
 def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
                               decode_batch, max_new_tokens, compute_dtype,
-                              collect_latency, draft_len, mesh=None):
+                              collect_latency, draft_len, mesh=None,
+                              draft_source="lookup"):
     """Continuous-batching evaluator: same records/metrics as the lockstep
     path, but finished sequences hand their slot to the next prompt
     immediately (per-request latency, no straggler wait). mesh: the slot
@@ -253,12 +255,26 @@ def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
         params, model_cfg, slots=decode_batch,
         max_new_tokens=max_new_tokens, draft_len=draft_len,
         eos_id=eos_id, compute_dtype=compute_dtype, mesh=mesh,
+        draft_source=draft_source,
     )
+
+    def hyp_ids(ex):
+        """Best-hypothesis tokens for the anchored draft pointer."""
+        if draft_source != "anchored":
+            return None
+        best = _best_hypothesis_text(ex, dataset)
+        if not best:
+            return None
+        try:
+            return tokenizer.encode(best, add_special_tokens=False)
+        except TypeError:
+            return tokenizer.encode(best)
+
     # same truncation budget as the lockstep path (prompt + budget must
     # fit the context; submit() rejects over-length prompts)
     budget = model_cfg.block_size - max_new_tokens
     requests = [
-        (i, list(ex.input_ids_no_response)[:budget])
+        (i, list(ex.input_ids_no_response)[:budget], None, hyp_ids(ex))
         for i, ex in enumerate(examples)
     ]
     served = batcher.serve(requests)

@@ -46,6 +46,14 @@ def build_parser():
     parser.add_argument("--max_new_tokens", type=int, default=150)
     parser.add_argument("--draft_len", type=int, default=8)
     parser.add_argument("--chunk_steps", type=int, default=8)
+    parser.add_argument("--draft_source", choices=["lookup", "anchored"],
+                        default="anchored",
+                        help="speculative draft source: 'anchored' follows "
+                             "the request's best ASR hypothesis span "
+                             "(nhyps_asr[0], or pass 'hypothesis' "
+                             "explicitly) with a monotonic pointer — "
+                             "higher acceptance on corrections; 'lookup' "
+                             "is whole-buffer suffix n-grams")
     parser.add_argument("--quantize", choices=[None, "int8", "int4"],
                         default=None)
     common.add_model_args(parser)
@@ -101,7 +109,18 @@ class Server:
             ids = self.tokenizer.encode(prompt_text)
             self.conn_of[rid] = conn
             self.prompt_of[rid] = prompt_text
-            self.batcher.submit(rid, ids, req.get("max_new"))
+            hyp = req.get("hypothesis")
+            if hyp is None and req.get("nhyps_asr"):
+                hyp = req["nhyps_asr"][0]
+            if isinstance(hyp, str):
+                try:  # BOS/etc would break the span match in the prompt
+                    hyp_ids = self.tokenizer.encode(
+                        hyp, add_special_tokens=False)
+                except TypeError:
+                    hyp_ids = self.tokenizer.encode(hyp)
+            else:
+                hyp_ids = hyp
+            self.batcher.submit(rid, ids, req.get("max_new"), hyp_ids)
         except Exception as exc:
             self._send(conn, {"error": f"{type(exc).__name__}: {exc}",
                               "line": line[:200]})
@@ -214,7 +233,7 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, draft_len=args.draft_len,
         chunk_steps=args.chunk_steps,
         eos_id=getattr(tokenizer, "eos_token_id", None),
-        mesh=mesh,
+        mesh=mesh, draft_source=args.draft_source,
     )
     Server(batcher, tokenizer).run(args.host, args.port)
 

@@ -135,3 +135,35 @@ def test_serve_per_request_budgets():
     for rec in records:
         assert rec["tokens"] == want[rec["id"]], rec["id"]
         assert len(rec["tokens"]) - rec["prompt_len"] <= caps[rec["id"]]
+
+
+def test_serve_anchored_matches_generate():
+    """draft_source='anchored': outputs stay token-identical to greedy
+    generate() whether or not a hypothesis span is submitted (the span
+    only changes draft acceptance, never the emitted tokens)."""
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(7))
+    rng = np.random.default_rng(4)
+
+    max_new = 8
+    requests = []
+    for i in range(8):  # > slots: refill paths scatter spans too
+        n = int(rng.integers(6, 14))
+        prompt = rng.integers(1, cfg.vocab_size, n).tolist()
+        # half the requests carry a "hypothesis" = a mid-prompt span
+        # (present verbatim, like the GER prompt packing); half none
+        hyp = prompt[2 : 2 + n // 2] if i % 2 == 0 else None
+        requests.append((f"r{i}", prompt, max_new, hyp))
+
+    want = _reference_outputs(
+        params, cfg, [(r, p) for r, p, _, _ in requests], max_new, None
+    )
+
+    batcher = ContinuousBatcher(
+        params, cfg, slots=3, max_new_tokens=max_new, draft_len=4,
+        chunk_steps=2, compute_dtype=jnp.float32, draft_source="anchored",
+    )
+    records = batcher.serve(requests)
+    assert len(records) == len(requests)
+    for rec in records:
+        assert rec["tokens"] == want[rec["id"]], rec["id"]
