@@ -26,9 +26,11 @@ from pathlib import Path
 import numpy as np
 
 
-def load_whisper(checkpoint_dir, n_mels=128):
+def load_whisper(checkpoint_dir, n_mels=128, need_tokenizer=True):
     """HF whisper safetensors -> (encoder params+cfg, decoder params+cfg,
-    tokenizer)."""
+    tokenizer). need_tokenizer=False skips the tokenizer load (encoder-only
+    consumers, e.g. cli/precompute_features on a weights-only checkpoint)
+    and returns None in its slot."""
     import jax.numpy as jnp
     from safetensors import numpy as st_np
     from transformers import WhisperTokenizer
@@ -59,8 +61,34 @@ def load_whisper(checkpoint_dir, n_mels=128):
 
     enc = jax.tree_util.tree_map(jnp.asarray, w.convert_hf_whisper_encoder(tensors, enc_cfg))
     dec = jax.tree_util.tree_map(jnp.asarray, w.convert_hf_whisper_decoder(tensors, dec_cfg))
-    tokenizer = WhisperTokenizer.from_pretrained(checkpoint_dir)
+    tokenizer = (
+        WhisperTokenizer.from_pretrained(checkpoint_dir)
+        if need_tokenizer else None
+    )
     return (enc, enc_cfg), (dec, dec_cfg), tokenizer
+
+
+_ENCODE_JITS: dict = {}
+
+
+def _encode_features(enc_params, enc_cfg, mels):
+    """Jitted whisper-encoder forward, cached per (cfg, dtype).
+
+    Eager per-op dispatch of the 32-layer encoder costs more than the
+    compute itself on a tunneled chip; computing in the params' dtype
+    keeps bf16 checkpoints on the MXU fast path while fp32 test params
+    keep the fp32 default of `models.whisper.encode`."""
+    import jax
+
+    from dualhyp_tpu.models import whisper as w
+
+    dtype = jax.tree_util.tree_leaves(enc_params)[0].dtype
+    key = (enc_cfg, str(dtype))
+    if key not in _ENCODE_JITS:
+        _ENCODE_JITS[key] = jax.jit(
+            lambda p, m: w.encode(p, enc_cfg, m, compute_dtype=dtype)
+        )
+    return _ENCODE_JITS[key](enc_params, mels)
 
 
 class CachedWhisperStepper:
@@ -251,7 +279,7 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
     enc_params, enc_cfg = encoder
     dec_params, dec_cfg = decoder
 
-    features = w.encode(enc_params, enc_cfg, jnp.asarray(mels))
+    features = _encode_features(enc_params, enc_cfg, jnp.asarray(mels))
     prefix, beam_kwargs, eot, ts_rules = _beam_setup(
         tokenizer, enc_cfg, beam_size=beam_size,
         max_new_tokens=max_new_tokens, language=language,
@@ -293,7 +321,7 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
     enc_params, enc_cfg = encoder
     dec_params, dec_cfg = decoder
 
-    features = w.encode(enc_params, enc_cfg, jnp.asarray(mel[None]))
+    features = _encode_features(enc_params, enc_cfg, jnp.asarray(mel[None]))
 
     prefix, beam_kwargs, eot, ts_rules = _beam_setup(
         tokenizer, enc_cfg, beam_size=beam_size,
@@ -421,6 +449,8 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         patience=cfg.get("patience"),
         length_penalty=cfg.get("length_penalty"),
         without_timestamps=bool(cfg.get("without_timestamps", False)),
+        # DecodingOptions.sample_len (ref: data/whisper/decoding.py:97)
+        max_new_tokens=int(cfg.get("max_new_tokens", 224)),
     )
 
     def emit(uid, wav_path, caption, corr, texts, scores):

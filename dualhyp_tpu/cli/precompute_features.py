@@ -34,6 +34,11 @@ def main(argv=None):
     parser.add_argument("--raven_checkpoint", default=None,
                         help="npz with frontend/encoder trees (see models/raven)")
     parser.add_argument("--raven_dim", type=int, default=1024)
+    parser.add_argument("--raven_config", default=None,
+                        help="JSON dict of RavenEncoderConfig field "
+                             "overrides (default: BRAVEn-large); lets "
+                             "small/random-weight encoders run the same "
+                             "path")
     parser.add_argument("--occ_type", default=None,
                         help="override Noise_Category for occlusion replay")
     parser.add_argument("--shard_index", type=int, default=0)
@@ -49,7 +54,9 @@ def main(argv=None):
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (enc_params, enc_cfg), _, _ = load_whisper(args.whisper_checkpoint)
+    (enc_params, enc_cfg), _, _ = load_whisper(
+        args.whisper_checkpoint, need_tokenizer=False
+    )
     encode_audio = jax.jit(lambda mel: w.encode(enc_params, enc_cfg, mel))
 
     raven = None
@@ -58,7 +65,13 @@ def main(argv=None):
         from dualhyp_tpu.models import raven as raven_mod
 
         weights = load_params(args.raven_checkpoint)
-        r_cfg = raven_mod.BRAVEN_LARGE
+        if args.raven_config:
+            import dataclasses
+            r_cfg = dataclasses.replace(
+                raven_mod.BRAVEN_LARGE, **json.loads(args.raven_config)
+            )
+        else:
+            r_cfg = raven_mod.BRAVEN_LARGE
         frontend = jax.tree_util.tree_map(jnp.asarray, weights["frontend"])
         r_enc = jax.tree_util.tree_map(jnp.asarray, weights["encoder"])
         raven = (frontend, r_enc, r_cfg)

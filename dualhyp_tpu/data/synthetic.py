@@ -93,6 +93,18 @@ def make_records(
                 },
                 "WER_1st-hyp": round(rng.random() * 0.4, 3),
             }
+            # overlay categories carry the occluder replay fields in the
+            # released JSONs (data/corruption._occluder_for_config reads
+            # occlude_img/occluder_size/start_pt_idx/offset)
+            vis_cat = rec["Noise_Category"][1]
+            if vis_cat in ("coco", "hands"):
+                rec["Visual_Corruption"].update(
+                    occlude_img=f"occluder_{rng.randint(0, 49):03d}.png",
+                    occluder_size=(96 if vis_cat == "hands"
+                                   else rng.randint(30, 59)),
+                    start_pt_idx=rng.randint(55, 67),
+                    offset=rng.randint(10, 29),
+                )
             records.append(rec)
     return records
 

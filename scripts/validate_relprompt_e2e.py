@@ -49,7 +49,11 @@ POOL = 2             # classifier_pool_size
 SEED = 11
 
 
-def write_checkpoint(ckpt_dir: Path, vocab):
+def write_checkpoint(ckpt_dir: Path, vocab, whisper_dim=None, raven_dim=None,
+                     pool=None):
+    whisper_dim = WHISPER_DIM if whisper_dim is None else whisper_dim
+    raven_dim = RAVEN_DIM if raven_dim is None else raven_dim
+    pool = POOL if pool is None else pool
     from tokenizers import Tokenizer as HFTok
     from tokenizers.models import WordLevel
     from tokenizers.pre_tokenizers import WhitespaceSplit
@@ -74,8 +78,8 @@ def write_checkpoint(ckpt_dir: Path, vocab):
         rotary_percentage=1.0, parallel_residual=False, bias=False,
         norm_class="RMSNorm", mlp_class="LLaMAMLP", intermediate_size=256,
         lora_r=0,
-        whisper_dim=WHISPER_DIM, raven_dim=RAVEN_DIM,
-        classifier_pool_size=POOL, classifier_hidden_dim=64,
+        whisper_dim=whisper_dim, raven_dim=raven_dim,
+        classifier_pool_size=pool, classifier_hidden_dim=64,
     )
     params = gpt.init(cfg, jax.random.key(0))
     save_params(ckpt_dir / "dualhyp_model.npz", params)
