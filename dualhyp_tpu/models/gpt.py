@@ -441,11 +441,32 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
     w2 = leaves["fc_2"]["weight"].astype(x.dtype).transpose(0, 2, 1)
     wp = leaves["proj"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,O,D)
     if impl == "megablox":
+        import os
+
         from jax.experimental.pallas.ops.tpu.megablox import gmm as _gmm
 
+        # round-3's 2.8x-slower megablox result came from
+        # preferred_element_type=f32: the kernel already accumulates in
+        # an f32 VMEM scratch regardless of output dtype (megablox
+        # gmm.py acc_scratch), so emitting f32 only doubled the HBM
+        # write traffic of the (tokens*k, intermediate) activations and
+        # added a full astype pass over them. Emit the compute dtype.
+        # Tiling: the (128,128,128) default underfills VMEM at MoE
+        # shapes; (512,1024,1024) capped to the problem dims matches the
+        # public maxtext recipe for v5e.
+        tile_env = os.environ.get("DUALHYP_GMM_TILING")
+        base_tile = (
+            tuple(int(v) for v in tile_env.split(","))
+            if tile_env else (512, 1024, 1024)
+        )
+
         def gdot(lhs, rhs, gs):
+            m, kd = lhs.shape
+            n = rhs.shape[-1]
+            tiling = (min(base_tile[0], m), min(base_tile[1], kd),
+                      min(base_tile[2], n))
             return _gmm(lhs, rhs.astype(lhs.dtype), gs,
-                        preferred_element_type=jnp.float32).astype(lhs.dtype)
+                        preferred_element_type=lhs.dtype, tiling=tiling)
     else:
         # precision=HIGHEST only for f32 operands: this environment
         # defaults matmuls to bf16 even for fp32 (CLAUDE.md), which would
