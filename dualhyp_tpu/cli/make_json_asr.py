@@ -441,7 +441,10 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     noise = corruption.load_wav(noise_path) if noise_path else None
     dump_every = int(cfg.get("dump_every", 50))
 
-    decode_batch = int(cfg.get("decode_batch", 1))
+    # 8 utterances per lockstep beam is the measured sweet spot at
+    # whisper-large-v3 beam 50 on v5e-1 (459 ms/utt, BENCH_NOTES);
+    # 16 OOMs HBM (the 32-layer KV stack at 800 beam rows needs ~23G).
+    decode_batch = int(cfg.get("decode_batch", 8))
     beam_opts = dict(
         beam_size=int(cfg.get("beam_size", 50)),
         n_best=int(cfg.get("n_best", 5)),
@@ -534,7 +537,8 @@ def main(argv=None):
     parser.add_argument("--num_shards", type=int, default=1)
     parser.add_argument("--decode_batch", type=int, default=None,
                         help="utterances decoded per lockstep batched beam "
-                             "(overrides the config; default 1 = unbatched)")
+                             "(overrides the config; default 8 — the v5e-1 "
+                             "HBM sweet spot at large-v3 beam 50)")
     args = parser.parse_args(argv)
     with open(args.config, encoding="utf-8") as fp:
         if args.config.endswith((".yaml", ".yml")):
