@@ -384,10 +384,13 @@ def transcribe_nbest(audio, encoder, decoder, tokenizer, *, n_best=5,
 
 
 def transcribe_nbest_batch(audios, encoder, decoder, tokenizer, *, n_best=5,
-                           normalizer=None, stepper="device", **opts):
+                           normalizer=None, stepper="device", mels=None,
+                           **opts):
     """U utterances -> list of (texts, scores), decoded in ONE lockstep
     batched beam (amortises the per-step host round-trip across
-    utterances). Per-utterance results identical to `transcribe_nbest`."""
+    utterances). Per-utterance results identical to `transcribe_nbest`.
+    `mels` short-circuits the host STFT when the caller already computed
+    the log-mel features (make_json's producer thread)."""
     import numpy as np_
 
     from dualhyp_tpu.infer.beam_search import nbest_texts
@@ -395,9 +398,10 @@ def transcribe_nbest_batch(audios, encoder, decoder, tokenizer, *, n_best=5,
 
     del stepper  # batched path is device-side only
     enc_cfg = encoder[1]
-    mels = np_.stack(
-        [w.log_mel_spectrogram(w.pad_or_trim(a), enc_cfg.n_mels) for a in audios]
-    )
+    if mels is None:
+        mels = [w.log_mel_spectrogram(w.pad_or_trim(a), enc_cfg.n_mels)
+                for a in audios]
+    mels = np_.stack(list(mels))
     all_hyps, prefix, detok = decode_beams_from_mels(
         mels, encoder, decoder, tokenizer, **opts
     )
@@ -484,9 +488,9 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             try:
                 results = transcribe_nbest_batch(
                     [p[3] for p in pending], encoder, decoder, tokenizer,
-                    **beam_opts,
+                    mels=[p[4] for p in pending], **beam_opts,
                 )
-                for (uid, wav_path, caption, _, corr), (texts, scores) in zip(
+                for (uid, wav_path, caption, _, _, corr), (texts, scores) in zip(
                     pending, results
                 ):
                     emit(uid, wav_path, caption, corr, texts, scores)
@@ -494,7 +498,7 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             except Exception as exc:
                 print(f"batched decode failed ({type(exc).__name__}: {exc}); "
                       f"retrying per utterance")
-        for uid, wav_path, caption, audio, corr in pending:
+        for uid, wav_path, caption, audio, _, corr in pending:
             try:
                 texts, scores = transcribe_nbest(
                     audio, encoder, decoder, tokenizer,
@@ -504,27 +508,43 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             except Exception as exc:  # per-sample skip (ref: :112-116)
                 print(f"skip {uid}: {type(exc).__name__}: {exc}")
 
-    pending = []
-    for idx, line in enumerate(lines):
-        uid, wav_path, caption = line.split("\t")
-        if uid in done_uids:
-            continue
-        try:
-            audio = corruption.load_wav(wav_path)
-            corr = corruption.sample_audio_corruption(len(audio), rng)
-            if noise is not None and cfg.get("corruption_enabled", True):
-                audio = corruption.add_audio_noise(audio, noise, corr)
-        except Exception as exc:  # per-sample skip (ref: :112-116)
-            print(f"skip {uid}: {type(exc).__name__}: {exc}")
-            continue
-        pending.append((uid, wav_path, caption, audio, corr))
-        if len(pending) >= decode_batch:
-            flush(pending)
-            pending = []
-            if (idx + 1) % dump_every < decode_batch:
-                with open(out_path, "w", encoding="utf-8") as fp:
-                    json.dump(records, fp, indent=1, ensure_ascii=False)
-    flush(pending)
+    from dualhyp_tpu.models import whisper as w
+    from dualhyp_tpu.utils.prefetch import prefetch
+
+    enc_cfg = encoder[1]
+
+    def batches():
+        """Host-side prep, in manifest line order (rng determinism)."""
+        pending = []
+        for idx, line in enumerate(lines):
+            uid, wav_path, caption = line.split("\t")
+            if uid in done_uids:
+                continue
+            try:
+                audio = corruption.load_wav(wav_path)
+                corr = corruption.sample_audio_corruption(len(audio), rng)
+                if noise is not None and cfg.get("corruption_enabled", True):
+                    audio = corruption.add_audio_noise(audio, noise, corr)
+                mel = w.log_mel_spectrogram(
+                    w.pad_or_trim(audio), enc_cfg.n_mels
+                )
+            except Exception as exc:  # per-sample skip (ref: :112-116)
+                print(f"skip {uid}: {type(exc).__name__}: {exc}")
+                continue
+            pending.append((uid, wav_path, caption, audio, mel, corr))
+            if len(pending) >= decode_batch:
+                yield idx, pending, True
+                pending = []
+        if pending:  # tail batch: no periodic dump (final dump follows)
+            yield len(lines) - 1, pending, False
+
+    # The producer thread preps batch N+1 (wav load + noise mix + 30-s
+    # STFT) while the device decodes batch N (utils/prefetch.py).
+    for idx, pending, may_dump in prefetch(batches()):
+        flush(pending)
+        if may_dump and (idx + 1) % dump_every < decode_batch:
+            with open(out_path, "w", encoding="utf-8") as fp:
+                json.dump(records, fp, indent=1, ensure_ascii=False)
     with open(out_path, "w", encoding="utf-8") as fp:
         json.dump(records, fp, indent=1, ensure_ascii=False)
     print(f"wrote {len(records)} records to {out_path}")

@@ -217,39 +217,56 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             except Exception as exc:
                 print(f"skip {uid}: {type(exc).__name__}: {exc}")
 
-    pending = []
-    for idx, line in enumerate(lines):
-        uid, wav_path, roi_path, caption = line.split("\t")
-        if uid in done:
-            continue
-        try:
-            audio = corruption.load_wav(wav_path)
-            prior = corr_by_uid.get(uid)
-            if prior and prior.get("Audio_Corruption") and prior.get("Noise_Wav"):
-                noise = corruption.load_wav(prior["Noise_Wav"])
-                audio = corruption.add_audio_noise(
-                    audio, noise, prior["Audio_Corruption"]
+    from dualhyp_tpu.utils.prefetch import prefetch
+
+    dump_every = int(cfg.get("dump_every", 25))
+
+    def batches():
+        """Host-side prep, in manifest line order (rng determinism)."""
+        pending = []
+        for idx, line in enumerate(lines):
+            uid, wav_path, roi_path, caption = line.split("\t")
+            if uid in done:
+                continue
+            try:
+                audio = corruption.load_wav(wav_path)
+                prior = corr_by_uid.get(uid)
+                if (prior and prior.get("Audio_Corruption")
+                        and prior.get("Noise_Wav")):
+                    noise = corruption.load_wav(prior["Noise_Wav"])
+                    audio = corruption.add_audio_noise(
+                        audio, noise, prior["Audio_Corruption"]
+                    )
+                video = load_mouthroi(roi_path)
+                corrupted, vcfg = corruption.occlude_sequence(
+                    video, occ_type, rng=rng, return_config=True
                 )
-            video = load_mouthroi(roi_path)
-            corrupted, vcfg = corruption.occlude_sequence(
-                video, occ_type, rng=rng, return_config=True
+                processed = corruption.eval_pipeline(
+                    corrupted.astype(np.float32)
+                )
+            except Exception as exc:
+                print(f"skip {uid}: {type(exc).__name__}: {exc}")
+                continue
+            pending.append(
+                (uid, wav_path, roi_path, caption, audio, processed, prior,
+                 vcfg)
             )
-            processed = corruption.eval_pipeline(corrupted.astype(np.float32))
-        except Exception as exc:
-            print(f"skip {uid}: {type(exc).__name__}: {exc}")
-            continue
-        pending.append(
-            (uid, wav_path, roi_path, caption, audio, processed, prior, vcfg)
-        )
-        if len(pending) >= decode_batch:
-            flush(pending)
-            pending = []
-        if (idx + 1) % int(cfg.get("dump_every", 25)) == 0:
-            flush(pending)
-            pending = []
+            if len(pending) >= decode_batch:
+                yield pending, False
+                pending = []
+            if (idx + 1) % dump_every == 0:
+                yield pending, True  # possibly partial/empty, then dump
+                pending = []
+        yield pending, False
+
+    # The producer thread preps batch N+1 (wav + video load, noise mix,
+    # occlusion replay, eval transforms) while the device decodes batch
+    # N (utils/prefetch.py); output order and rng draws are unchanged.
+    for pending, dump_now in prefetch(batches()):
+        flush(pending)
+        if dump_now:
             with open(out_path, "w", encoding="utf-8") as fp:
                 json.dump(records, fp, indent=1, ensure_ascii=False)
-    flush(pending)
     with open(out_path, "w", encoding="utf-8") as fp:
         json.dump(records, fp, indent=1, ensure_ascii=False)
     print(f"wrote {len(records)} records to {out_path}")

@@ -256,30 +256,43 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
             except Exception as exc:
                 print(f"skip {uid}: {type(exc).__name__}: {exc}")
 
-    pending = []
-    for idx, line in enumerate(lines):
-        uid, roi_path, caption = line.split("\t")
-        if uid in done:
-            continue
-        try:
-            video = load_mouthroi(roi_path)
-            corrupted, vcfg = corruption.occlude_sequence(
-                video, occ_type, rng=rng, return_config=True
-            )
-            processed = corruption.eval_pipeline(corrupted.astype(np.float32))
-        except Exception as exc:
-            print(f"skip {uid}: {type(exc).__name__}: {exc}")
-            continue
-        pending.append((uid, roi_path, caption, processed, vcfg))
-        if len(pending) >= decode_batch:
-            flush(pending)
-            pending = []
-        if (idx + 1) % dump_every == 0:
-            flush(pending)
-            pending = []
+    from dualhyp_tpu.utils.prefetch import prefetch
+
+    def batches():
+        """Host-side prep, in manifest line order (rng determinism)."""
+        pending = []
+        for idx, line in enumerate(lines):
+            uid, roi_path, caption = line.split("\t")
+            if uid in done:
+                continue
+            try:
+                video = load_mouthroi(roi_path)
+                corrupted, vcfg = corruption.occlude_sequence(
+                    video, occ_type, rng=rng, return_config=True
+                )
+                processed = corruption.eval_pipeline(
+                    corrupted.astype(np.float32)
+                )
+            except Exception as exc:
+                print(f"skip {uid}: {type(exc).__name__}: {exc}")
+                continue
+            pending.append((uid, roi_path, caption, processed, vcfg))
+            if len(pending) >= decode_batch:
+                yield pending, False
+                pending = []
+            if (idx + 1) % dump_every == 0:
+                yield pending, True  # possibly partial/empty, then dump
+                pending = []
+        yield pending, False
+
+    # The producer thread preps batch N+1 (video decode + occlusion
+    # replay + eval transforms) while the device decodes batch N
+    # (utils/prefetch.py); output order and rng draws are unchanged.
+    for pending, dump_now in prefetch(batches()):
+        flush(pending)
+        if dump_now:
             with open(out_path, "w", encoding="utf-8") as fp:
                 json.dump(records, fp, indent=1, ensure_ascii=False)
-    flush(pending)
     with open(out_path, "w", encoding="utf-8") as fp:
         json.dump(records, fp, indent=1, ensure_ascii=False)
     print(f"wrote {len(records)} records to {out_path}")
