@@ -294,7 +294,23 @@ def _joint_chunk(
         tokens = jnp.where(
             col == pos + 1, live_tok.reshape(-1)[:, None], tokens
         )
-        cache = {k: v[:, gparent] for k, v in cache.items()}
+        # cache re-parenting as a one-hot MXU contraction: a row gather
+        # (either axis order) lowers to R per-row DMA loops inside the
+        # scan (~9 us issue overhead x 640 rows = 5.8 ms/step profiled,
+        # plus carry copies) — the same disease the CTC candidate gather
+        # had. One-hot rows are exact in bf16, so values roundtrip.
+        perm = jax.nn.one_hot(gparent, r_cnt, dtype=jnp.bfloat16)
+
+        def permute_rows(v):
+            flat = v.reshape(r_cnt, -1)
+            out = jax.lax.dot_general(
+                perm.astype(v.dtype), flat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=v.dtype,
+            )
+            return out.reshape(v.shape)
+
+        cache = {k: permute_rows(v) for k, v in cache.items()}
         beam_scores = live_scores.reshape(-1)
         if use_ctc:
             ctc_scores = live_psi.reshape(-1)

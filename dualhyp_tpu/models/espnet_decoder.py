@@ -112,7 +112,14 @@ def init_self_cache(cfg: EspnetDecoderConfig, batch: int, max_len: int,
                     dtype=jnp.float32):
     h = cfg.attention_heads
     dk = cfg.attention_dim // h
-    shape = (cfg.num_blocks, batch, h, max_len, dk)
+    # ROWS LEADING: the device beams re-parent the cache every step
+    # (cache[k][gparent]); with rows on axis 0 each gathered row is one
+    # contiguous (L, H, T, dk) block, which XLA lowers to a flat DMA
+    # gather. The previous (L, R, ...) layout lowered the same gather to
+    # R per-row dynamic-update-slices + full-cache copies — measured
+    # ~14 of the 26.7 ms/step at BRAVEn beam-40 x16 utts
+    # (scripts/profile_vsr_beam.py).
+    shape = (batch, cfg.num_blocks, h, max_len, dk)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -121,11 +128,12 @@ def decode_step_cached(params: dict, cfg: EspnetDecoderConfig, tokens, pos,
                        pos_table, n_per_group: int = 1):
     """One decoder step for (R,) tokens at scalar position `pos`.
 
-    cache: self-attention K/V (L, R, H, T_max, dk), written at `pos`;
-    cross_kv: precomputed source K/V (L, U, H, S, dk) with R = U *
-    n_per_group rows grouped per utterance (beam rows share a memory);
-    memory_length: (U,) valid frames; pos_table: (T_max, adim) absolute
-    positional encodings. Returns (logits (R, V), cache).
+    cache: self-attention K/V (R, L, H, T_max, dk), written at `pos`
+    (rows leading — see init_self_cache); cross_kv: precomputed source
+    K/V (L, U, H, S, dk) with R = U * n_per_group rows grouped per
+    utterance (beam rows share a memory); memory_length: (U,) valid
+    frames; pos_table: (T_max, adim) absolute positional encodings.
+    Returns (logits (R, V), cache).
     Numerics match `decode_logits` at the same position (tested)."""
     r = tokens.shape[0]
     d = cfg.attention_dim
@@ -142,23 +150,26 @@ def decode_step_cached(params: dict, cfg: EspnetDecoderConfig, tokens, pos,
     x = x[:, None, :]  # (R, 1, D)
 
     scale = 1.0 / math.sqrt(dk)
-    new_cache_k, new_cache_v = [], []
+    cache_k, cache_v = cache["k"], cache["v"]
     for i in range(cfg.num_blocks):
         leaf = params["layers"][str(i)]
         # self attention: write this token's K/V at pos, attend <= pos
         n1 = _ln(leaf["norm1"], x)
         sa = leaf["self_attn"]
         q = _linear(sa["linear_q"], n1).reshape(r, h, 1, dk)
-        k_new = _linear(sa["linear_k"], n1).reshape(r, h, 1, dk)
-        v_new = _linear(sa["linear_v"], n1).reshape(r, h, 1, dk)
-        ck = jax.lax.dynamic_update_slice(
-            cache["k"][i], k_new.astype(cache["k"].dtype), (0, 0, pos, 0)
+        k_new = _linear(sa["linear_k"], n1).reshape(r, 1, h, 1, dk)
+        v_new = _linear(sa["linear_v"], n1).reshape(r, 1, h, 1, dk)
+        # in-place update of the full (R, L, H, T, dk) buffer — no
+        # per-layer slice + end-of-step stack (that stack was a full
+        # cache copy every step)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_new.astype(cache_k.dtype), (0, i, 0, pos, 0)
         )
-        cv = jax.lax.dynamic_update_slice(
-            cache["v"][i], v_new.astype(cache["v"].dtype), (0, 0, pos, 0)
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_new.astype(cache_v.dtype), (0, i, 0, pos, 0)
         )
-        new_cache_k.append(ck)
-        new_cache_v.append(cv)
+        ck = cache_k[:, i]
+        cv = cache_v[:, i]
         scores = einsum(
             "rhqd,rhtd->rhqt", q.astype(jnp.float32),
             ck.astype(jnp.float32),
@@ -194,7 +205,7 @@ def decode_step_cached(params: dict, cfg: EspnetDecoderConfig, tokens, pos,
 
     x = _ln(params["after_norm"], x)
     logits = _linear(params["output_layer"], x)[:, 0]
-    return logits, {"k": jnp.stack(new_cache_k), "v": jnp.stack(new_cache_v)}
+    return logits, {"k": cache_k, "v": cache_v}
 
 
 def convert_espnet_decoder(state: Dict[str, np.ndarray],
