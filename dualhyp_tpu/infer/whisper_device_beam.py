@@ -24,6 +24,13 @@ incrementally at each selection instead of recomputed on host.
 The self-attention KV cache never leaves HBM, stores at the decoder
 params' dtype (bf16 in production — halves the parents-gather traffic;
 f32 under tests so parity stays exact), and is donated through the jit.
+Re-parenting is DEFERRED: the selection's parent indices ride the scan
+carry and the next step's cache read applies them inside
+decode_step_cached, fusing the permutation into the read+rewrite the
+step already pays (a separate cache[:, gparent] gather+copy was ~1/3
+of per-step HBM traffic at large-v3 beam 50). Prefill runs at one row
+per utterance — a row that first becomes live gathers its parent's
+full cache row, so only beam row 0 needs the prefix KV.
 
 Token-for-token parity with `beam_search_nbest` + the vendored
 DecodingTask is asserted in tests/test_whisper_decoding_rules.py.
@@ -55,7 +62,7 @@ _NEG = jnp.float32(-jnp.inf)
 def _beam_chunk(
     dec_params,
     cross,
-    state,          # (tokens, scores, cache, lt, pt, has, stamp, live, fin)
+    state,          # (tokens, scores, cache, gp, lt, pt, has, stamp, live, fin)
     suppress_mask,  # (V,) f32 additive (zeros when unused)
     blank_mask,     # (V,) f32 additive
     ts_static_mask, # (V,) f32 additive (<|notimestamps|> suppression)
@@ -93,7 +100,7 @@ def _beam_chunk(
     iota = jnp.arange(n_vocab)
 
     def one(carry, s):
-        (tokens, scores, cache, lt, pt, has, stamp,
+        (tokens, scores, cache, gp_pending, lt, pt, has, stamp,
          live_count, fin_count) = carry
         pos = pos0 + s
         is_first = pos == sample_begin - 1
@@ -102,8 +109,15 @@ def _beam_chunk(
         last_tokens = jax.lax.dynamic_index_in_dim(
             tokens, pos, axis=1, keepdims=False
         )
+        # the previous selection's re-parenting is applied HERE, fused
+        # into the cache read+rewrite this step pays anyway — a separate
+        # cache[:, gparent] gather+copy was ~1/3 of the step's HBM
+        # traffic at large-v3 beam 50 (bit-exact: the eager permute ran
+        # after the step's write, so deferring it one step reads the
+        # identical history)
         logits, cache = w.decode_step_cached(
-            dec_params, dec_cfg, last_tokens, pos, cache, cross
+            dec_params, dec_cfg, last_tokens, pos, cache, cross,
+            row_gather=gp_pending,
         )
         logits = logits.astype(jnp.float32)
         if use_blank:
@@ -178,7 +192,6 @@ def _beam_chunk(
         # masked write beats a vmapped dynamic_update (per-row loop)
         col = jnp.arange(tokens.shape[1])[None, :]
         tokens = jnp.where(col == pos + 1, tokf[:, None], tokens)
-        cache = {k: v[:, gparent] for k, v in cache.items()}
         scores = new_scores.reshape(-1)
         if use_ts:
             new_lt = tokf >= tb
@@ -194,7 +207,7 @@ def _beam_chunk(
             sel_flat.astype(jnp.float32),
             sel_tok.astype(jnp.float32),
         ])
-        carry = (tokens, scores, cache, lt, pt, has, stamp,
+        carry = (tokens, scores, cache, gparent, lt, pt, has, stamp,
                  live_count, fin_count)
         return carry, ys
 
@@ -205,9 +218,16 @@ def _beam_chunk(
 
 @partial(jax.jit, static_argnames=("dec_cfg",), donate_argnums=(3,))
 def _prefill(dec_params, cross, prefix_arr, cache, *, dec_cfg):
-    """Walk the shared sot sequence (positions 0..len(prefix_arr)-1) for
-    every row in one jitted scan; the first chunk step consumes the LAST
-    prefix token, so this stops one short of it."""
+    """Walk the shared sot sequence (positions 0..len(prefix_arr)-1) in
+    one jitted scan; the first chunk step consumes the LAST prefix token,
+    so this stops one short of it.
+
+    Runs at ONE row per utterance (cache batch == n_utt): under deferred
+    re-parenting only each utterance's row 0 is ever read before its
+    first parents-gather, so prefilling all beam rows would scan the full
+    (rows x t_buf) cache through the loop carry for identical values —
+    at large-v3 beam 50 x 16 utterances that double-buffered stack was
+    the 23 GB OOM that capped decode_batch at 8."""
     from dualhyp_tpu.models import whisper as w
 
     rows = cache["k"].shape[1]
@@ -332,10 +352,16 @@ def device_beam_search_batch(
     )
 
     if sample_begin > 1:
-        cache = _prefill(
-            dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32), cache,
+        small = w.init_self_cache(dec_cfg, n_utt, t_buf, dtype=cache_dtype)
+        small = _prefill(
+            dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32), small,
             dec_cfg=dec_cfg,
         )
+        # scatter utterance u's prefix KV into its beam row 0; the other
+        # rows are never read before their first re-parenting gather
+        cache = {
+            k: cache[k].at[:, ::beam_size].set(small[k]) for k in cache
+        }
 
     tokens0 = np.zeros((rows, t_buf), np.int32)
     tokens0[:, :sample_begin] = prefix
@@ -344,6 +370,7 @@ def device_beam_search_batch(
         # only row 0 of each utterance is live at the first selection
         jnp.zeros((rows,), jnp.float32),
         cache,
+        jnp.arange(rows, dtype=jnp.int32),  # pending cache re-parenting
         jnp.zeros((rows,), bool),   # last sampled token is a timestamp
         jnp.ones((rows,), bool),    # penultimate is a timestamp (len<2)
         jnp.zeros((rows,), bool),   # any timestamp sampled yet
