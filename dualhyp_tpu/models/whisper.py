@@ -22,6 +22,7 @@ via `convert_hf_whisper_encoder`.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict
 
@@ -199,6 +200,19 @@ def _linear(leaf, x):
     return y
 
 
+def _flash_encoder_enabled() -> bool:
+    """Encoder self-attention backend: DUALHYP_WHISPER_ATTN selects
+    'flash' (first-party Pallas online-softmax kernel) or 'xla'
+    (materialised f32 scores — the bit-reference path parity tests pin).
+    Default: flash on TPU, xla elsewhere. The XLA path writes the
+    (B, H, 1500, 1500) f32 score tensor to HBM every layer (~2.9 GB at
+    batch 8) and is bandwidth-bound on it."""
+    impl = os.environ.get("DUALHYP_WHISPER_ATTN")
+    if impl is not None:
+        return impl == "flash"
+    return jax.default_backend() == "tpu"
+
+
 def _mha(leaf, x, n_head):
     b, t, s = x.shape
     hd = s // n_head
@@ -206,10 +220,15 @@ def _mha(leaf, x, n_head):
     q = _linear(leaf["query"], x).reshape(b, t, n_head, hd).transpose(0, 2, 1, 3)
     k = _linear(leaf["key"], x).reshape(b, t, n_head, hd).transpose(0, 2, 1, 3)
     v = _linear(leaf["value"], x).reshape(b, t, n_head, hd).transpose(0, 2, 1, 3)
-    logits = einsum("bhtd,bhsd->bhts", (q * scale).astype(jnp.float32),
-                    (k * scale).astype(jnp.float32))
-    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = einsum("bhts,bhsd->bhtd", w, v)
+    if _flash_encoder_enabled():
+        from dualhyp_tpu.ops.pallas.flash_fwd import full_attention_fwd
+
+        out = full_attention_fwd(q, k, v, scale=hd ** -0.5)
+    else:
+        logits = einsum("bhtd,bhsd->bhts", (q * scale).astype(jnp.float32),
+                        (k * scale).astype(jnp.float32))
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = einsum("bhts,bhsd->bhtd", w, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, s)
     return _linear(leaf["out"], out)
 
@@ -462,7 +481,14 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     step; doing it HERE fuses the permutation into the read+rewrite the
     step already pays, instead of a separate full-cache gather+copy
     (which at whisper-large beam-50 sizes is ~4.6 GB/step of pure HBM
-    traffic). Bit-exact vs permuting the cache before the call."""
+    traffic). Bit-exact vs permuting the cache before the call.
+
+    The layer loop is a lax.scan with the cache as xs/ys. An unrolled
+    python loop (espnet_decoder-style, static indexing + end stack) was
+    MEASURED SLOWER at large-v3 beam 50 (408 vs 293 ms/utt at 8
+    utterances): the scan's sliced streaming pipelines layer (i+1)'s
+    cache DMA behind layer i's compute, which 32 discrete gathers plus
+    a final jnp.stack do not."""
     b = tokens.shape[0]
     s = cfg.n_state
     h = cfg.n_head

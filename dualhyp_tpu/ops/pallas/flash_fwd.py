@@ -34,7 +34,7 @@ _NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv, t_kv, q_per_kv, block_q_rows,
-            scale):
+            scale, causal=True, kv_valid=None):
     # q_ref: (block_q_rows, D) rows are (head-major) queries of one group;
     # k_ref/v_ref: (t_kv, D) full KV for this (batch, group); o_ref like q_ref
     qblk = pl.program_id(2)
@@ -58,7 +58,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv, t_kv, q_per_kv, block_q_row
         kv_pos = i * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_kv), 1
         )
-        s = jnp.where(kv_pos <= q_pos, s, _NEG_INF)
+        if causal:
+            s = jnp.where(kv_pos <= q_pos, s, _NEG_INF)
+        elif kv_valid is not None and kv_valid < t_kv:
+            s = jnp.where(kv_pos < kv_valid, s, _NEG_INF)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_cur)
         alpha = jnp.exp(m_prev - m_cur)
@@ -68,15 +71,84 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, block_kv, t_kv, q_per_kv, block_q_row
         )
         return acc, m_cur, l_cur
 
-    # causal: KV block i is relevant iff its first position <= last q position
-    last_q = qblk * rows_per_head + rows_per_head - 1
-    n_relevant = jnp.minimum(last_q // block_kv + 1, n_kv_blocks)
+    if causal:
+        # KV block i is relevant iff its first position <= last q position
+        last_q = qblk * rows_per_head + rows_per_head - 1
+        n_relevant = jnp.minimum(last_q // block_kv + 1, n_kv_blocks)
+    else:
+        n_relevant = n_kv_blocks
+        if kv_valid is not None:
+            n_relevant = min((kv_valid + block_kv - 1) // block_kv, n_kv_blocks)
 
     acc = jnp.zeros((block_q_rows, d), jnp.float32)
     m0 = jnp.full((block_q_rows, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q_rows, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_relevant, body, (acc, m0, l0))
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def full_attention_fwd(q, k, v, scale: float | None = None):
+    """Non-causal (bidirectional) flash-attention forward.
+
+    q: (B, H, T, D); k, v: (B, H, S, D) -> (B, H, T, D). MHA only
+    (one KV head per query head). T and S are padded to block multiples
+    internally; padded KEY positions are masked inside the kernel
+    (online softmax never sees them), padded QUERY rows are sliced off.
+
+    Built for encoder self-attention (whisper's 1500-frame audio
+    encoder, ref: data/whisper/model.py:143-175): the XLA path
+    materialises the (B, H, T, S) f32 score tensor in HBM — 2.9 GB per
+    layer at batch 8 — and is bandwidth-bound on it; this kernel keeps
+    scores in VMEM."""
+    b, h, t, d = q.shape
+    s_len = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    block_q = min(_BLOCK_Q, common.round_up(t, 128))
+    block_kv = min(_BLOCK_KV, common.round_up(s_len, 128))
+    t_pad = common.round_up(t, block_q)
+    s_pad = common.round_up(s_len, block_kv)
+    if t_pad != t:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad != s_len:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - s_len), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - s_len), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            block_kv=block_kv,
+            t_kv=s_pad,
+            q_per_kv=1,
+            block_q_rows=block_q,
+            scale=scale,
+            causal=False,
+            kv_valid=s_len,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, h, t_pad // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bb, gg, qq: (bb, gg, qq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s_pad, d), lambda bb, gg, qq: (bb, gg, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, s_pad, d), lambda bb, gg, qq: (bb, gg, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bb, gg, qq: (bb, gg, qq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=common.interpret_mode(),
+    )(q, k, v)
+    return out[:, :, :t]
 
 
 def causal_attention_fwd(q, k, v, scale: float | None = None):

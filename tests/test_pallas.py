@@ -122,6 +122,40 @@ def test_first_party_flash_fwd_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
 
 
+def test_full_attention_fwd_matches_xla(rng):
+    """Non-causal flash forward (whisper-encoder path) vs materialised
+    softmax, at an unaligned length so key padding + masking engage."""
+    from dualhyp_tpu.ops.pallas import flash_fwd
+
+    b, h, t, d = 2, 4, 300, 64  # 300 : pad-to-384 with 84 masked keys
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    scale = d ** -0.5
+    logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
+    want = np.asarray(jnp.einsum(
+        "bhts,bhsd->bhtd", jax.nn.softmax(logits, axis=-1), v
+    ))
+    got = np.asarray(flash_fwd.full_attention_fwd(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_whisper_encode_flash_matches_xla(rng, monkeypatch):
+    """encode() under DUALHYP_WHISPER_ATTN=flash == the xla path."""
+    from dualhyp_tpu.models import whisper as w
+
+    cfg = w.WhisperEncoderConfig(
+        n_mels=16, n_ctx=96, n_state=128, n_head=2, n_layer=2
+    )
+    params = w.init_encoder(cfg, jax.random.key(0))
+    mel = jnp.asarray(rng.normal(size=(2, 16, 192)).astype(np.float32))
+    monkeypatch.setenv("DUALHYP_WHISPER_ATTN", "xla")
+    want = np.asarray(w.encode(params, cfg, mel))
+    monkeypatch.setenv("DUALHYP_WHISPER_ATTN", "flash")
+    got = np.asarray(w.encode(params, cfg, mel))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_first_party_flash_fwd_unaligned_falls_back(rng):
     from dualhyp_tpu.ops.pallas import flash_fwd
 
