@@ -470,6 +470,18 @@ def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _logits_einsum(sub, a, b):
+    """Attention-logits einsum with f32 OUTPUT without upcasting the
+    operands. On f32 inputs (the CPU test path) identical to the
+    explicit-upcast form; on bf16 inputs it emits ONE bf16 MXU pass with
+    f32 accumulation — 2.35x faster than the 3-pass f32 emulation the
+    .astype(f32) upcast forces under precision=HIGHEST, and bit-identical
+    to it (bf16 values are exact in f32, so the emulation's correction
+    passes contribute zero; measured diff exactly 0 at the beam-50
+    decode shape, scripts/bench_beam_ops.py)."""
+    return einsum(sub, a, b, preferred_element_type=jnp.float32)
+
+
 def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                        cache: dict, cross_kv, row_gather=None):
     """One decode step. tokens: (B,) int32 current tokens at position `pos`
@@ -524,11 +536,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         k = split(ck_layer, max_len)
         v = split(cv_layer, max_len)
         scale = hd ** -0.25
-        logits = einsum(
-            "bhtd,bhsd->bhts",
-            (q * scale).astype(jnp.float32),
-            (k * scale).astype(jnp.float32),
-        )
+        logits = _logits_einsum("bhtd,bhsd->bhts", q * scale, k * scale)
         logits = jnp.where(valid[:, None, None, :], logits, -jnp.inf)
         w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
         att = einsum("bhts,bhsd->bhtd", w, v).transpose(0, 2, 1, 3).reshape(b, 1, s)
@@ -542,11 +550,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         if xk.shape[0] == 1 and b != 1:
             kx = split(xk, xk.shape[1])[0]  # (h, S, hd)
             vx = split(xv, xv.shape[1])[0]
-            logits = einsum(
-                "bhtd,hsd->bhts",
-                (qx * scale).astype(jnp.float32),
-                (kx * scale).astype(jnp.float32),
-            )
+            logits = _logits_einsum("bhtd,hsd->bhts", qx * scale, kx * scale)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum("bhts,hsd->bhtd", w, vx)
         elif xk.shape[0] != b and b % xk.shape[0] == 0:
@@ -557,21 +561,13 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             kx = split(xk, xk.shape[1])  # (U, h, S, hd)
             vx = split(xv, xv.shape[1])
             qg = qx.reshape(u, rows, h, 1, hd)
-            logits = einsum(
-                "ubhtd,uhsd->ubhts",
-                (qg * scale).astype(jnp.float32),
-                (kx * scale).astype(jnp.float32),
-            )
+            logits = _logits_einsum("ubhtd,uhsd->ubhts", qg * scale, kx * scale)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum("ubhts,uhsd->ubhtd", w, vx).reshape(b, h, 1, hd)
         else:
             kx = split(xk, xk.shape[1])
             vx = split(xv, xv.shape[1])
-            logits = einsum(
-                "bhtd,bhsd->bhts",
-                (qx * scale).astype(jnp.float32),
-                (kx * scale).astype(jnp.float32),
-            )
+            logits = _logits_einsum("bhtd,bhsd->bhts", qx * scale, kx * scale)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum("bhts,bhsd->bhtd", w, vx)
         att = att.transpose(0, 2, 1, 3).reshape(b, 1, s)

@@ -92,8 +92,12 @@ def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = Non
     g = k_cache.shape[1]
     s = k_cache.shape[2]
     qg = q.reshape(b, g, hq // g, kq, d)
+    # bf16 operands + f32 accumulation: bit-identical to the f32 upcast
+    # (bf16 is exact in f32) at one MXU pass instead of the 3-pass f32
+    # emulation (2.35x, scripts/bench_beam_ops.py)
     logits = einsum(
-        "bgqtd,bgsd->bgqts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+        "bgqtd,bgsd->bgqts", qg, k_cache.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
     limit = start[:, None] + jnp.arange(kq)[None, :]  # (B, K)
     valid = jnp.arange(s)[None, None, :] <= limit[:, :, None]  # (B, K, S)
@@ -116,7 +120,8 @@ def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None)
     s = k_cache.shape[2]
     qg = q.reshape(b, g, hq // g, 1, d)
     logits = einsum(
-        "bgqtd,bgsd->bgqts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+        "bgqtd,bgsd->bgqts", qg, k_cache.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
     valid = jnp.arange(s)[None, :] < kv_length[:, None]  # (B, S)
     logits = jnp.where(valid[:, None, None, None, :], logits, NEG_INF)

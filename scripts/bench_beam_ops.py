@@ -31,14 +31,22 @@ U, H, S, D = 8, 20, 1500, 64
 ITERS = 32
 
 
+def _fetch(out):
+    """Force the whole dispatch chain: a value fetch is the only sync
+    that proved reliable through the tunnel (block_until_ready returned
+    instantly-wrong timings in one configuration — see
+    bench_whisper_encode.py)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def timed(name, fn, *args):
-    fn(*args)  # compile
-    jax.block_until_ready(fn(*args))
+    _fetch(fn(*args))  # compile + drain
     t0 = time.perf_counter()
     out = None
     for _ in range(ITERS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     dt = (time.perf_counter() - t0) / ITERS
     print(f"  {name:<52s} {dt*1e3:8.3f} ms")
     return dt

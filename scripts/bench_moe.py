@@ -26,17 +26,20 @@ from dualhyp_tpu.train import TrainConfig, Trainer
 MB, SEQ = 4, 1024
 
 
-def run(impl: str) -> float:
+def run(impl: str, n_expert: int = 8, n_layer: int = 4,
+        intermediate: int = 3584) -> float:
     if impl in ("sparse", "megablox"):
         os.environ["DUALHYP_MOE_IMPL"] = impl
     else:
         os.environ.pop("DUALHYP_MOE_IMPL", None)
     cfg = GPTConfig(
-        name=f"moe-bench-{impl}", block_size=2048, vocab_size=8192,
-        padding_multiple=64, n_layer=4, n_head=16, n_query_groups=4,
+        name=f"moe-bench-{impl}-e{n_expert}", block_size=2048,
+        vocab_size=8192,
+        padding_multiple=64, n_layer=n_layer, n_head=16, n_query_groups=4,
         n_embd=1024, rotary_percentage=1.0, parallel_residual=False,
         bias=False, norm_class="RMSNorm", mlp_class="LLaMAMoE",
-        intermediate_size=3584, n_expert=8, n_expert_per_token=2,
+        intermediate_size=intermediate, n_expert=n_expert,
+        n_expert_per_token=2,
     )
     params = gpt.init(cfg, jax.random.key(0))
     tcfg = TrainConfig(batch_size=MB, micro_batch_size=MB,
@@ -80,7 +83,26 @@ def check_equivalence():
     assert err < 2e-2, err
 
 
+def sweep():
+    """Expert-count scaling: dense compute is O(n_expert), the grouped
+    GEMMs are O(top_k) — the separation the 8-expert headline config
+    (where the step is not MoE-FLOP-dominated) cannot show. Smaller
+    layer/intermediate dims so 32 experts' optimizer state fits HBM."""
+    for n_expert in (8, 16, 32):
+        times = {}
+        for impl in ("dense", "megablox"):
+            times[impl] = run(impl, n_expert=n_expert, n_layer=2,
+                              intermediate=1792)
+        print(
+            f"n_expert={n_expert}: megablox gmm vs dense "
+            f"x{times['dense']/times['megablox']:.2f}", flush=True,
+        )
+
+
 def main():
+    if "--sweep" in sys.argv:
+        sweep()
+        return
     d = run("dense")
     s = run("sparse")
     print(f"sparse (ragged_dot) vs dense: x{d/s:.2f}")
