@@ -201,12 +201,15 @@ def _linear(leaf, x):
 
 
 def _flash_encoder_enabled() -> bool:
-    """Encoder self-attention backend: DUALHYP_WHISPER_ATTN selects
-    'flash' (first-party Pallas online-softmax kernel) or 'xla'
-    (materialised f32 scores — the bit-reference path parity tests pin).
-    Default: flash on TPU, xla elsewhere. The XLA path writes the
-    (B, H, 1500, 1500) f32 score tensor to HBM every layer (~2.9 GB at
-    batch 8) and is bandwidth-bound on it."""
+    """Whisper attention backend: DUALHYP_WHISPER_ATTN selects 'flash'
+    (first-party Pallas online-softmax kernel, ops/pallas/flash_fwd)
+    or 'xla' (materialised f32 scores — the bit-reference path parity
+    tests pin). Gates the ENCODER self-attention only (the decode
+    step's cross-attention measured slower through the kernel — see the
+    note in decode_step_cached). Default: flash on TPU, xla elsewhere.
+    The XLA encoder path writes the (B, H, 1500, 1500) f32 score tensor
+    to HBM every layer (~2.9 GB at batch 8) and is bandwidth-bound on
+    it."""
     impl = os.environ.get("DUALHYP_WHISPER_ATTN")
     if impl is not None:
         return impl == "flash"
@@ -547,6 +550,11 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         # (beam-50 whisper-large cross KV would be ~50 GB otherwise)
         n = layer_norm(hcur, leaf["cross_ln"]["scale"], leaf["cross_ln"]["bias"])
         qx = split(_linear(leaf["cross"]["query"], n), 1)
+        # NOTE: routing these shared-memory branches through the flash
+        # kernel (beam rows as query rows, (U, h, rows, hd) x memory)
+        # was MEASURED SLOWER (352 vs 307 ms/utt at beam 50 x 8 utts):
+        # 32 per-layer pallas launches at M=50 cost more than the
+        # ~48 MB/layer score materialisation they avoid. Einsum stays.
         if xk.shape[0] == 1 and b != 1:
             kx = split(xk, xk.shape[1])[0]  # (h, S, hd)
             vx = split(xv, xv.shape[1])[0]
