@@ -66,6 +66,26 @@ def main():
     timed("sort full row (upper bound)",
           jax.jit(lambda x: jnp.sort(x, axis=-1)), logits)
 
+    def two_stage(x, k=K, chunk=128):
+        # exact up to cross-chunk f32 ties at the k-th-value boundary:
+        # the true top-k lie in at most k chunks, ranked by chunk max
+        r, v = x.shape
+        vp = -(-v // chunk) * chunk
+        xp = jnp.pad(x, ((0, 0), (0, vp - v)),
+                     constant_values=-jnp.inf).reshape(r, vp // chunk, chunk)
+        _, cidx = jax.lax.top_k(xp.max(-1), k)            # (R, k) chunks
+        g = jnp.take_along_axis(xp, cidx[:, :, None], axis=1)
+        vals, flat = jax.lax.top_k(g.reshape(r, k * chunk), k)
+        sel_chunk = jnp.take_along_axis(cidx, flat // chunk, axis=1)
+        return vals, sel_chunk * chunk + flat % chunk
+
+    ts = jax.jit(two_stage)
+    timed("two-stage top_k (chunk max -> gather -> top_k)", ts, logits)
+    v1, i1 = jax.lax.top_k(logits, K)
+    v2, i2 = ts(logits)
+    print(f"  two-stage exact match: vals={bool(jnp.all(v1 == v2))} "
+          f"idx={bool(jnp.all(i1 == i2))}")
+
     print(f"cross-attn logits einsum (u=8, rows 50, heads {H}, S={S}):")
     f32 = jax.jit(lambda a, b: einsum(
         "ubhtd,uhsd->ubhts", a.astype(jnp.float32), b.astype(jnp.float32)))

@@ -75,10 +75,12 @@ def main():
     encode = jax.jit(
         lambda p, m: w.encode(p, enc_cfg, m, compute_dtype=dtype)
     )
-    feats = jax.block_until_ready(encode(enc, mel))
-    print("encoder compiled", flush=True)
+    feats = encode(enc, mel)
+    _ = float(feats.mean())  # fetch-sync: block_until_ready alone can
+    print("encoder compiled", flush=True)  # return early via the tunnel
     t0 = time.perf_counter()
-    feats = jax.block_until_ready(encode(enc, mel))
+    feats = encode(enc, mel)
+    _ = float(feats.mean())
     t_encode = time.perf_counter() - t0
 
     sot = dec_cfg.n_vocab - 8
