@@ -253,3 +253,30 @@ def test_suppress_list_matches_decoding_task(vendored):
     assert ts_rules.max_initial_timestamp_index == round(
         1.0 / (30.0 / dims.n_audio_ctx)
     )
+
+
+def test_row_top_k_matches_lax_top_k(rng):
+    """Two-stage chunk-max top-k == lax.top_k on random and on
+    duplicate-heavy inputs (values AND indices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import _row_top_k
+
+    for v, k in ((51866, 51), (7000, 13), (1024, 5)):
+        x = jnp.asarray(rng.normal(size=(7, v)).astype(np.float32))
+        want_v, want_i = jax.lax.top_k(x, k)
+        got_v, got_i = _row_top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    # heavy duplication: few distinct values, many exact ties WITHIN
+    # chunks (ties at the k-th boundary across chunks are the documented
+    # measure-zero caveat; within-chunk ties must still resolve
+    # lowest-index-first like lax.top_k)
+    x = jnp.asarray(
+        rng.integers(0, 4, size=(5, 51866)).astype(np.float32) * 1000.0
+    )
+    want_v, want_i = jax.lax.top_k(x, 51)
+    got_v, got_i = _row_top_k(x, 51)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
