@@ -11,6 +11,10 @@ rule itself — candidate ranking, eos retirement, beam refill
 lax.scan over `chunk_steps` tokens, and the host syncs once per chunk,
 replaying the identical deterministic rule over the returned
 (n_steps, 3, U, 2*beam) scalar pack to rebuild token lists.
+chunk_steps defaults to 16: a sweep at beam 50 x 8 utterances measured
+286 / 270 / 265 ms/utt at 8 / 16 / 32 — fewer ~30 ms tunnel syncs —
+while larger chunks waste more device steps after early finishes
+(done utterances keep computing until the chunk ends).
 
 Per scan step, everything stays on device: gather parent cache rows ->
 cached decoder step -> logit rules (blank / suppress / timestamp) ->
@@ -287,7 +291,7 @@ def device_beam_search(
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
     cache_dtype=None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ) -> List[BeamHypothesis]:
     """Whisper DecodingTask beam search with the per-step compute AND the
     candidate selection on device.
@@ -322,7 +326,7 @@ def device_beam_search_batch(
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
     cache_dtype=None,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ) -> List[List[BeamHypothesis]]:
     """Beam search over U utterances at once: (U x beam_size)-row device
     steps amortise per-step work and fill the MXU; the host syncs once

@@ -172,9 +172,11 @@ def decode_step_cached(params: dict, cfg: EspnetDecoderConfig, tokens, pos,
         cv = cache_v[:, i]
         # bf16 operands + f32 accumulation: bit-identical to the f32
         # upcast (bf16 is exact in f32) at one MXU pass instead of the
-        # 3-pass f32 emulation (2.35x, scripts/bench_beam_ops.py)
+        # 3-pass f32 emulation (2.35x, scripts/bench_beam_ops.py). No
+        # astype on the cache: a higher-precision cache promotes
+        # instead of being silently rounded to the activation dtype.
         scores = einsum(
-            "rhqd,rhtd->rhqt", q, ck.astype(q.dtype),
+            "rhqd,rhtd->rhqt", q, ck,
             preferred_element_type=jnp.float32,
         ) * scale
         valid = jnp.arange(t_max)[None, None, None, :] <= pos
@@ -188,7 +190,7 @@ def decode_step_cached(params: dict, cfg: EspnetDecoderConfig, tokens, pos,
         n2 = _ln(leaf["norm2"], x)
         src = leaf["src_attn"]
         q2 = _linear(src["linear_q"], n2).reshape(u, n_per_group, h, dk)
-        kk = cross_kv["k"][i].astype(x.dtype)  # (U, H, S, dk)
+        kk = cross_kv["k"][i]  # (U, H, S, dk)
         vv = cross_kv["v"][i].astype(x.dtype)
         s_scores = einsum(
             "ughd,uhsd->ughs", q2, kk, preferred_element_type=jnp.float32,

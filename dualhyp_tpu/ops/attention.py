@@ -94,9 +94,11 @@ def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = Non
     qg = q.reshape(b, g, hq // g, kq, d)
     # bf16 operands + f32 accumulation: bit-identical to the f32 upcast
     # (bf16 is exact in f32) at one MXU pass instead of the 3-pass f32
-    # emulation (2.35x, scripts/bench_beam_ops.py)
+    # emulation (2.35x, scripts/bench_beam_ops.py). No astype on the
+    # cache: a deliberately higher-precision cache promotes instead of
+    # being silently rounded to the query dtype.
     logits = einsum(
-        "bgqtd,bgsd->bgqts", qg, k_cache.astype(qg.dtype),
+        "bgqtd,bgsd->bgqts", qg, k_cache,
         preferred_element_type=jnp.float32,
     ) * scale
     limit = start[:, None] + jnp.arange(kq)[None, :]  # (B, K)
@@ -120,7 +122,7 @@ def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None)
     s = k_cache.shape[2]
     qg = q.reshape(b, g, hq // g, 1, d)
     logits = einsum(
-        "bgqtd,bgsd->bgqts", qg, k_cache.astype(qg.dtype),
+        "bgqtd,bgsd->bgqts", qg, k_cache,
         preferred_element_type=jnp.float32,
     ) * scale
     valid = jnp.arange(s)[None, :] < kv_length[:, None]  # (B, S)

@@ -66,20 +66,11 @@ def main():
     timed("sort full row (upper bound)",
           jax.jit(lambda x: jnp.sort(x, axis=-1)), logits)
 
-    def two_stage(x, k=K, chunk=128):
-        # exact up to cross-chunk f32 ties at the k-th-value boundary:
-        # the true top-k lie in at most k chunks, ranked by chunk max
-        r, v = x.shape
-        vp = -(-v // chunk) * chunk
-        xp = jnp.pad(x, ((0, 0), (0, vp - v)),
-                     constant_values=-jnp.inf).reshape(r, vp // chunk, chunk)
-        _, cidx = jax.lax.top_k(xp.max(-1), k)            # (R, k) chunks
-        g = jnp.take_along_axis(xp, cidx[:, :, None], axis=1)
-        vals, flat = jax.lax.top_k(g.reshape(r, k * chunk), k)
-        sel_chunk = jnp.take_along_axis(cidx, flat // chunk, axis=1)
-        return vals, sel_chunk * chunk + flat % chunk
+    # the PRODUCTION two-stage top-k (don't re-implement: a local copy
+    # would drift from what ships)
+    from dualhyp_tpu.infer.whisper_device_beam import _row_top_k
 
-    ts = jax.jit(two_stage)
+    ts = jax.jit(lambda x: _row_top_k(x, K))
     timed("two-stage top_k (chunk max -> gather -> top_k)", ts, logits)
     v1, i1 = jax.lax.top_k(logits, K)
     v2, i2 = ts(logits)

@@ -131,11 +131,11 @@ def test_full_attention_fwd_matches_xla(rng):
     q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    from dualhyp_tpu.ops.linalg import einsum as pe
+
     scale = d ** -0.5
-    logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
-    want = np.asarray(jnp.einsum(
-        "bhts,bhsd->bhtd", jax.nn.softmax(logits, axis=-1), v
-    ))
+    logits = pe("bhtd,bhsd->bhts", q * scale, k)
+    want = np.asarray(pe("bhts,bhsd->bhtd", jax.nn.softmax(logits, axis=-1), v))
     got = np.asarray(flash_fwd.full_attention_fwd(q, k, v))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
 
