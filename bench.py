@@ -129,8 +129,12 @@ def main():
 
     best = 0.0
     best_cfg = None
-    # measured on v5e-1: mb=6 no-remat 12.5k > mb=8/16 remat 11.9k; larger
-    # no-remat batches OOM (see CLAUDE.md perf notes)
+    # measured on v5e-1: mb=6 no-remat 12.5k > mb=8/16 remat 11.9k.
+    # Round 4: the merged flash backward freed enough HBM that mb=7/8
+    # no-remat now FIT, but they measure flat (15.2k vs mb=6's 15.3k,
+    # within the chip's noise band) — the dominant backward GEMMs are
+    # already at the roofline, so batch growth adds nothing; mb=6 stays
+    # the single candidate to keep the driver bench fast.
     candidates = [(micro_batch, seq_len, True)]
     if on_accel:
         candidates = [(6, 1024, False)]
