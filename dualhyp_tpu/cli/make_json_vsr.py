@@ -203,6 +203,7 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         ctc_weight=float(cfg.get("ctc_weight", 0.1)),
         penalty=float(cfg.get("penalty", 0.0)),
         n_best=int(cfg.get("n_best", 5)),
+        max_len=int(cfg.get("max_len", 100)),
         normalizer=normalizer,
     )
 
