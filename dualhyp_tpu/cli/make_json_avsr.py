@@ -19,6 +19,108 @@ from pathlib import Path
 import numpy as np
 
 
+_ENCODE_JIT = None
+_A_LEN_CACHE: dict = {}
+
+
+def _encode_jit():
+    """Jitted batched AV frontends+encoders+fusion+CTC (lazy so importing
+    the CLI never touches a jax backend)."""
+    global _ENCODE_JIT
+    if _ENCODE_JIT is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        from dualhyp_tpu.models import avsr, espnet_decoder as ed, raven
+
+        @partial(jax.jit, static_argnames=("video_cfg", "audio_cfg"))
+        def f(params, ctc_params, video_cfg, audio_cfg, videos, vlens,
+              audios, asamps, alens):
+            vfeats = raven.conv3d_frontend(params["video_frontend"], videos)
+            afeats = avsr.conv1d_frontend(params["audio_frontend"], audios,
+                                          lengths=asamps)
+            vmask = vlens[:, None] > jnp.arange(vfeats.shape[1])[None, :]
+            amask = alens[:, None] > jnp.arange(afeats.shape[1])[None, :]
+            v = raven.encode(params["video_encoder"], video_cfg, vfeats,
+                             vmask)
+            a = raven.encode(params["audio_encoder"], audio_cfg, afeats,
+                             amask)
+            t = min(v.shape[1], a.shape[1])
+            fused = jnp.concatenate([v[:, :t], a[:, :t]], axis=-1)
+            memory = avsr.mlp_head(params["fusion"], fused)
+            return memory, ed.ctc_log_probs(ctc_params, memory)
+
+        _ENCODE_JIT = f
+    return _ENCODE_JIT
+
+
+def _audio_out_len(params_af, n_samples: int) -> int:
+    """conv1d_frontend output length for an UNPADDED waveform of
+    n_samples — via eval_shape (no device work), so the padded batch can
+    be sliced back to exactly the frames the per-utterance path yields."""
+    if n_samples not in _A_LEN_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        from dualhyp_tpu.models import avsr
+
+        shape = jax.eval_shape(
+            lambda a: avsr.conv1d_frontend(params_af, a),
+            jax.ShapeDtypeStruct((1, n_samples), jnp.float32),
+        )
+        _A_LEN_CACHE[n_samples] = int(shape.shape[1])
+    return _A_LEN_CACHE[n_samples]
+
+
+def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
+                        audios, pad_multiple=32):
+    """U variable-length (video, audio) pairs -> per-utterance fused
+    (memory, ctc_log_probs) through ONE compiled call per bucket — the
+    AV twin of make_json_vsr.encode_ctc_batch (the eager per-utterance
+    loop costs seconds per utterance of per-op dispatch on a tunneled
+    TPU). Right-zero padding is exact at real positions: both frontends
+    mix time only in convolutions whose zero-tail windows match the
+    unpadded convs' own zero padding (the audio AvgPool(20) frames are
+    sliced back to the unpadded output length via `_audio_out_len`),
+    and the conformers mix positions only in masked attention + the
+    masked conv module (tests/test_batch_encode.py)."""
+    import jax.numpy as jnp
+
+    vlens = np.array([len(v) for v in videos], np.int32)
+    alens = np.array(
+        [_audio_out_len(params["audio_frontend"], len(a) // 640 * 640)
+         for a in audios], np.int32,
+    )
+    t_pad = max(pad_multiple,
+                -(-int(max(vlens.max(), alens.max())) // pad_multiple)
+                * pad_multiple)
+    u = len(videos)
+    u_pad = 1 << max(0, u - 1).bit_length()
+    h, w = np.shape(videos[0])[1:]
+    vids = np.zeros((u_pad, 1, t_pad, h, w), np.float32)
+    auds = np.zeros((u_pad, t_pad * 640), np.float32)
+    asamps = np.full((u_pad,), 640, np.int32)  # dummy rows: 1 frame
+    for i, (v, a) in enumerate(zip(videos, audios)):
+        vids[i, 0, : len(v)] = v
+        auds[i, : min(len(a), t_pad * 640)] = a[: t_pad * 640]
+        asamps[i] = min(len(a), t_pad * 640)
+    lens1 = lambda arr: np.concatenate(
+        [arr, np.ones((u_pad - u,), np.int32)]
+    )  # dummy rows get length 1 (an all-masked attention row is NaN)
+    memory, ctc_lp = _encode_jit()(
+        params, ctc_params, video_cfg, audio_cfg,
+        jnp.asarray(vids), jnp.asarray(lens1(vlens)),
+        jnp.asarray(auds), jnp.asarray(asamps), jnp.asarray(lens1(alens)),
+    )
+    memory = np.asarray(memory, np.float32)
+    ctc_lp = np.asarray(ctc_lp, np.float32)
+    tlens = np.minimum(vlens, alens)
+    return ([memory[i, :t] for i, t in enumerate(tlens)],
+            [ctc_lp[i, :t] for i, t in enumerate(tlens)])
+
+
 def transcribe_avsr_nbest(video, audio, params, video_cfg, audio_cfg,
                           dec_params, dec_cfg, ctc_params, token_list, *,
                           beam_size=40, ctc_weight=0.1, penalty=0.0,
@@ -69,28 +171,15 @@ def transcribe_avsr_nbest_batch(videos, audios, params, video_cfg, audio_cfg,
                                 n_best=5, max_len=100, normalizer=None):
     """U (video, audio) pairs -> list of (texts, scores) in ONE lockstep
     device-side joint beam (see make_json_vsr.transcribe_vsr_nbest_batch)."""
-    import jax.numpy as jnp
-
     from dualhyp_tpu.cli.make_json_vsr import spm_detokenize
     from dualhyp_tpu.infer.beam_search import BeamHypothesis, nbest_texts
     from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
-    from dualhyp_tpu.models import avsr, espnet_decoder as ed, raven
 
     sos = eos = len(token_list) - 1
     blank = 0
-    memories, ctc_lps = [], []
-    for video, audio in zip(videos, audios):
-        video_feats = raven.conv3d_frontend(
-            params["video_frontend"], jnp.asarray(video[None, None], jnp.float32)
-        )
-        audio_feats = avsr.conv1d_frontend(
-            params["audio_frontend"], jnp.asarray(audio[None], jnp.float32)
-        )
-        memory = avsr.avsr_encode(
-            params, video_cfg, audio_cfg, video_feats, audio_feats
-        )
-        memories.append(np.asarray(memory, np.float32)[0])
-        ctc_lps.append(np.asarray(ed.ctc_log_probs(ctc_params, memory))[0])
+    memories, ctc_lps = encode_ctc_batch_av(
+        params, ctc_params, video_cfg, audio_cfg, videos, audios
+    )
 
     all_hyps = joint_device_beam_batch(
         dec_params, dec_cfg, memories,

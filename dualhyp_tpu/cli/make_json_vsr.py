@@ -35,6 +35,73 @@ def load_token_list(path) -> list:
         return [line.rstrip("\n").split()[0] for line in fp if line.strip()]
 
 
+_ENCODE_JIT = None
+
+
+def _encode_ctc_jit():
+    """Jitted batched frontend+encoder+CTC (built lazily so importing the
+    CLI never touches a jax backend)."""
+    global _ENCODE_JIT
+    if _ENCODE_JIT is None:
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        from dualhyp_tpu.models import espnet_decoder as ed
+        from dualhyp_tpu.models import raven
+
+        @partial(jax.jit, static_argnames=("enc_cfg",))
+        def f(frontend_params, enc_params, ctc_params, enc_cfg, videos,
+              lengths):
+            feats = raven.conv3d_frontend(frontend_params, videos)
+            mask = lengths[:, None] > jnp.arange(feats.shape[1])[None, :]
+            memory = raven.encode(enc_params, enc_cfg, feats, mask)
+            return memory, ed.ctc_log_probs(ctc_params, memory)
+
+        _ENCODE_JIT = f
+    return _ENCODE_JIT
+
+
+def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
+                     videos, pad_multiple=32):
+    """U variable-length (T_i, H, W) videos -> per-utterance (memory,
+    ctc_log_probs), through ONE compiled call per (U_pad, T_pad) bucket.
+
+    The former eager per-utterance loop cost ~20 s/utterance on a
+    tunneled TPU — every one of the ~800 conformer ops paid a dispatch
+    round-trip (measured, scripts/bench_make_json_vsr.py). Right-zero
+    padding is exact, not approximate: the conv3d frontend mixes time
+    only in its first convolution (whose windows over the zero tail
+    match the unpadded conv's own zero padding), the conformer mixes
+    positions only in masked attention and the masked conv module
+    (raven._conv_module mask_pad), and everything else is per-frame —
+    so real positions equal the per-utterance unpadded encode
+    (tests/test_batch_encode.py)."""
+    import jax.numpy as jnp
+
+    lengths = np.array([len(v) for v in videos], np.int32)
+    t_pad = max(pad_multiple,
+                -(-int(lengths.max()) // pad_multiple) * pad_multiple)
+    u = len(videos)
+    u_pad = 1 << max(0, u - 1).bit_length()  # pow2 buckets: few compiles
+    h, w = np.shape(videos[0])[1:]
+    vids = np.zeros((u_pad, 1, t_pad, h, w), np.float32)
+    for i, v in enumerate(videos):
+        vids[i, 0, : len(v)] = v
+    # dummy rows get length 1 (an all-masked attention row is NaN)
+    lens_pad = np.ones((u_pad,), np.int32)
+    lens_pad[:u] = lengths
+    memory, ctc_lp = _encode_ctc_jit()(
+        frontend_params, enc_params, ctc_params, enc_cfg,
+        jnp.asarray(vids), jnp.asarray(lens_pad)
+    )
+    memory = np.asarray(memory, np.float32)
+    ctc_lp = np.asarray(ctc_lp, np.float32)
+    return ([memory[i, :l] for i, l in enumerate(lengths)],
+            [ctc_lp[i, :l] for i, l in enumerate(lengths)])
+
+
 def load_mouthroi(path) -> np.ndarray:
     """HDF5 'video_frames' dataset or raw npy (ref: data/utils.py:214-232)."""
     path = str(path)
@@ -110,23 +177,14 @@ def transcribe_vsr_nbest_batch(videos, frontend_params, enc_params, enc_cfg,
     round-trip that dominates per-utterance decoding on tunneled TPUs is
     paid once per token for the whole batch. Per-utterance results match
     `transcribe_vsr_nbest`."""
-    import jax.numpy as jnp
-
     from dualhyp_tpu.infer.beam_search import BeamHypothesis, nbest_texts
     from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
-    from dualhyp_tpu.models import espnet_decoder as ed
-    from dualhyp_tpu.models import raven
 
     sos = eos = len(token_list) - 1
     blank = 0
-    memories, ctc_lps = [], []
-    for video in videos:
-        feats = raven.conv3d_frontend(
-            frontend_params, jnp.asarray(video[None, None], jnp.float32)
-        )
-        memory = raven.encode(enc_params, enc_cfg, feats)
-        memories.append(np.asarray(memory, np.float32)[0])
-        ctc_lps.append(np.asarray(ed.ctc_log_probs(ctc_params, memory))[0])
+    memories, ctc_lps = encode_ctc_batch(
+        frontend_params, enc_params, ctc_params, enc_cfg, videos
+    )
 
     all_hyps = joint_device_beam_batch(
         dec_params, dec_cfg, memories,

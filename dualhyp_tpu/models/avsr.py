@@ -61,38 +61,67 @@ def _conv1d(weight, x, stride, pad):
     )
 
 
-def _res1d_block(leaf, x, stride):
+def _mask_t(x, lengths):
+    """Zero positions >= per-row length. x: (B, C, T); lengths: (B,)."""
+    if lengths is None:
+        return x
+    keep = lengths[:, None] > jnp.arange(x.shape[-1])[None, :]
+    return jnp.where(keep[:, None, :], x, 0)
+
+
+def _res1d_block(leaf, x, stride, lengths=None):
     """BasicBlock1D (ref: auto_avsr espnet backbones/modules/
     resnet1d.py:45-109): conv3(s) -> bn -> swish -> conv3 -> bn,
-    (+ conv1x1/bn downsample residual), swish."""
-    residual = x
-    out = swish(_bn(leaf["bn1"], _conv1d(leaf["conv1"]["weight"], x, stride, 1),
+    (+ conv1x1/bn downsample residual), swish.
+
+    `lengths` (per-row true position counts of x) keeps a right-padded
+    batch exact at real positions: the BN/bias stages re-inject nonzero
+    values at padded positions, which the next k=3 conv would read at
+    the prefix edge — so padded positions are re-zeroed before every
+    time-mixing conv. Returns (out, out_lengths)."""
+    out_len = None if lengths is None else (lengths - 1) // stride + 1
+    residual = _mask_t(x, lengths)
+    out = swish(_bn(leaf["bn1"],
+                    _conv1d(leaf["conv1"]["weight"], residual, stride, 1),
                     axis=1))
+    out = _mask_t(out, out_len)
     out = _bn(leaf["bn2"], _conv1d(leaf["conv2"]["weight"], out, 1, 1), axis=1)
     if "downsample" in leaf:
         residual = _bn(
             leaf["downsample"]["bn"],
-            _conv1d(leaf["downsample"]["conv"]["weight"], x, stride, 0),
+            _conv1d(leaf["downsample"]["conv"]["weight"], residual, stride, 0),
             axis=1,
         )
-    return swish(out + residual)
+    return swish(out + residual), out_len
 
 
-def conv1d_frontend(params: dict, audio):
+def conv1d_frontend(params: dict, audio, lengths=None):
     """Raw-waveform audio frontend == Conv1dResNet/ResNet1D (ref: auto_avsr
     espnet backbones/conv1d_extractor.py + modules/resnet1d.py:111-215):
     conv(k=80, s=4, p=38) + BN + swish, four 2-block residual stages
     (strides 1/2/2/2), then avgpool(20) — one 512-d frame per 640 samples
-    (25 fps at 16 kHz). audio: (B, S) waveform."""
+    (25 fps at 16 kHz). audio: (B, S) waveform.
+
+    `lengths` (per-row sample counts) makes a right-zero-padded batch
+    produce EXACTLY each row's unpadded outputs at its real frames
+    (tests/test_batch_encode.py): padded positions are re-zeroed before
+    every time-mixing conv so its edge windows read the zeros the
+    unpadded conv's own padding would supply."""
     s = audio.shape[-1] // 640 * 640
     x = audio[:, None, :s]  # (B, 1, S), trimmed to whole frames
+    cur = None if lengths is None else jnp.minimum(lengths, s) // 640 * 640
+    if cur is not None:
+        x = _mask_t(x, cur)
+        cur = (cur - 4) // 4 + 1  # conv1: k=80, s=4, p=38
     x = swish(_bn(params["bn1"], _conv1d(params["conv1"]["weight"], x, 4, 38),
                   axis=1))
     strides = {"layer1": 1, "layer2": 2, "layer3": 2, "layer4": 2}
     for name in ("layer1", "layer2", "layer3", "layer4"):
         blocks = params[name]
         for bi in sorted(blocks, key=int):
-            x = _res1d_block(blocks[bi], x, strides[name] if bi == "0" else 1)
+            x, cur = _res1d_block(
+                blocks[bi], x, strides[name] if bi == "0" else 1, cur
+            )
     b, c, t = x.shape
     t_out = t // 20
     x = x[:, :, : t_out * 20].reshape(b, c, t_out, 20).mean(-1)  # AvgPool1d(20)

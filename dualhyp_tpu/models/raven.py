@@ -267,8 +267,17 @@ def _feed_forward(leaf, x):
     return _linear(leaf["w_2"], jax.nn.relu(_linear(leaf["w_1"], x)))
 
 
-def _conv_module(leaf, x):
-    """(ref: convolution.py:14-76). x: (B, T, D)."""
+def _conv_module(leaf, x, mask_pad=None):
+    """(ref: convolution.py:14-76). x: (B, T, D).
+
+    `mask_pad` ((B, T) bool, True = real frame) zeroes padded positions
+    right before the depthwise conv — the only op here that mixes time —
+    so a right-zero-padded batch produces EXACTLY the per-utterance
+    unpadded outputs at real positions: the depthwise conv's windows at
+    the true edge then read zeros, indistinguishable from the unpadded
+    conv's own zero padding. (Zeroing the module INPUT is not enough:
+    the pointwise conv + GLU biases re-inject nonzero values at padded
+    positions.)"""
     h = x.swapaxes(1, 2)  # (B, D, T)
     h = jax.lax.conv_general_dilated(
         h, leaf["pointwise_cov1"]["weight"].astype(h.dtype), (1,), ((0, 0),),
@@ -276,6 +285,8 @@ def _conv_module(leaf, x):
     ) + leaf["pointwise_cov1"]["bias"].astype(h.dtype)[None, :, None]
     a, b = jnp.split(h, 2, axis=1)
     h = a * jax.nn.sigmoid(b)  # GLU over channel dim
+    if mask_pad is not None:
+        h = jnp.where(mask_pad[:, None, :], h, 0)
     d = h.shape[1]
     k = leaf["depthwise_conv"]["weight"].shape[-1]
     h = jax.lax.conv_general_dilated(
@@ -308,9 +319,13 @@ def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask):
     x = x + _mha(leaf["self_attn"], n, cfg.attention_heads,
                  pos_emb=pos_emb, mask=mask,
                  legacy=cfg.attn_layer_type == "legacy_rel_mha")
-    # conformer convolution
+    # conformer convolution (padding mask keeps right-padded batches
+    # exactly equal to per-utterance unpadded encodes — see _conv_module)
     if cfg.use_cnn_module:
-        x = x + _conv_module(leaf["conv_module"], _ln(leaf["norm_conv"], x))
+        mask_pad = mask if (mask is not None and mask.ndim == 2
+                            and mask.shape[0] == x.shape[0]) else None
+        x = x + _conv_module(leaf["conv_module"], _ln(leaf["norm_conv"], x),
+                             mask_pad=mask_pad)
     # FFN
     scale = 0.5 if cfg.macaron_style else 1.0
     x = x + scale * _feed_forward(leaf["feed_forward"], _ln(leaf["norm_ff"], x))
