@@ -125,28 +125,24 @@ def transcribe_avsr_nbest(video, audio, params, video_cfg, audio_cfg,
                           dec_params, dec_cfg, ctc_params, token_list, *,
                           beam_size=40, ctc_weight=0.1, penalty=0.0,
                           n_best=5, max_len=100, normalizer=None):
-    import jax
     import jax.numpy as jnp
 
     from dualhyp_tpu.cli.make_json_vsr import spm_detokenize
     from dualhyp_tpu.infer.beam_search import BeamHypothesis, nbest_texts
     from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
     from dualhyp_tpu.infer.joint_beam_search import joint_beam_search
-    from dualhyp_tpu.models import avsr, espnet_decoder as ed, raven
 
-    video_feats = raven.conv3d_frontend(
-        params["video_frontend"], jnp.asarray(video[None, None], jnp.float32)
+    # the same bucket-padded jitted encode as the batch path (exact —
+    # tests/test_batch_encode.py), at U=1: the eager per-op loop costs
+    # seconds per utterance through a tunneled TPU
+    memories, ctc_lps = encode_ctc_batch_av(
+        params, ctc_params, video_cfg, audio_cfg, [video], [audio]
     )
-    audio_feats = avsr.conv1d_frontend(
-        params["audio_frontend"], jnp.asarray(audio[None], jnp.float32)
-    )
-    memory = avsr.avsr_encode(
-        params, video_cfg, audio_cfg, video_feats, audio_feats
-    )
+    memory = jnp.asarray(memories[0][None])
 
     sos = eos = len(token_list) - 1
     blank = 0
-    ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
+    ctc_lp = ctc_lps[0]
     scorer = CTCPrefixScorer(ctc_lp, blank=blank, eos=eos) if ctc_weight > 0 else None
 
     from dualhyp_tpu.infer.joint_beam_search import static_shape_att_fn

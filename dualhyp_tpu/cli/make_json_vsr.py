@@ -119,24 +119,24 @@ def transcribe_vsr_nbest(video, frontend_params, enc_params, enc_cfg,
                          penalty=0.0, n_best=5, max_len=100,
                          lm_logprobs_fn=None, normalizer=None):
     """video: (T, H, W) preprocessed ROI. Returns (texts, scores)."""
-    import jax
     import jax.numpy as jnp
 
     from dualhyp_tpu.infer.beam_search import nbest_texts, BeamHypothesis
     from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
     from dualhyp_tpu.infer.joint_beam_search import joint_beam_search
-    from dualhyp_tpu.models import espnet_decoder as ed
-    from dualhyp_tpu.models import raven
 
-    feats = raven.conv3d_frontend(
-        frontend_params, jnp.asarray(video[None, None], jnp.float32)
+    # the same bucket-padded jitted encode as the batch path (exact —
+    # tests/test_batch_encode.py), at U=1: the eager per-op loop costs
+    # seconds per utterance through a tunneled TPU
+    memories, ctc_lps = encode_ctc_batch(
+        frontend_params, enc_params, ctc_params, enc_cfg, [video]
     )
-    memory = raven.encode(enc_params, enc_cfg, feats)
+    memory = jnp.asarray(memories[0][None])
 
     sos = eos = len(token_list) - 1  # espnet: last id is <sos/eos>
     blank = 0
 
-    ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
+    ctc_lp = ctc_lps[0]
     scorer = CTCPrefixScorer(ctc_lp, blank=blank, eos=eos) if ctc_weight > 0 else None
 
     from dualhyp_tpu.infer.joint_beam_search import static_shape_att_fn
