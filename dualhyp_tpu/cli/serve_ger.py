@@ -27,6 +27,7 @@ import argparse
 import json
 import selectors
 import socket
+import threading
 from pathlib import Path
 
 import jax.numpy as jnp
@@ -92,6 +93,15 @@ class Server:
         self.conn_of = {}     # request id -> connection
         self.prompt_of = {}   # request id -> decoded prompt text
         self.buffers = {}     # connection -> partial line buffer
+        self._stop = threading.Event()
+        self._stopped = threading.Event()
+
+    def stop(self, timeout: float = 10.0):
+        """Ask the accept loop to exit; returns once it has (tests use
+        this — a leaked live loop otherwise outlives its pytest case and
+        keeps waking at 50 ms for the rest of the suite)."""
+        self._stop.set()
+        self._stopped.wait(timeout)
 
     def handle_line(self, conn, line: str):
         try:
@@ -162,7 +172,7 @@ class Server:
             ready_cb(srv.getsockname()[1])
         print(f"serving on {srv.getsockname()}", flush=True)
         try:
-            while True:
+            while not self._stop.is_set():
                 # short timeout when idle; zero when decoding is in flight
                 timeout = 0.0 if self.batcher.pending else 0.05
                 for key, _ in sel.select(timeout=timeout):
@@ -194,6 +204,14 @@ class Server:
                     self.flush_completed()
         finally:
             srv.close()
+            for conn in list(self.buffers):
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+            self.buffers.clear()
+            sel.close()
+            self._stopped.set()
 
 
 def main(argv=None):

@@ -16,7 +16,7 @@ chunk_steps defaults to 16: a sweep at beam 50 x 8 utterances measured
 while larger chunks waste more device steps after early finishes
 (done utterances keep computing until the chunk ends).
 
-Per scan step, everything stays on device: gather parent cache rows ->
+Per scan step, everything stays on device: one-hot ancestor selection ->
 cached decoder step -> logit rules (blank / suppress / timestamp) ->
 log_softmax -> per-row top(beam+1) -> per-utterance top(2*beam) ->
 eos-retire/refill selection -> state scatter. The timestamp rules
@@ -26,15 +26,18 @@ state (last/penultimate was-timestamp, last emitted timestamp) updated
 incrementally at each selection instead of recomputed on host.
 
 The self-attention KV cache never leaves HBM, stores at the decoder
-params' dtype (bf16 in production — halves the parents-gather traffic;
-f32 under tests so parity stays exact), and is donated through the jit.
-Re-parenting is DEFERRED: the selection's parent indices ride the scan
-carry and the next step's cache read applies them inside
-decode_step_cached, fusing the permutation into the read+rewrite the
-step already pays (a separate cache[:, gparent] gather+copy was ~1/3
-of per-step HBM traffic at large-v3 beam 50). Prefill runs at one row
-per utterance — a row that first becomes live gathers its parent's
-full cache row, so only beam row 0 needs the prefix KV.
+params' dtype (bf16 in production; f32 under tests so parity stays
+exact), and is donated through the jit. The cache is APPEND-ONLY
+(round 4e): rows never move; each step writes one (L, R, n_state) K/V
+column, and an (R, T) ancestor map — the only thing the selection
+re-parents — selects each row's history inside decode_step_cached via
+a grouped one-hot MXU einsum. The earlier protocols permuted the full
+cache every step (eagerly in round 2; deferred into the step's
+read+rewrite in round 4c); the profiler showed that gather+rewrite+
+un-aliased carry copies at ~75% of the 62.9 ms step while the decoder
+GEMMs were 3 ms (scripts/profile_whisper_beam.py). Prefill runs at one
+row per utterance — the ancestor map's zeros point every row's prefix
+columns at its group's row 0.
 
 Token-for-token parity with `beam_search_nbest` + the vendored
 DecodingTask is asserted in tests/test_whisper_decoding_rules.py.
@@ -91,7 +94,7 @@ def _row_top_k(x, k, chunk=128):
 def _beam_chunk(
     dec_params,
     cross,
-    state,          # (tokens, scores, cache, gp, lt, pt, has, stamp, live, fin)
+    state,          # (tokens, scores, cache, anc, lt, pt, has, stamp, live, fin)
     suppress_mask,  # (V,) f32 additive (zeros when unused)
     blank_mask,     # (V,) f32 additive
     ts_static_mask, # (V,) f32 additive (<|notimestamps|> suppression)
@@ -129,7 +132,7 @@ def _beam_chunk(
     iota = jnp.arange(n_vocab)
 
     def one(carry, s):
-        (tokens, scores, cache, gp_pending, lt, pt, has, stamp,
+        (tokens, scores, cache, anc, lt, pt, has, stamp,
          live_count, fin_count) = carry
         pos = pos0 + s
         is_first = pos == sample_begin - 1
@@ -138,16 +141,33 @@ def _beam_chunk(
         last_tokens = jax.lax.dynamic_index_in_dim(
             tokens, pos, axis=1, keepdims=False
         )
-        # the previous selection's re-parenting is applied HERE, fused
-        # into the cache read+rewrite this step pays anyway — a separate
-        # cache[:, gparent] gather+copy was ~1/3 of the step's HBM
-        # traffic at large-v3 beam 50 (bit-exact: the eager permute ran
-        # after the step's write, so deferring it one step reads the
-        # identical history)
-        logits, cache = w.decode_step_cached(
-            dec_params, dec_cfg, last_tokens, pos, cache, cross,
-            row_gather=gp_pending,
+        # APPEND-ONLY cache: rows never move. `anc` (R, T) maps each live
+        # slot to its ancestor slot per step (within its utterance's beam
+        # group); this step's column belongs to the slot itself. The
+        # decode step selects history through a one-hot MXU einsum and
+        # returns only the new K/V columns — the full-cache
+        # gather+rewrite+carry-copy of the permuting protocol (profiled
+        # at ~75% of the 62.9 ms step) never happens.
+        t_buf = tokens.shape[1]
+        anc_step = jnp.where(
+            (jnp.arange(t_buf) == pos)[None, :], row_in_u[:, None], anc
         )
+        onehot = jax.nn.one_hot(
+            anc_step.reshape(n_utt, beam, t_buf), beam, axis=2,
+            dtype=cache["k"].dtype,
+        )
+        logits, cols = w.decode_step_cached(
+            dec_params, dec_cfg, last_tokens, pos, cache, cross,
+            anc_onehot=onehot,
+        )
+        cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], cols["k"][:, :, None, :], (0, 0, pos, 0)
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], cols["v"][:, :, None, :], (0, 0, pos, 0)
+            ),
+        }
         logits = logits.astype(jnp.float32)
         if use_blank:
             logits = jnp.where(is_first, logits + blank_mask, logits)
@@ -216,6 +236,7 @@ def _beam_chunk(
 
         # ---- apply the selection ----
         gparent = u_of_row * beam + new_parent.reshape(-1)
+        anc = anc_step[gparent]  # (R, T) int32 — the only re-parenting
         tokf = new_tok.reshape(-1)
         tokens = tokens[gparent]
         # masked write beats a vmapped dynamic_update (per-row loop)
@@ -236,13 +257,23 @@ def _beam_chunk(
             sel_flat.astype(jnp.float32),
             sel_tok.astype(jnp.float32),
         ])
-        carry = (tokens, scores, cache, gparent, lt, pt, has, stamp,
+        carry = (tokens, scores, cache, anc, lt, pt, has, stamp,
                  live_count, fin_count)
         return carry, ys
 
     carry, ys = jax.lax.scan(one, state, jnp.arange(n_steps))
     live_count, fin_count = carry[-2], carry[-1]
     return carry, live_count, fin_count, ys
+
+
+def _materialize(node) -> List[int]:
+    """Cons-cell chain (parent_node, tok) -> token list, root first."""
+    out: List[int] = []
+    while node is not None:
+        node, tok = node[0], node[1]
+        out.append(tok)
+    out.reverse()
+    return out
 
 
 @partial(jax.jit, static_argnames=("dec_cfg",), donate_argnums=(3,))
@@ -399,7 +430,9 @@ def device_beam_search_batch(
         # only row 0 of each utterance is live at the first selection
         jnp.zeros((rows,), jnp.float32),
         cache,
-        jnp.arange(rows, dtype=jnp.int32),  # pending cache re-parenting
+        # ancestor map: slot of each row's history per step (within its
+        # beam group); zeros = the prefix lives in each group's row 0
+        jnp.zeros((rows, t_buf), jnp.int32),
         jnp.zeros((rows,), bool),   # last sampled token is a timestamp
         jnp.ones((rows,), bool),    # penultimate is a timestamp (len<2)
         jnp.zeros((rows,), bool),   # any timestamp sampled yet
@@ -417,7 +450,13 @@ def device_beam_search_batch(
     )
 
     # host-side mirrors, rebuilt by replaying the device rule
-    live: List[List[tuple]] = [[(list(prefix), 0.0)] for _ in range(n_utt)]
+    # live hypotheses are cons cells: node = (parent_node, tok), rooted
+    # at None; _materialize walks the chain (cheap — only finished or
+    # surviving hypotheses ever materialise)
+    root = None
+    for t in prefix:
+        root = (root, int(t))
+    live: List[List[tuple]] = [[(root, 0.0)] for _ in range(n_utt)]
     finished: List[dict] = [{} for _ in range(n_utt)]
     utt_done = [False] * n_utt
 
@@ -433,31 +472,41 @@ def device_beam_search_batch(
 
         # replay the device's selection rule to rebuild token lists
         # (same inputs, same deterministic rule — host and device stay
-        # in lockstep; ref: decoding.py:338-441)
+        # in lockstep; ref: decoding.py:338-441). Sequences are
+        # cons cells (parent_node, tok) materialised lazily — the
+        # original per-candidate numpy-scalar reads + O(len) list
+        # copies were ~290 ms/chunk of pure host time once the device
+        # step dropped to ~31 ms (round-4e trace), dominating the wall.
+        finite = np.isfinite(arr[:, 0])
+        parents_all = (arr[:, 1].astype(np.int64)) // k_top
+        toks_all = arr[:, 2].astype(np.int64)
         for s in range(n_steps):
-            sel_scores, sel_flat, sel_tok = arr[s]
+            sel_scores = arr[s, 0]
             for u in range(n_utt):
                 if utt_done[u]:
                     continue
+                idxs = np.nonzero(finite[s, u])[0]
+                sc_l = sel_scores[u][idxs].tolist()
+                par_l = parents_all[s, u][idxs].tolist()
+                tok_l = toks_all[s, u][idxs].tolist()
+                lu = live[u]
+                nlu = len(lu)
+                fin_u = finished[u]
                 new_live: List[tuple] = []
-                for ci in range(sel_k):
-                    score = float(sel_scores[u, ci])
-                    if not np.isfinite(score):
-                        continue  # dead-row candidate (masked on device)
-                    parent = int(sel_flat[u, ci]) // k_top
-                    if parent >= len(live[u]):
+                for score, parent, tok in zip(sc_l, par_l, tok_l):
+                    if parent >= nlu:
                         continue
-                    tok = int(sel_tok[u, ci])
-                    seq = live[u][parent][0] + [tok]
                     if tok == eos_id:
-                        if len(finished[u]) < max_candidates:
-                            finished[u].setdefault(tuple(seq[:-1]), score)
+                        if len(fin_u) < max_candidates:
+                            fin_u.setdefault(
+                                tuple(_materialize(lu[parent][0])), score
+                            )
                     else:
-                        new_live.append((seq, score))
+                        new_live.append(((lu[parent][0], tok), score))
                         if len(new_live) == beam_size:
                             break
                 live[u] = new_live
-                if len(finished[u]) >= max_candidates or not new_live:
+                if len(fin_u) >= max_candidates or not new_live:
                     utt_done[u] = True
         step_done += n_steps
 
@@ -468,8 +517,10 @@ def device_beam_search_batch(
             for seq, score in finished[u].items()
         ]
         if len(results) < beam_size:
-            for toks, sc in sorted(live[u], key=lambda x: -x[1]):
-                results.append(BeamHypothesis(list(toks), sc, sample_begin))
+            for node, sc in sorted(live[u], key=lambda x: -x[1]):
+                results.append(
+                    BeamHypothesis(_materialize(node), sc, sample_begin)
+                )
                 if len(results) >= beam_size:
                     break
         results.sort(key=lambda h: -h.ranking_score(length_penalty))

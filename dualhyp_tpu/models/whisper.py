@@ -486,7 +486,8 @@ def _logits_einsum(sub, a, b):
 
 
 def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
-                       cache: dict, cross_kv, row_gather=None):
+                       cache: dict, cross_kv, row_gather=None,
+                       anc_onehot=None):
     """One decode step. tokens: (B,) int32 current tokens at position `pos`
     (scalar — beams advance in lockstep). Returns (logits (B, V), cache).
 
@@ -497,6 +498,22 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     step already pays, instead of a separate full-cache gather+copy
     (which at whisper-large beam-50 sizes is ~4.6 GB/step of pure HBM
     traffic). Bit-exact vs permuting the cache before the call.
+
+    anc_onehot: optional (U, R, R, T) one-hot ancestor selector (R = beam
+    rows per utterance, B = U*R, T = cache length) for the APPEND-ONLY
+    cache protocol: rows are never permuted; row i's column t holds the
+    K/V written by whichever hypothesis occupied slot i at step t, and
+    anc_onehot[u, r, s, t] = 1 selects hypothesis r's ancestor slot s at
+    step t. History selection runs as a grouped one-hot MXU einsum (a
+    per-(row,step) gather lowers to a DMA loop inside lax.scan — the
+    round-4b VSR lesson), the current step's K/V is injected into its
+    column without touching the cache, and the function returns the new
+    (L, B, n_state) K/V COLUMNS instead of a rewritten cache — the
+    caller appends them with one dynamic_update_slice. This removes the
+    full-cache gather+rewrite the row_gather mode pays every step
+    (profiled at ~75% of the beam step, scripts/profile_whisper_beam.py)
+    and keeps the scan carry aliasable. Bit-exact vs row_gather mode for
+    live rows: the one-hot contraction adds exact zeros.
 
     The layer loop is a lax.scan with the cache as xs/ys. An unrolled
     python loop (espnet_decoder-style, static indexing + end stack) was
@@ -523,26 +540,66 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     def body(carry, scanned):
         hcur = carry
         leaf, ck_layer, cv_layer, xk, xv = scanned
-        if row_gather is not None:
-            ck_layer = jnp.take(ck_layer, row_gather, axis=0)
-            cv_layer = jnp.take(cv_layer, row_gather, axis=0)
         n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
         k_new = _linear(leaf["attn"]["key"], n)
         v_new = _linear(leaf["attn"]["value"], n)
-        ck_layer = jax.lax.dynamic_update_slice_in_dim(
-            ck_layer, k_new.astype(ck_layer.dtype), pos, axis=1
-        )
-        cv_layer = jax.lax.dynamic_update_slice_in_dim(
-            cv_layer, v_new.astype(cv_layer.dtype), pos, axis=1
-        )
-        q = split(_linear(leaf["attn"]["query"], n), 1)
-        k = split(ck_layer, max_len)
-        v = split(cv_layer, max_len)
         scale = hd ** -0.25
-        logits = _logits_einsum("bhtd,bhsd->bhts", q * scale, k * scale)
-        logits = jnp.where(valid[:, None, None, :], logits, -jnp.inf)
-        w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-        att = einsum("bhts,bhsd->bhtd", w, v).transpose(0, 2, 1, 3).reshape(b, 1, s)
+        if anc_onehot is not None:
+            # append-only: select each row's ancestor history on the MXU
+            # (cache is read-only here); inject this step's K/V into its
+            # column with the same dtype cast the DUS write applies
+            u, rg = anc_onehot.shape[:2]
+            kg = ck_layer.reshape(u, rg, max_len, s)
+            vg = cv_layer.reshape(u, rg, max_len, s)
+            k_att = einsum("urst,ustd->urtd", anc_onehot, kg).reshape(
+                b, max_len, s)
+            v_att = einsum("urst,ustd->urtd", anc_onehot, vg).reshape(
+                b, max_len, s)
+            colm = (jnp.arange(max_len) == pos)[None, :, None]
+            k_att = jnp.where(colm, k_new.astype(k_att.dtype), k_att)
+            v_att = jnp.where(colm, v_new.astype(v_att.dtype), v_att)
+            out_kv = (k_new[:, 0].astype(ck_layer.dtype),
+                      v_new[:, 0].astype(cv_layer.dtype))
+            # the attention dots consume k_att/v_att in their FLAT
+            # (b, t, n_state) layout: a block-diagonal query — q zeroed
+            # outside its own head's 64-wide block — makes the d=1280
+            # contraction per head equal the per-head 64-contraction
+            # exactly (the off-block products are exact zeros). The
+            # head-split formulation paid two (b, T, n_state) transpose
+            # copies + reshapes per layer feeding a loop-fusion matvec
+            # (~18 ms of the 54 ms step in the round-4e trace); this
+            # keeps every tensor minor-dim-1280 and every dot on the MXU.
+            headmask = (
+                jnp.arange(s) // hd == jnp.arange(h)[:, None]
+            ).astype(x.dtype)                       # (h, n_state) 0/1
+            q1 = _linear(leaf["attn"]["query"], n)[:, 0]   # (b, n_state)
+            q_block = (q1 * scale)[:, None, :] * headmask[None]
+            logits = _logits_einsum(
+                "bhd,bsd->bhs", q_block, k_att * scale)
+            logits = jnp.where(valid[:, None, :], logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            att_full = einsum("bhs,bsd->bhd", w, v_att)    # (b, h, n_state)
+            att = (att_full * headmask[None]).sum(axis=1).reshape(b, 1, s)
+        else:
+            if row_gather is not None:
+                ck_layer = jnp.take(ck_layer, row_gather, axis=0)
+                cv_layer = jnp.take(cv_layer, row_gather, axis=0)
+            ck_layer = jax.lax.dynamic_update_slice_in_dim(
+                ck_layer, k_new.astype(ck_layer.dtype), pos, axis=1
+            )
+            cv_layer = jax.lax.dynamic_update_slice_in_dim(
+                cv_layer, v_new.astype(cv_layer.dtype), pos, axis=1
+            )
+            k = split(ck_layer, max_len)
+            v = split(cv_layer, max_len)
+            out_kv = (ck_layer, cv_layer)
+            q = split(_linear(leaf["attn"]["query"], n), 1)
+            logits = _logits_einsum("bhtd,bhsd->bhts", q * scale, k * scale)
+            logits = jnp.where(valid[:, None, None, :], logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            att = einsum(
+                "bhts,bhsd->bhtd", w, v
+            ).transpose(0, 2, 1, 3).reshape(b, 1, s)
         hcur = hcur + _linear(leaf["attn"]["out"], att)
 
         # cross attention over precomputed memory K/V; a batch-1 memory is
@@ -586,13 +643,15 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             leaf["mlp"]["fc2"],
             jax.nn.gelu(_linear(leaf["mlp"]["fc1"], n), approximate=False),
         )
-        return hcur, (ck_layer, cv_layer)
+        return hcur, out_kv
 
     x, (new_k, new_v) = jax.lax.scan(
         body, x, (params["blocks"], cache["k"], cache["v"], cross_k, cross_v)
     )
     x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
     logits = einsum("btd,vd->btv", x, params["token_embedding"].astype(x.dtype))
+    # anc_onehot mode: {"k"/"v"} are the new (L, B, n_state) COLUMNS to
+    # append at `pos`; otherwise the fully rewritten cache
     return logits[:, 0].astype(jnp.float32), {"k": new_k, "v": new_v}
 
 

@@ -1,10 +1,10 @@
-"""Op-level profiler trace of the VSR device joint beam (real TPU).
+"""Op-level profiler trace of the batched VSR joint device beam (real TPU).
 
-Captures a jax.profiler trace of scripts/bench_vsr_beam.py's production
-configuration (BRAVEn-large decoder, beam 40, lockstep utterances) and
-aggregates device-plane event durations per fusion — the evidence base
-for deciding which residual (cache parents-gather, CTC scan, decoder
-GEMMs, selection) still owns the ~110 ms/utt step time.
+Captures a jax.profiler trace of the production make_json_vsr decode
+configuration (BRAVEn-large decoder + CTC, beam 40, lockstep
+utterances) and aggregates device-plane event durations per fusion —
+the evidence base for attributing the ~57 ms/utt between the cache
+permute, the CTC prefix recursion, the decoder GEMMs, and selection.
 
     python scripts/profile_vsr_beam.py [--utts 16] [--beam 40]
 """
@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
@@ -37,10 +38,10 @@ def main():
 
     import jax.numpy as jnp
 
-    from bench_vsr_beam import build_decoder, build_encoder, rnd_params
+    from bench_vsr_beam import build_decoder, rnd_params
+    from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
     from dualhyp_tpu.models import espnet_decoder as ed
     from dualhyp_tpu.models import raven
-    from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
 
     enc_cfg = raven.BRAVEN_LARGE
     vocab = 1049
@@ -48,48 +49,46 @@ def main():
         odim=vocab, attention_dim=enc_cfg.attention_dim,
         attention_heads=16, linear_units=4096, num_blocks=6,
     )
-    enc_params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16),
-        build_encoder(enc_cfg, jax.random.key(0)),
-    )
     dec_params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16),
         build_decoder(dec_cfg, jax.random.key(1)),
     )
     rnd, lin, _ = rnd_params(jax.random.key(2))
-    ctc_params = {"ctc_lo": lin(vocab, enc_cfg.attention_dim)}
-
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(
-        rng.normal(size=(1, args.frames, enc_cfg.idim)), jnp.bfloat16
+    mem = rng.normal(size=(args.frames, enc_cfg.attention_dim)).astype(
+        np.float32
     )
-    encode = jax.jit(lambda p, f: raven.encode(p, enc_cfg, f))
-    memory = jax.block_until_ready(encode(enc_params, feats))
-    ctc_lp = np.asarray(ed.ctc_log_probs(ctc_params, memory))[0]
-    mem_np = np.asarray(memory, np.float32)[0]
+    lp = np.log(
+        rng.dirichlet(np.ones(vocab), size=args.frames).astype(np.float32)
+    )
+    memories = [mem] * args.utts
+    ctc_lps = [lp] * args.utts
 
-    def run_batched():
+    def run():
         return joint_device_beam_batch(
-            dec_params, dec_cfg, [mem_np] * args.utts, [ctc_lp] * args.utts,
+            dec_params, dec_cfg, memories, ctc_lps,
             sos=vocab - 1, eos=vocab - 1, beam_size=args.beam,
             weights={"decoder": 0.9, "ctc": 0.1}, max_len=args.max_len,
             chunk_steps=args.chunk_steps,
         )
 
-    run_batched()  # compile warm
+    print("compiling...", flush=True)
+    run()
     t0 = time.perf_counter()
-    run_batched()
+    run()
     wall = time.perf_counter() - t0
-    print(f"warm run: {wall*1e3:.0f} ms total, "
-          f"{wall/args.utts*1e3:.0f} ms/utt", flush=True)
+    print(
+        f"warm run: {wall*1e3:.0f} ms total, "
+        f"{wall/args.max_len*1e3:.2f} ms/step, "
+        f"{wall/args.utts*1e3:.0f} ms/utt", flush=True,
+    )
 
     trace_dir = tempfile.mkdtemp(prefix="dualhyp_vsrbeam_trace_")
     with jax.profiler.trace(trace_dir):
-        run_batched()
+        run()
     print("trace:", trace_dir, flush=True)
 
     from profile_train_trace import analyze
-    # normalise per device-step: max_len decoder steps in the run
     analyze(trace_dir, steps=args.max_len)
 
 

@@ -43,6 +43,17 @@ def test_serve_cli_roundtrip():
     th.start()
     assert ready.wait(timeout=30)
 
+    try:
+        _roundtrip(server, tok, params, cfg, port_holder["port"])
+    finally:
+        # a leaked live accept loop outlives the test and keeps waking
+        # for the rest of the suite
+        server.stop()
+        th.join(timeout=10)
+        assert not th.is_alive()
+
+
+def _roundtrip(server, tok, params, cfg, port):
     requests = [
         {"id": "a", "nhyps_asr": ["the cat sat", "the bat sat", "cat sat"]},
         {"id": "b", "nhyps_asr": ["dog ran fast", "dog ran"],
@@ -51,7 +62,7 @@ def test_serve_cli_roundtrip():
             "GER", ["many people watch", "many people talk"]
         ), "max_new": 4},
     ]
-    with socket.create_connection(("127.0.0.1", port_holder["port"]),
+    with socket.create_connection(("127.0.0.1", port),
                                   timeout=30) as conn:
         for req in requests:
             conn.sendall((json.dumps(req) + "\n").encode())
