@@ -61,6 +61,21 @@ class BeamHypothesis:
         return self.avg_logprob
 
 
+def cons_to_list(node) -> List[int]:
+    """Cons-cell chain (parent_node, tok) rooted at None -> token list.
+
+    The device-beam host replays keep hypotheses as cons cells so a
+    surviving child shares its parent's history in O(1); only finished
+    or surviving hypotheses ever materialise (the per-candidate list
+    copies were ~290 ms/chunk of host time at whisper beam 50)."""
+    out: List[int] = []
+    while node is not None:
+        node, tok = node[0], node[1]
+        out.append(tok)
+    out.reverse()
+    return out
+
+
 @dataclass(frozen=True)
 class TimestampRules:
     """ApplyTimestampRules parameters (ref: decoding.py:482-547)."""

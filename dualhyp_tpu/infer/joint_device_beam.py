@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
+from dualhyp_tpu.infer.beam_search import cons_to_list
 from dualhyp_tpu.infer.joint_beam_search import JointHypothesis
 
 LOG_ZERO = -1e10
@@ -351,7 +352,7 @@ def joint_device_beam_batch(
     pre_beam_ratio: float = 1.5,
     blank: int = 0,
     mem_pad_multiple: int = 32,
-    chunk_steps: int = 8,
+    chunk_steps: int = 16,
 ) -> List[List[JointHypothesis]]:
     """Lockstep joint beam over U utterances; per-utterance results match
     `joint_beam_search` (same scores, same n-best ordering).
@@ -452,10 +453,12 @@ def joint_device_beam_batch(
          weights["length_bonus"]], jnp.float32,
     )
 
-    # host-side beams: per utterance, list of live hypotheses in row order
-    live: List[List[JointHypothesis]] = [
-        [JointHypothesis([sos], 0.0)] for _ in range(n_utt)
-    ]
+    # host-side beams: per utterance, list of live hypotheses in row
+    # order, each a (cons_node, score, ctc_score) triple — cons cells
+    # (parent_node, tok) share history in O(1); only finished/surviving
+    # hypotheses materialise (see beam_search.cons_to_list)
+    live: List[List[tuple]] = [[((None, sos), 0.0, 0.0)]
+                               for _ in range(n_utt)]
     finished: List[List[JointHypothesis]] = [[] for _ in range(n_utt)]
     utt_done = [False] * n_utt
 
@@ -482,40 +485,50 @@ def joint_device_beam_batch(
         arr = np.asarray(ys)  # ONE host sync per chunk of n_steps tokens
 
         # replay the device's selection rule to rebuild token lists
+        # (batch scalar extraction + cons cells: the per-candidate numpy
+        # reads and O(len) token-list copies dominated the wall once the
+        # device step shrank — same cure as the whisper beam replay)
+        finite = np.isfinite(arr[:, 0])
+        parents_all = arr[:, 1].astype(np.int64) // k_pre
+        toks_all = arr[:, 2].astype(np.int64)
         for s in range(n_steps):
-            sel_scores, sel_flat, sel_tok, sel_psi = arr[s]
             for ui in range(n_utt):
                 if utt_done[ui]:
                     continue
-                new_live: List[JointHypothesis] = []
-                for ci in range(2 * h):
-                    score = float(sel_scores[ui, ci])
-                    if not np.isfinite(score):
-                        continue  # dead-parent candidate (masked on device)
-                    flat = int(sel_flat[ui, ci])
-                    parent_row = flat // k_pre
-                    if parent_row >= len(live[ui]):
+                idxs = np.nonzero(finite[s, ui])[0]
+                sc_l = arr[s, 0, ui][idxs].tolist()
+                par_l = parents_all[s, ui][idxs].tolist()
+                tok_l = toks_all[s, ui][idxs].tolist()
+                psi_l = arr[s, 3, ui][idxs].tolist()
+                lu = live[ui]
+                nlu = len(lu)
+                fin_u = finished[ui]
+                new_live: List[tuple] = []
+                for score, parent_row, tok, psi in zip(
+                        sc_l, par_l, tok_l, psi_l):
+                    if parent_row >= nlu:
                         continue
-                    tok = int(sel_tok[ui, ci])
-                    hyp = live[ui][parent_row]
-                    new = JointHypothesis(
-                        hyp.tokens + [tok], score,
-                        ctc_score=float(sel_psi[ui, ci]),
-                    )
+                    node = lu[parent_row][0]
                     if tok == eos:
-                        finished[ui].append(new)
+                        fin_u.append(JointHypothesis(
+                            cons_to_list(node) + [tok], score,
+                            ctc_score=psi,
+                        ))
                     else:
-                        new_live.append(new)
+                        new_live.append(((node, tok), score, psi))
                     if len(new_live) >= h:
                         break
                 live[ui] = new_live
-                if len(finished[ui]) >= beam_size or not new_live:
+                if len(fin_u) >= beam_size or not new_live:
                     utt_done[ui] = True
         step += n_steps
 
     results: List[List[JointHypothesis]] = []
     for ui in range(n_utt):
-        pool = finished[ui] + live[ui]
+        pool = finished[ui] + [
+            JointHypothesis(cons_to_list(node), sc, ctc_score=psi)
+            for node, sc, psi in live[ui]
+        ]
         pool.sort(key=lambda hh: -hh.score / max(len(hh.tokens), 1))
         results.append(pool)
     return results

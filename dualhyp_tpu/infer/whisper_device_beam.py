@@ -52,7 +52,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dualhyp_tpu.infer.beam_search import BeamHypothesis, TimestampRules
+from dualhyp_tpu.infer.beam_search import (
+    BeamHypothesis, TimestampRules, cons_to_list,
+)
 
 _NEG = jnp.float32(-jnp.inf)
 
@@ -266,16 +268,6 @@ def _beam_chunk(
     return carry, live_count, fin_count, ys
 
 
-def _materialize(node) -> List[int]:
-    """Cons-cell chain (parent_node, tok) -> token list, root first."""
-    out: List[int] = []
-    while node is not None:
-        node, tok = node[0], node[1]
-        out.append(tok)
-    out.reverse()
-    return out
-
-
 @partial(jax.jit, static_argnames=("dec_cfg",), donate_argnums=(3,))
 def _prefill(dec_params, cross, prefix_arr, cache, *, dec_cfg):
     """Walk the shared sot sequence (positions 0..len(prefix_arr)-1) in
@@ -451,7 +443,7 @@ def device_beam_search_batch(
 
     # host-side mirrors, rebuilt by replaying the device rule
     # live hypotheses are cons cells: node = (parent_node, tok), rooted
-    # at None; _materialize walks the chain (cheap — only finished or
+    # at None; cons_to_list walks the chain (cheap — only finished or
     # surviving hypotheses ever materialise)
     root = None
     for t in prefix:
@@ -499,7 +491,7 @@ def device_beam_search_batch(
                     if tok == eos_id:
                         if len(fin_u) < max_candidates:
                             fin_u.setdefault(
-                                tuple(_materialize(lu[parent][0])), score
+                                tuple(cons_to_list(lu[parent][0])), score
                             )
                     else:
                         new_live.append(((lu[parent][0], tok), score))
@@ -519,7 +511,7 @@ def device_beam_search_batch(
         if len(results) < beam_size:
             for node, sc in sorted(live[u], key=lambda x: -x[1]):
                 results.append(
-                    BeamHypothesis(_materialize(node), sc, sample_begin)
+                    BeamHypothesis(cons_to_list(node), sc, sample_begin)
                 )
                 if len(results) >= beam_size:
                     break

@@ -96,7 +96,7 @@ def main():
     ap.add_argument("--max_len", type=int, default=40)
     ap.add_argument("--utts", type=int, default=8,
                     help="lockstep batch width for the device beam")
-    ap.add_argument("--chunk_steps", type=int, default=8)
+    ap.add_argument("--chunk_steps", type=int, default=16)
     ap.add_argument("--host_beam", action="store_true",
                     help="also time the host-driven per-utterance beam")
     args = ap.parse_args()
