@@ -300,6 +300,11 @@ def _joint_chunk(
         # scan (~9 us issue overhead x 640 rows = 5.8 ms/step profiled,
         # plus carry copies) — the same disease the CTC candidate gather
         # had. One-hot rows are exact in bf16, so values roundtrip.
+        # NOTE a per-utterance block-diagonal (U, G, G) contraction (G/R
+        # the FLOPs) was MEASURED 1.9x SLOWER end-to-end: G=40 pads both
+        # MXU tile dims to 128 (~10x efficiency loss) while the global
+        # (R, R) dot tiles perfectly at R=640 — 410 GFLOP well-shaped
+        # beats 26 GFLOP padded (round 4f A/B, scripts/profile_vsr_beam).
         perm = jax.nn.one_hot(gparent, r_cnt, dtype=jnp.bfloat16)
 
         def permute_rows(v):
