@@ -481,10 +481,11 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         )
 
     def flush(pending):
-        """Decode a group of loaded utterances; falls back to per-utterance
-        decoding if the batched beam fails so one bad sample can't sink
-        its neighbours (per-sample skip, ref: make_json_asr.py:112-116)."""
-        if len(pending) > 1:
+        """Decode a group of loaded utterances (singletons included — one
+        production path); falls back to per-utterance decoding if the
+        batched beam fails so one bad sample can't sink its neighbours
+        (per-sample skip, ref: make_json_asr.py:112-116)."""
+        if pending:
             try:
                 results = transcribe_nbest_batch(
                     [p[3] for p in pending], encoder, decoder, tokenizer,

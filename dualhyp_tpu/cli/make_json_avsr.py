@@ -20,12 +20,11 @@ import numpy as np
 
 
 _ENCODE_JIT = None
-_A_LEN_CACHE: dict = {}
 
 
 def _encode_jit():
-    """Jitted batched AV frontends+encoders+fusion+CTC (lazy so importing
-    the CLI never touches a jax backend)."""
+    """Jitted batched AV frontends + avsr.avsr_encode fusion + CTC (lazy
+    so importing the CLI never touches a jax backend)."""
     global _ENCODE_JIT
     if _ENCODE_JIT is None:
         from functools import partial
@@ -43,35 +42,13 @@ def _encode_jit():
                                           lengths=asamps)
             vmask = vlens[:, None] > jnp.arange(vfeats.shape[1])[None, :]
             amask = alens[:, None] > jnp.arange(afeats.shape[1])[None, :]
-            v = raven.encode(params["video_encoder"], video_cfg, vfeats,
-                             vmask)
-            a = raven.encode(params["audio_encoder"], audio_cfg, afeats,
-                             amask)
-            t = min(v.shape[1], a.shape[1])
-            fused = jnp.concatenate([v[:, :t], a[:, :t]], axis=-1)
-            memory = avsr.mlp_head(params["fusion"], fused)
+            memory = avsr.avsr_encode(params, video_cfg, audio_cfg, vfeats,
+                                      afeats, video_mask=vmask,
+                                      audio_mask=amask)
             return memory, ed.ctc_log_probs(ctc_params, memory)
 
         _ENCODE_JIT = f
     return _ENCODE_JIT
-
-
-def _audio_out_len(params_af, n_samples: int) -> int:
-    """conv1d_frontend output length for an UNPADDED waveform of
-    n_samples — via eval_shape (no device work), so the padded batch can
-    be sliced back to exactly the frames the per-utterance path yields."""
-    if n_samples not in _A_LEN_CACHE:
-        import jax
-        import jax.numpy as jnp
-
-        from dualhyp_tpu.models import avsr
-
-        shape = jax.eval_shape(
-            lambda a: avsr.conv1d_frontend(params_af, a),
-            jax.ShapeDtypeStruct((1, n_samples), jnp.float32),
-        )
-        _A_LEN_CACHE[n_samples] = int(shape.shape[1])
-    return _A_LEN_CACHE[n_samples]
 
 
 def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
@@ -83,36 +60,34 @@ def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
     TPU). Right-zero padding is exact at real positions: both frontends
     mix time only in convolutions whose zero-tail windows match the
     unpadded convs' own zero padding (the audio AvgPool(20) frames are
-    sliced back to the unpadded output length via `_audio_out_len`),
+    sliced back to the closed-form samples-//-640 unpadded frame count),
     and the conformers mix positions only in masked attention + the
     masked conv module (tests/test_batch_encode.py)."""
     import jax.numpy as jnp
 
+    from dualhyp_tpu.cli.make_json_vsr import pad_video_batch
+
+    # conv1d_frontend emits exactly one frame per 640 samples of the
+    # 640-trimmed waveform (its docstring; asserted against the compiled
+    # frontend in tests/test_batch_encode.py), so the padded batch can be
+    # sliced back to the per-utterance frame counts in closed form.
     vlens = np.array([len(v) for v in videos], np.int32)
-    alens = np.array(
-        [_audio_out_len(params["audio_frontend"], len(a) // 640 * 640)
-         for a in audios], np.int32,
+    alens = np.array([len(a) // 640 for a in audios], np.int32)
+    vids, vlens_pad, _ = pad_video_batch(
+        videos, pad_multiple, min_frames=int(alens.max())
     )
-    t_pad = max(pad_multiple,
-                -(-int(max(vlens.max(), alens.max())) // pad_multiple)
-                * pad_multiple)
-    u = len(videos)
-    u_pad = 1 << max(0, u - 1).bit_length()
-    h, w = np.shape(videos[0])[1:]
-    vids = np.zeros((u_pad, 1, t_pad, h, w), np.float32)
+    u, u_pad, t_pad = len(videos), vids.shape[0], vids.shape[2]
     auds = np.zeros((u_pad, t_pad * 640), np.float32)
     asamps = np.full((u_pad,), 640, np.int32)  # dummy rows: 1 frame
-    for i, (v, a) in enumerate(zip(videos, audios)):
-        vids[i, 0, : len(v)] = v
+    for i, a in enumerate(audios):
         auds[i, : min(len(a), t_pad * 640)] = a[: t_pad * 640]
         asamps[i] = min(len(a), t_pad * 640)
-    lens1 = lambda arr: np.concatenate(
-        [arr, np.ones((u_pad - u,), np.int32)]
-    )  # dummy rows get length 1 (an all-masked attention row is NaN)
+    alens_pad = np.ones((u_pad,), np.int32)
+    alens_pad[:u] = alens  # dummy rows length 1 (all-masked row is NaN)
     memory, ctc_lp = _encode_jit()(
         params, ctc_params, video_cfg, audio_cfg,
-        jnp.asarray(vids), jnp.asarray(lens1(vlens)),
-        jnp.asarray(auds), jnp.asarray(asamps), jnp.asarray(lens1(alens)),
+        jnp.asarray(vids), jnp.asarray(vlens_pad),
+        jnp.asarray(auds), jnp.asarray(asamps), jnp.asarray(alens_pad),
     )
     memory = np.asarray(memory, np.float32)
     ctc_lp = np.asarray(ctc_lp, np.float32)
@@ -272,12 +247,13 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         )
 
     def flush(pending):
-        """ONE lockstep device beam per group; per-utterance fallback so
-        one bad sample can't sink its neighbours."""
+        """ONE lockstep device beam per group (singletons too — one
+        production path); per-utterance fallback so one bad sample can't
+        sink its neighbours."""
         if not pending:
             return
         try:
-            if len(pending) > 1:
+            if pending:
                 results = transcribe_avsr_nbest_batch(
                     [p[5] for p in pending], [p[4] for p in pending],
                     params, video_cfg, audio_cfg, dec_params, dec_cfg,

@@ -63,6 +63,33 @@ def _encode_ctc_jit():
     return _ENCODE_JIT
 
 
+def pad_video_batch(videos, pad_multiple=32, min_frames=0):
+    """Bucket-pad U variable-length (T_i, H, W) videos for ONE compiled
+    encode call: (U_pad, 1, T_pad, H, W) right-zero-padded frames plus a
+    per-row true-length vector. U pads to a power of two and T to a
+    multiple of `pad_multiple` so repeated calls hit few jit buckets;
+    `min_frames` raises T_pad when a sibling stream (AVSR audio) needs
+    more frames than the longest video. Shared by the VSR/AVSR make_json
+    CLIs and precompute_features.
+
+    Returns (vids, lens_pad, lengths): lens_pad is (U_pad,) with dummy
+    rows given length 1 (an all-masked attention row is NaN), lengths is
+    the (U,) vector of real frame counts for slicing outputs back."""
+    lengths = np.array([len(v) for v in videos], np.int32)
+    t_pad = max(pad_multiple,
+                -(-max(int(lengths.max()), int(min_frames)) // pad_multiple)
+                * pad_multiple)
+    u = len(videos)
+    u_pad = 1 << max(0, u - 1).bit_length()  # pow2 buckets: few compiles
+    h, w = np.shape(videos[0])[1:]
+    vids = np.zeros((u_pad, 1, t_pad, h, w), np.float32)
+    for i, v in enumerate(videos):
+        vids[i, 0, : len(v)] = v
+    lens_pad = np.ones((u_pad,), np.int32)
+    lens_pad[:u] = lengths
+    return vids, lens_pad, lengths
+
+
 def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
                      videos, pad_multiple=32):
     """U variable-length (T_i, H, W) videos -> per-utterance (memory,
@@ -80,18 +107,7 @@ def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
     (tests/test_batch_encode.py)."""
     import jax.numpy as jnp
 
-    lengths = np.array([len(v) for v in videos], np.int32)
-    t_pad = max(pad_multiple,
-                -(-int(lengths.max()) // pad_multiple) * pad_multiple)
-    u = len(videos)
-    u_pad = 1 << max(0, u - 1).bit_length()  # pow2 buckets: few compiles
-    h, w = np.shape(videos[0])[1:]
-    vids = np.zeros((u_pad, 1, t_pad, h, w), np.float32)
-    for i, v in enumerate(videos):
-        vids[i, 0, : len(v)] = v
-    # dummy rows get length 1 (an all-masked attention row is NaN)
-    lens_pad = np.ones((u_pad,), np.int32)
-    lens_pad[:u] = lengths
+    vids, lens_pad, lengths = pad_video_batch(videos, pad_multiple)
     memory, ctc_lp = _encode_ctc_jit()(
         frontend_params, enc_params, ctc_params, enc_cfg,
         jnp.asarray(vids), jnp.asarray(lens_pad)
@@ -100,6 +116,38 @@ def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
     ctc_lp = np.asarray(ctc_lp, np.float32)
     return ([memory[i, :l] for i, l in enumerate(lengths)],
             [ctc_lp[i, :l] for i, l in enumerate(lengths)])
+
+
+_ENCODE_ONLY_JIT = None
+
+
+def encode_batch(frontend_params, enc_params, enc_cfg, videos,
+                 pad_multiple=32):
+    """Memory-only twin of `encode_ctc_batch` (no CTC head) — the frozen
+    visual-feature path of cli/precompute_features.py. Same bucket-pad +
+    masked jitted encode + slice-back recipe, one implementation."""
+    global _ENCODE_ONLY_JIT
+    import jax.numpy as jnp
+
+    if _ENCODE_ONLY_JIT is None:
+        from functools import partial
+
+        import jax
+
+        from dualhyp_tpu.models import raven
+
+        @partial(jax.jit, static_argnames=("enc_cfg",))
+        def f(frontend_params, enc_params, enc_cfg, videos, lengths):
+            feats = raven.conv3d_frontend(frontend_params, videos)
+            mask = lengths[:, None] > jnp.arange(feats.shape[1])[None, :]
+            return raven.encode(enc_params, enc_cfg, feats, mask)
+
+        _ENCODE_ONLY_JIT = f
+    vids, lens_pad, lengths = pad_video_batch(videos, pad_multiple)
+    memory = _ENCODE_ONLY_JIT(frontend_params, enc_params, enc_cfg,
+                              jnp.asarray(vids), jnp.asarray(lens_pad))
+    memory = np.asarray(memory, np.float32)
+    return [memory[i, :l] for i, l in enumerate(lengths)]
 
 
 def load_mouthroi(path) -> np.ndarray:
@@ -283,14 +331,14 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         )
 
     def flush(pending):
-        """Decode a group in ONE lockstep device beam; fall back to
-        per-utterance decoding if the batch fails so one bad sample
-        can't sink its neighbours (per-sample skip, ref:
-        data/make_json_vsr.py error handling)."""
+        """Decode a group in ONE lockstep device beam (singletons too —
+        one production path); fall back to per-utterance decoding if the
+        batch fails so one bad sample can't sink its neighbours
+        (per-sample skip, ref: data/make_json_vsr.py error handling)."""
         if not pending:
             return
         try:
-            if len(pending) > 1:
+            if pending:
                 results = transcribe_vsr_nbest_batch(
                     [p[3] for p in pending], frontend_params, enc_params,
                     enc_cfg, dec_params, dec_cfg, ctc_params, token_list,

@@ -25,32 +25,6 @@ from pathlib import Path
 
 import numpy as np
 
-_VIDEO_JIT = None
-
-
-def _encode_video_jit():
-    """Jitted conv3d+BRAVEn encode over a bucket-padded (1, 1, T_pad, H, W)
-    clip with a frame-length mask (lazy so importing the CLI never touches
-    a jax backend)."""
-    global _VIDEO_JIT
-    if _VIDEO_JIT is None:
-        from functools import partial
-
-        import jax
-        import jax.numpy as jnp
-
-        from dualhyp_tpu.models import raven as raven_mod
-
-        @partial(jax.jit, static_argnames=("cfg",))
-        def f(frontend, enc, cfg, video, length):
-            feats = raven_mod.conv3d_frontend(frontend, video)
-            mask = length[:, None] > jnp.arange(feats.shape[1])[None, :]
-            return raven_mod.encode(enc, cfg, feats, mask)
-
-        _VIDEO_JIT = f
-    return _VIDEO_JIT
-
-
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--json", required=True, help="hypotheses JSON")
@@ -122,8 +96,8 @@ def main(argv=None):
             audio_feats = np.asarray(encode_audio(jnp.asarray(mel[None])))[0]
 
             if raven is not None and rec.get("Mouthroi"):
-                from dualhyp_tpu.cli.make_json_vsr import load_mouthroi
-                from dualhyp_tpu.models import raven as raven_mod
+                from dualhyp_tpu.cli.make_json_vsr import (encode_batch,
+                                                           load_mouthroi)
 
                 frontend, r_enc, r_cfg = raven
                 video = load_mouthroi(rec["Mouthroi"])
@@ -137,18 +111,12 @@ def main(argv=None):
                         video, occ, occlude_config=rec["Visual_Corruption"]
                     )
                 processed = corruption.eval_pipeline(video.astype(np.float32))
-                # bucket-padded jitted encode: the eager per-op loop costs
-                # seconds/utterance on a tunneled TPU, and right-zero
-                # padding is exact at real frames (tests/test_batch_encode)
-                t = len(processed)
-                t_pad = max(32, -(-t // 32) * 32)
-                vid = np.zeros((1, 1, t_pad) + processed.shape[1:],
-                               np.float32)
-                vid[0, 0, :t] = processed
-                visual_feats = np.asarray(_encode_video_jit()(
-                    frontend, r_enc, r_cfg, jnp.asarray(vid),
-                    jnp.asarray([t], np.int32)
-                ))[0, :t]
+                # bucket-padded jitted encode (the eager per-op loop costs
+                # seconds/utterance on a tunneled TPU; right-zero padding
+                # is exact at real frames — tests/test_batch_encode)
+                visual_feats = encode_batch(
+                    frontend, r_enc, r_cfg, [processed]
+                )[0]
             else:
                 n_frames = rec.get("Visual_Corruption", {}).get("total_len", 25)
                 visual_feats = np.zeros((n_frames, args.raven_dim), np.float32)

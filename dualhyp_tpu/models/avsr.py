@@ -44,11 +44,17 @@ def mlp_head(params: dict, x):
 
 def avsr_encode(params: dict, video_cfg: RavenEncoderConfig,
                 audio_cfg: RavenEncoderConfig, video_feats, audio_feats,
-                mask=None):
+                mask=None, *, video_mask=None, audio_mask=None):
     """Frame-aligned AV fusion: encode both streams, truncate to the common
-    length, concat on channels, MLP-fuse to the decoder width."""
-    v = encode(params["video_encoder"], video_cfg, video_feats, mask)
-    a = encode(params["audio_encoder"], audio_cfg, audio_feats, mask)
+    length, concat on channels, MLP-fuse to the decoder width.
+
+    `video_mask`/`audio_mask` give each stream its own (B, T) padding
+    mask (the bucket-padded batch path, cli/make_json_avsr.py); both
+    default to the shared `mask`."""
+    v = encode(params["video_encoder"], video_cfg, video_feats,
+               video_mask if video_mask is not None else mask)
+    a = encode(params["audio_encoder"], audio_cfg, audio_feats,
+               audio_mask if audio_mask is not None else mask)
     t = min(v.shape[1], a.shape[1])
     fused_in = jnp.concatenate([v[:, :t], a[:, :t]], axis=-1)
     return mlp_head(params["fusion"], fused_in)

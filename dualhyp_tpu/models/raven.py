@@ -309,7 +309,8 @@ def _ln(leaf, x):
     return layer_norm(x, leaf["weight"], leaf["bias"])
 
 
-def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask):
+def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask,
+                   mask_pad=None):
     if cfg.macaron_style:
         x = x + 0.5 * _feed_forward(
             leaf["feed_forward_macaron"], _ln(leaf["norm_ff_macaron"], x)
@@ -322,8 +323,6 @@ def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask):
     # conformer convolution (padding mask keeps right-padded batches
     # exactly equal to per-utterance unpadded encodes — see _conv_module)
     if cfg.use_cnn_module:
-        mask_pad = mask if (mask is not None and mask.ndim == 2
-                            and mask.shape[0] == x.shape[0]) else None
         x = x + _conv_module(leaf["conv_module"], _ln(leaf["norm_conv"], x),
                              mask_pad=mask_pad)
     # FFN
@@ -334,10 +333,23 @@ def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask):
     return x
 
 
-def encode(params: dict, cfg: RavenEncoderConfig, feats, mask=None):
+_INFER_MASK_PAD = object()
+
+
+def encode(params: dict, cfg: RavenEncoderConfig, feats, mask=None,
+           mask_pad=_INFER_MASK_PAD):
     """feats: (B, T, idim) frontend features -> (B, T, attention_dim).
 
     Use `conv3d_frontend` first for raw (B, 1, T, H, W) mouth ROIs.
+
+    `mask` feeds attention ((B, S) padding / (T, S) or (B, T, S)
+    attention mask); `mask_pad` is the (B, T) True-is-real padding mask
+    the conformer conv module zeroes padded frames with. Left at the
+    default it is INFERRED: `mask` is reused when it looks like a
+    padding mask ((B, S) with B == batch). That inference is ambiguous
+    for a square (T, T) attention mask when B happens to equal T —
+    callers passing attention masks should pass mask_pad explicitly
+    (None to disable), as the batched-encode paths do.
     """
     x = _linear(params["embed"]["linear"], feats)
     if "norm" in params["embed"]:
@@ -356,8 +368,12 @@ def encode(params: dict, cfg: RavenEncoderConfig, feats, mask=None):
         x = x + jnp.asarray(abs_positions(t, d)).astype(x.dtype)
         pos_emb = None
 
+    if mask_pad is _INFER_MASK_PAD:
+        mask_pad = mask if (mask is not None and mask.ndim == 2
+                            and mask.shape[0] == x.shape[0]) else None
     for i in range(cfg.num_blocks):
-        x = _encoder_layer(cfg, params["layers"][str(i)], x, pos_emb, mask)
+        x = _encoder_layer(cfg, params["layers"][str(i)], x, pos_emb, mask,
+                           mask_pad=mask_pad)
     if "after_norm" in params:
         x = _ln(params["after_norm"], x)
     return x

@@ -38,7 +38,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from bench_vsr_beam import build_decoder, rnd_params
+    from bench_vsr_beam import build_decoder
     from dualhyp_tpu.infer.joint_device_beam import joint_device_beam_batch
     from dualhyp_tpu.models import espnet_decoder as ed
     from dualhyp_tpu.models import raven
@@ -53,7 +53,6 @@ def main():
         lambda x: x.astype(jnp.bfloat16),
         build_decoder(dec_cfg, jax.random.key(1)),
     )
-    rnd, lin, _ = rnd_params(jax.random.key(2))
     rng = np.random.default_rng(0)
     mem = rng.normal(size=(args.frames, enc_cfg.attention_dim)).astype(
         np.float32

@@ -166,15 +166,15 @@ def test_encode_padded_masked_equals_unpadded(name):
 
 def test_conv1d_frontend_prefix_exact_and_out_len():
     """Zero right-padding the waveform leaves the unpadded output frames
-    exact, and _audio_out_len predicts where they end."""
-    from dualhyp_tpu.cli.make_json_avsr import _audio_out_len
-
+    exact, and the closed-form samples // 640 frame count (which
+    make_json_avsr.encode_ctc_batch_av slices outputs back with) matches
+    the compiled frontend."""
     params = _conv1d_params()
     rng = np.random.default_rng(1)
     n = 3 * 640 + 640  # 4 frames of samples
     audio = rng.normal(size=(1, n)).astype(np.float32)
     want = np.asarray(avsr.conv1d_frontend(params, jnp.asarray(audio)))[0]
-    out_len = _audio_out_len(params, n // 640 * 640)
+    out_len = n // 640
     assert out_len == want.shape[0]
     padded = np.zeros((1, 8 * 640), np.float32)
     padded[0, :n] = audio[0]
