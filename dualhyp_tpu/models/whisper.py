@@ -451,13 +451,27 @@ def decode_logits_with_cross_qk(params: dict, cfg: WhisperDecoderConfig,
 # cross-attn KV; the reference caches per-module via forward hooks,
 # ref: model.py:186-199 install_kv_cache_hooks) ----
 
-def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig, audio_features):
+def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
+                        audio_features):
     """Cross-attention K/V from encoder output, once per utterance.
-    Returns (k, v) each (L, B, S, n_state)."""
+    Returns (k, v) each (L, B, S, n_state).
+
+    K comes back PRE-SCALED by hd**-0.25: `decode_step_cached`'s logits
+    einsums consume K without their own scale multiply, so the decode
+    step never re-multiplies the (B, S, n_state) memory K — at
+    whisper-large beam-50 x 8 utterances that multiply was a 30 MB
+    bf16 pass per layer PER STEP (~2.9 ms/step in the round-4 profile).
+    Same elementwise multiply, done once here — bit-identical logits.
+
+    A pre-HEAD-SPLIT (L, B, h, S, hd) variant (sparing the decode step
+    its per-layer slice-transpose) measured 3x SLOWER end-to-end: the
+    hd=64 minor dim only half fills the (8, 128) TPU tile, doubling the
+    per-step cross-K/V stream; flat minor-1280 tiles perfectly."""
     xa = audio_features
+    scale = (cfg.n_state // cfg.n_head) ** -0.25
 
     def per_layer(leaf, _):
-        k = _linear(leaf["cross"]["key"], xa)
+        k = _linear(leaf["cross"]["key"], xa) * scale
         v = _linear(leaf["cross"]["value"], xa)
         return None, (k, v)
 
@@ -541,9 +555,14 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         hcur = carry
         leaf, ck_layer, cv_layer, xk, xv = scanned
         n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
-        k_new = _linear(leaf["attn"]["key"], n)
-        v_new = _linear(leaf["attn"]["value"], n)
         scale = hd ** -0.25
+        # K is PRE-SCALED by hd**-0.25 at creation, so the cache holds
+        # scaled K and the logits einsums never re-multiply the (B, T,
+        # n_state) attention-side tensors (same elementwise multiply,
+        # 35x fewer elements at a 35-token cache — bit-identical).
+        # precompute_cross_kv pre-scales the memory K the same way.
+        k_new = _linear(leaf["attn"]["key"], n) * scale
+        v_new = _linear(leaf["attn"]["value"], n)
         if anc_onehot is not None:
             # append-only: select each row's ancestor history on the MXU
             # (cache is read-only here); inject this step's K/V into its
@@ -574,8 +593,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             ).astype(x.dtype)                       # (h, n_state) 0/1
             q1 = _linear(leaf["attn"]["query"], n)[:, 0]   # (b, n_state)
             q_block = (q1 * scale)[:, None, :] * headmask[None]
-            logits = _logits_einsum(
-                "bhd,bsd->bhs", q_block, k_att * scale)
+            logits = _logits_einsum("bhd,bsd->bhs", q_block, k_att)
             logits = jnp.where(valid[:, None, :], logits, -jnp.inf)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att_full = einsum("bhs,bsd->bhd", w, v_att)    # (b, h, n_state)
@@ -590,11 +608,11 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             cv_layer = jax.lax.dynamic_update_slice_in_dim(
                 cv_layer, v_new.astype(cv_layer.dtype), pos, axis=1
             )
-            k = split(ck_layer, max_len)
+            k = split(ck_layer, max_len)  # already hd**-0.25-scaled
             v = split(cv_layer, max_len)
             out_kv = (ck_layer, cv_layer)
             q = split(_linear(leaf["attn"]["query"], n), 1)
-            logits = _logits_einsum("bhtd,bhsd->bhts", q * scale, k * scale)
+            logits = _logits_einsum("bhtd,bhsd->bhts", q * scale, k)
             logits = jnp.where(valid[:, None, None, :], logits, -jnp.inf)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum(
@@ -612,27 +630,24 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         # was MEASURED SLOWER (352 vs 307 ms/utt at beam 50 x 8 utts):
         # 32 per-layer pallas launches at M=50 cost more than the
         # ~48 MB/layer score materialisation they avoid. Einsum stays.
-        if xk.shape[0] == 1 and b != 1:
-            kx = split(xk, xk.shape[1])[0]  # (h, S, hd)
-            vx = split(xv, xv.shape[1])[0]
-            logits = _logits_einsum("bhtd,hsd->bhts", qx * scale, kx * scale)
+        # memory K arrives PRE-SCALED by hd**-0.25 (precompute_cross_kv)
+        kx = split(xk, xk.shape[1])
+        vx = split(xv, xv.shape[1])
+        if kx.shape[0] == 1 and b != 1:
+            logits = _logits_einsum("bhtd,hsd->bhts", qx * scale, kx[0])
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("bhts,hsd->bhtd", w, vx)
-        elif xk.shape[0] != b and b % xk.shape[0] == 0:
+            att = einsum("bhts,hsd->bhtd", w, vx[0])
+        elif kx.shape[0] != b and b % kx.shape[0] == 0:
             # grouped memory: U utterances x (b // U) beam rows each share
             # one utterance's cross K/V (multi-utterance batched beam)
-            u = xk.shape[0]
+            u = kx.shape[0]
             rows = b // u
-            kx = split(xk, xk.shape[1])  # (U, h, S, hd)
-            vx = split(xv, xv.shape[1])
             qg = qx.reshape(u, rows, h, 1, hd)
-            logits = _logits_einsum("ubhtd,uhsd->ubhts", qg * scale, kx * scale)
+            logits = _logits_einsum("ubhtd,uhsd->ubhts", qg * scale, kx)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum("ubhts,uhsd->ubhtd", w, vx).reshape(b, h, 1, hd)
         else:
-            kx = split(xk, xk.shape[1])
-            vx = split(xv, xv.shape[1])
-            logits = _logits_einsum("bhtd,bhsd->bhts", qx * scale, kx * scale)
+            logits = _logits_einsum("bhtd,bhsd->bhts", qx * scale, kx)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
             att = einsum("bhts,bhsd->bhtd", w, vx)
         att = att.transpose(0, 2, 1, 3).reshape(b, 1, s)
