@@ -405,6 +405,31 @@ def _split_heads(cfg: GPTConfig, qkv):
     return q, k, v
 
 
+@jax.custom_vjp
+def _permute_rows(x, perm, inv):
+    """`jnp.take(x, perm, axis=0)` whose BACKWARD is the inverse take.
+
+    `perm` must be a permutation with inverse `inv` (perm[inv] == iota).
+    jnp.take's autodiff backward is a scatter-add — XLA cannot know the
+    indices are collision-free, and TPU lowers scatter far slower than
+    the equivalent gather. For a permutation, d/dx is exactly
+    take(g, inv): same values, no scatter."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=0), (perm, inv)
+
+
+def _permute_rows_bwd(res, g):
+    perm, inv = res
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return jnp.take(g, inv, axis=0), f0(perm), f0(inv)
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
     """Dropless sparse-compute MoE: tokens sort by assigned expert and each
     expert runs grouped matmuls over its contiguous span. FLOPs scale
@@ -434,7 +459,17 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
 
     ef = top_ids.reshape(-1)  # (N*K,) expert per flat slot
     order = jnp.argsort(ef)  # stable: ties keep token order
-    xr = jnp.take(xf, order // k, axis=0)  # (N*K, D) sorted by expert
+    # inverse permutation via a 1-D int scatter of iota (cheaper than a
+    # second 8k-row bitonic argsort)
+    iota = jnp.arange(order.shape[0], dtype=order.dtype)
+    inv = jnp.zeros_like(order).at[order].set(iota)
+    # (N*K, D) sorted by expert. Row replication goes through an explicit
+    # broadcast (backward = a regular sum over k) and the permutation
+    # through _permute_rows (backward = the inverse gather) — jnp.take's
+    # generic backward is a scatter-add over the (N*K, D) activations,
+    # which TPU serializes (measured in the round-4 MoE trace).
+    xk_rep = jnp.broadcast_to(xf[:, None, :], (n, k, d)).reshape(n * k, d)
+    xr = _permute_rows(xk_rep, order, inv)
     group_sizes = jnp.bincount(ef, length=e).astype(jnp.int32)
 
     w1 = leaves["fc_1"]["weight"].astype(x.dtype).transpose(0, 2, 1)  # (E,D,O)
@@ -460,11 +495,24 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
             if tile_env else (512, 1024, 1024)
         )
 
+        def tile_dim(d, cap):
+            # largest multiple-of-128 divisor of d that fits the cap:
+            # tiles that divide the problem evenly avoid the padded
+            # remainder tile (e.g. intermediate 3584 under a 1024 tile
+            # pads 3.5 -> 4 tiles; 896 divides exactly)
+            best = 0
+            t = 128
+            while t <= min(d, cap):
+                if d % t == 0:
+                    best = t
+                t += 128
+            return best or min(d, cap)
+
         def gdot(lhs, rhs, gs):
             m, kd = lhs.shape
             n = rhs.shape[-1]
-            tiling = (min(base_tile[0], m), min(base_tile[1], kd),
-                      min(base_tile[2], n))
+            tiling = (tile_dim(m, base_tile[0]), tile_dim(kd, base_tile[1]),
+                      tile_dim(n, base_tile[2]))
             return _gmm(lhs, rhs.astype(lhs.dtype), gs,
                         preferred_element_type=lhs.dtype, tiling=tiling)
     else:
@@ -484,8 +532,7 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
     h = jax.nn.silu(gdot(xr, w1, group_sizes)) * gdot(xr, w2, group_sizes)
     out = gdot(h, wp, group_sizes)  # (N*K, D)
 
-    inv = jnp.argsort(order)
-    out = jnp.take(out, inv, axis=0).reshape(n, k, d)
+    out = _permute_rows(out, inv, order).reshape(n, k, d)
     return (out * weights[..., None]).sum(axis=1).reshape(orig_shape)
 
 
