@@ -421,6 +421,18 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
     # '%'->' percent' (ref: data/make_json_asr.py:244-252)
     normalizer = HypothesisNormalizer()
     encoder, decoder, tokenizer = load_whisper(cfg["model_checkpoint"])
+    if cfg.get("quantize"):
+        # int8/int4 decoder weights (the reference's bnb/GPTQ quantization
+        # applied to this pipeline, ref: ger/utils.py:40-92). Memory
+        # relief, not speed: the beam step's HBM traffic is cross-KV/
+        # cache-dominated, so halved weights measure step-neutral
+        # (BENCH_NOTES round 4g). Opt-in — per-channel int8 is
+        # near-lossless (scripts/validate_quant_wer.py) but n-best
+        # rankings are not guaranteed token-identical to full precision.
+        from dualhyp_tpu.ops import quant
+
+        decoder = (quant.quantize_tree(decoder[0], cfg["quantize"]),
+                   decoder[1])
 
     manifest = Path(cfg["manifest"])  # lines: <uid>\t<wav_path>\t<caption>
     out_path = Path(cfg["output_file"])

@@ -374,7 +374,10 @@ def device_beam_search_batch(
     k_top = min(beam_size + 1, n_vocab)
     sel_k = min(2 * beam_size, beam_size * k_top)
     if cache_dtype is None:
-        cache_dtype = jax.tree_util.tree_leaves(dec_params)[0].dtype
+        # the token embedding reflects the model's compute precision and
+        # is never quantized (a quantized tree's first leaves are int8
+        # weights and f32 scales — neither is a sane KV-cache dtype)
+        cache_dtype = dec_params["token_embedding"].dtype
 
     # (L, U, S, n_state) memory KV (K pre-scaled by hd**-0.25 — see
     # precompute_cross_kv); rows map to utterance row // beam_size inside

@@ -194,7 +194,19 @@ def init_encoder(cfg: WhisperEncoderConfig, key) -> dict:
 
 
 def _linear(leaf, x):
-    y = einsum("...d,od->...o", x, leaf["weight"].astype(x.dtype))
+    """Plain or int8/int4-quantized linear depending on the leaf set
+    (quantize the decoder tree with ops.quant.quantize_tree; same
+    dispatch as models/gpt._base_linear). Quantization halves/quarters
+    decoder HBM residency; the beam step itself measures speed-neutral —
+    its traffic is cross-KV/cache-dominated (BENCH_NOTES round 4g)."""
+    from dualhyp_tpu.ops import quant
+
+    if quant.Q_KEY in leaf:
+        y = quant.qmatmul(x, leaf[quant.Q_KEY], leaf[quant.SCALE_KEY])
+    elif quant.Q4_KEY in leaf:
+        y = quant.q4matmul(x, leaf[quant.Q4_KEY], leaf[quant.SCALE4_KEY])
+    else:
+        y = einsum("...d,od->...o", x, leaf["weight"].astype(x.dtype))
     if "bias" in leaf:
         y = y + leaf["bias"].astype(x.dtype)
     return y

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--n_state", type=int, default=1280)
     ap.add_argument("--enc_layers", type=int, default=32)
     ap.add_argument("--dec_layers", type=int, default=32)
+    ap.add_argument("--quantize", default=None, choices=("int8", "int4"),
+                    help="quantize the decoder weights (the make_json_asr "
+                         "`quantize` option)")
     args = ap.parse_args()
 
     from dualhyp_tpu.infer.beam_search import TimestampRules
@@ -63,6 +66,11 @@ def main():
     dec = jax.tree_util.tree_map(
         lambda x: x.astype(dtype), w.init_decoder(dec_cfg, jax.random.key(1))
     )
+    if args.quantize:
+        from dualhyp_tpu.ops import quant
+
+        dec = quant.quantize_tree(dec, args.quantize)
+        print(f"decoder quantized: {args.quantize}", flush=True)
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(

@@ -144,3 +144,40 @@ def test_int4_pallas_kernel_matches_xla(rng):
             int4_kernel.q4_matmul(jnp.asarray(x), packed, scale)
         )
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_whisper_decode_step_close(rng):
+    """Quantized whisper decoder (the make_json_asr `quantize` option):
+    decode_step_cached logits stay correlated with full precision, and
+    the device beam runs end-to-end on the quantized tree."""
+    from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=512, n_ctx=16, n_state=256, n_head=4, n_layer=2
+    )
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    qdec = quant.quantize_tree(dec)
+    # the big stacked linears quantize; the embedding tables stay raw
+    assert quant.Q_KEY in qdec["blocks"]["attn"]["key"]
+    assert quant.Q_KEY in qdec["blocks"]["mlp"]["fc1"]
+    assert isinstance(qdec["token_embedding"], jnp.ndarray)
+
+    feats = jnp.asarray(rng.normal(size=(1, 8, 256)).astype(np.float32))
+    cross = w.precompute_cross_kv(dec, dec_cfg, feats)
+    qcross = w.precompute_cross_kv(qdec, dec_cfg, feats)
+    cache = w.init_self_cache(dec_cfg, 1, 8)
+    toks = jnp.asarray([3], jnp.int32)
+    logits, _ = w.decode_step_cached(dec, dec_cfg, toks, 0, cache, cross)
+    qlogits, _ = w.decode_step_cached(qdec, dec_cfg, toks, 0, cache, qcross)
+    fp, q8 = np.asarray(logits).ravel(), np.asarray(qlogits).ravel()
+    assert np.isfinite(q8).all()
+    corr = np.corrcoef(fp, q8)[0, 1]
+    assert corr > 0.99, corr
+
+    hyps = device_beam_search(
+        qdec, dec_cfg, feats[0], [3], beam_size=4, eos_id=dec_cfg.n_vocab - 1,
+        max_new_tokens=5,
+    )
+    assert len(hyps) == 4
+    assert all(np.isfinite(h.avg_logprob) for h in hyps)
