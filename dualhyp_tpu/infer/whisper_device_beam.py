@@ -8,13 +8,15 @@ Round 4 applies the recipe that took the VSR joint beam from 2.8 s to
 126 ms/utt (infer/joint_device_beam.py): the BeamSearchDecoder update
 rule itself — candidate ranking, eos retirement, beam refill
 (ref: data/whisper/decoding.py:338-441) — runs ON DEVICE inside a
-lax.scan over `chunk_steps` tokens, and the host syncs once per chunk,
-replaying the identical deterministic rule over the returned
-(n_steps, 3, U, 2*beam) scalar pack to rebuild token lists.
-chunk_steps defaults to 16: a sweep at beam 50 x 8 utterances measured
-286 / 270 / 265 ms/utt at 8 / 16 / 32 — fewer ~30 ms tunnel syncs —
-while larger chunks waste more device steps after early finishes
-(done utterances keep computing until the chunk ends).
+bounded while loop over `chunk_steps` tokens (with an all-utterances-
+done early exit), and the host syncs once per chunk, replaying the
+identical deterministic rule over the returned (n_steps, 3, U, 2*beam)
+scalar pack to rebuild token lists. chunk_steps defaults adaptively:
+16 for multi-utterance groups (host replay of chunk N pipelines behind
+the device running chunk N+1; chunk 35 at U=8 measured 185 vs 172
+ms/utt), the whole token budget at U=1 (replay is cheap there and the
+~30 ms tunnel syncs dominate: 8.1 vs 9.2 ms/step measured; the early
+exit means oversized chunks waste no post-finish device steps). Multi-utterance chunks keep the fixed-trip lax.scan — a data-dependent while cond serializes iteration dispatch (measured 43.1 vs 40.5 ms/step at U=8).
 
 Per scan step, everything stays on device: one-hot ancestor selection ->
 cached decoder step -> logit rules (blank / suppress / timestamp) ->
@@ -90,6 +92,7 @@ def _row_top_k(x, k, chunk=128):
         "dec_cfg", "n_utt", "beam", "k_top", "sel_k", "n_steps",
         "sample_begin", "eos", "max_cand", "use_ts", "tb", "eot",
         "max_init_idx", "use_suppress", "use_blank", "use_ts_static",
+        "early_exit",
     ),
     donate_argnums=(2,),
 )
@@ -118,6 +121,7 @@ def _beam_chunk(
     use_suppress,
     use_blank,
     use_ts_static,
+    early_exit=False,
 ):
     """`n_steps` lockstep beam steps with DEVICE-side candidate selection
     (the reference BeamSearchDecoder.update rule), ONE host transfer per
@@ -263,7 +267,43 @@ def _beam_chunk(
                  live_count, fin_count)
         return carry, ys
 
-    carry, ys = jax.lax.scan(one, state, jnp.arange(n_steps))
+    if not early_exit:
+        # fixed trip count: XLA pipelines iterations (double-buffered
+        # cache DMA) — the multi-utterance path, where short chunks
+        # already bound post-finish waste and the host replay of chunk N
+        # overlaps the device on chunk N+1. (An early-exit while here
+        # measured 43.1 vs 40.5 ms/step at U=8: the data-dependent cond
+        # serializes iteration dispatch.)
+        carry, ys = jax.lax.scan(one, state, jnp.arange(n_steps))
+        live_count, fin_count = carry[-2], carry[-1]
+        return carry, live_count, fin_count, ys
+
+    # bounded while with an all-utterances-done EARLY EXIT: once every
+    # utterance has retired max_cand hypotheses (or gone dead), the
+    # remaining steps of the chunk never execute on device. This makes
+    # oversized chunks safe — the single-utterance path runs its WHOLE
+    # token budget as one chunk (one host sync total, 8.0 vs 9.2 ms/step)
+    # with no post-finish waste; the host replay reaches the same final
+    # step by the same deterministic rule, so the untouched (zero) tail
+    # of ys is never read.
+    def chunk_cond(st):
+        s, carry, _ = st
+        live_count, fin_count = carry[-2], carry[-1]
+        done = (fin_count >= max_cand) | (live_count <= 0)
+        return jnp.logical_and(s < n_steps, ~jnp.all(done))
+
+    def chunk_body(st):
+        s, carry, ys_buf = st
+        carry, ys = one(carry, s)
+        ys_buf = jax.lax.dynamic_update_slice(
+            ys_buf, ys[None], (s, 0, 0, 0)
+        )
+        return s + 1, carry, ys_buf
+
+    ys0 = jnp.zeros((n_steps, 3, n_utt, sel_k), jnp.float32)
+    _, carry, ys = jax.lax.while_loop(
+        chunk_cond, chunk_body, (jnp.int32(0), state, ys0)
+    )
     live_count, fin_count = carry[-2], carry[-1]
     return carry, live_count, fin_count, ys
 
@@ -314,7 +354,7 @@ def device_beam_search(
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
     cache_dtype=None,
-    chunk_steps: int = 16,
+    chunk_steps: Optional[int] = None,
 ) -> List[BeamHypothesis]:
     """Whisper DecodingTask beam search with the per-step compute AND the
     candidate selection on device.
@@ -349,13 +389,20 @@ def device_beam_search_batch(
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
     cache_dtype=None,
-    chunk_steps: int = 16,
+    chunk_steps: Optional[int] = None,
 ) -> List[List[BeamHypothesis]]:
     """Beam search over U utterances at once: (U x beam_size)-row device
     steps amortise per-step work and fill the MXU; the host syncs once
     per `chunk_steps` tokens and replays the device's selection rule from
     the returned scalar pack. Utterances advance in lockstep; finished
     ones keep dead rows until all complete.
+
+    chunk_steps=None picks per batch size: 16 for multi-utterance groups
+    (the host replay of chunk N overlaps the device running chunk N+1 —
+    chunk 35 at U=8 measured 185 vs 172 ms/utt), the WHOLE token budget
+    for a single utterance (its replay is cheap, syncs dominate: one
+    sync measured 8.1 vs 9.2 ms/step; the device chunk's all-done early
+    exit means no post-finish waste either way).
 
     features: (U, S, n_state) encoder outputs (shared prefix — one
     DecodingOptions per run, like the reference's batched DecodingTask,
@@ -367,6 +414,8 @@ def device_beam_search_batch(
 
     n_utt = features.shape[0]
     rows = n_utt * beam_size
+    if chunk_steps is None:
+        chunk_steps = 16 if n_utt > 1 else max_new_tokens
     sample_begin = len(prefix)
     max_candidates = int(round(beam_size * (patience or 1.0)))
     assert max_candidates > 0, f"invalid beam_size/patience: {beam_size}/{patience}"
@@ -443,6 +492,7 @@ def device_beam_search_batch(
         max_cand=max_candidates, use_ts=use_ts, tb=tb, eot=eot,
         max_init_idx=max_init_idx, use_suppress=use_suppress,
         use_blank=use_blank, use_ts_static=use_ts_static,
+        early_exit=n_utt == 1,
     )
 
     # host-side mirrors, rebuilt by replaying the device rule

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--quantize", default=None, choices=("int8", "int4"),
                     help="quantize the decoder weights (the make_json_asr "
                          "`quantize` option)")
+    ap.add_argument("--chunk_steps", type=int, default=None,
+                    help="beam steps per host sync (default: adaptive — "
+                         "16 batched, whole budget single)")
     args = ap.parse_args()
 
     from dualhyp_tpu.infer.beam_search import TimestampRules
@@ -109,6 +112,7 @@ def main():
             suppress_blank_ids=[220, sot - 1],
             timestamp_rules=rules,
             cache_dtype=dtype,
+            chunk_steps=args.chunk_steps,
         )
 
     print("compiling beam step...", flush=True)
@@ -153,6 +157,7 @@ def main():
                 suppress_blank_ids=[220, sot - 1],
                 timestamp_rules=rules,
                 cache_dtype=dtype,
+                chunk_steps=args.chunk_steps,
             )
 
         print(f"compiling batched beam step (U={u})...", flush=True)
