@@ -154,7 +154,7 @@ def _lm_logprobs_at(lm_params, lm_cfg, tokens, pos):
     jax.jit,
     static_argnames=(
         "dec_cfg", "lm_cfg", "n_utt", "beam", "k_pre", "use_lm", "use_ctc",
-        "n_steps", "t_pad",
+        "n_steps", "t_pad", "early_exit",
     ),
 )
 def _joint_chunk(
@@ -182,6 +182,7 @@ def _joint_chunk(
     use_ctc,
     n_steps,
     t_pad,
+    early_exit=False,
 ):
     """`n_steps` lockstep beam steps with DEVICE-side ESPnet candidate
     selection, ONE host transfer per chunk.
@@ -335,7 +336,37 @@ def _joint_chunk(
     (tokens, beam_scores, ctc_scores, r_live, cache) = state
     carry0 = (tokens, beam_scores, ctc_scores, r_live, cache,
               live_count, fin_count)
-    carry, ys = jax.lax.scan(one, carry0, jnp.arange(n_steps))
+    if not early_exit:
+        # fixed trip count: XLA pipelines iterations; the multi-utterance
+        # path (short chunks bound post-finish waste, and the host replay
+        # of chunk N overlaps the device on chunk N+1)
+        carry, ys = jax.lax.scan(one, carry0, jnp.arange(n_steps))
+    else:
+        # bounded while with an all-utterances-done EARLY EXIT: the
+        # single-utterance path runs its whole token budget as one chunk
+        # (one host sync) without post-finish device waste — the same
+        # treatment as whisper_device_beam._beam_chunk; the host replay
+        # reaches the same final step by the same deterministic rule, so
+        # the untouched zero tail of ys is never read.
+        def chunk_cond(st):
+            s, carry, _ = st
+            lc, fc = carry[-2], carry[-1]
+            done = (fc >= h) | (lc <= 0)
+            return jnp.logical_and(s < n_steps, ~jnp.all(done))
+
+        def chunk_body(st):
+            s, carry, ys_buf = st
+            carry, ys_s = one(carry, s)
+            ys_buf = jax.lax.dynamic_update_slice(
+                ys_buf, ys_s[None], (s, 0, 0, 0)
+            )
+            return s + 1, carry, ys_buf
+
+        k_sel = 2 * h
+        ys0 = jnp.zeros((n_steps, 4, n_utt, k_sel), jnp.float32)
+        _, carry, ys = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), carry0, ys0)
+        )
     (tokens, beam_scores, ctc_scores, r_live, cache,
      live_count, fin_count) = carry
     state = (tokens, beam_scores, ctc_scores, r_live, cache)
@@ -357,13 +388,17 @@ def joint_device_beam_batch(
     pre_beam_ratio: float = 1.5,
     blank: int = 0,
     mem_pad_multiple: int = 32,
-    chunk_steps: int = 16,
+    chunk_steps: Optional[int] = None,
 ) -> List[List[JointHypothesis]]:
     """Lockstep joint beam over U utterances; per-utterance results match
     `joint_beam_search` (same scores, same n-best ordering).
 
     chunk_steps: beam steps per host round-trip (selection runs on
-    device; the host replays it from the returned scalar pack)."""
+    device; the host replays it from the returned scalar pack). None
+    picks per batch size: 16 for multi-utterance groups (host replay
+    pipelines behind the next device chunk), the whole token budget for
+    a single utterance (one sync; the device chunk's all-done early
+    exit leaves no post-finish waste)."""
     import jax.numpy as jnp
 
     weights = {
@@ -375,6 +410,8 @@ def joint_device_beam_batch(
     lm_params, lm_cfg = lm if lm is not None else (None, None)
 
     n_utt = len(memories)
+    if chunk_steps is None:
+        chunk_steps = 16 if n_utt > 1 else max_len
     h = beam_size
     r_cnt = n_utt * h
     vocab = dec_cfg.odim
@@ -469,7 +506,7 @@ def joint_device_beam_batch(
 
     step_kwargs = dict(
         dec_cfg=dec_cfg, lm_cfg=lm_cfg, n_utt=n_utt, beam=h, k_pre=k_pre,
-        use_lm=use_lm, use_ctc=use_ctc,
+        use_lm=use_lm, use_ctc=use_ctc, early_exit=n_utt == 1,
     )
 
     step = 0

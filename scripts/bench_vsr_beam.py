@@ -96,7 +96,8 @@ def main():
     ap.add_argument("--max_len", type=int, default=40)
     ap.add_argument("--utts", type=int, default=8,
                     help="lockstep batch width for the device beam")
-    ap.add_argument("--chunk_steps", type=int, default=16)
+    ap.add_argument("--chunk_steps", type=int, default=None,
+                    help="beam steps per host sync (default: adaptive)")
     ap.add_argument("--host_beam", action="store_true",
                     help="also time the host-driven per-utterance beam")
     args = ap.parse_args()
