@@ -529,7 +529,16 @@ def _moe_mlp_sparse(cfg: GPTConfig, leaves, x, impl: str = "sparse"):
         def gdot(lhs, rhs, gs):
             return jax.lax.ragged_dot(lhs, rhs, gs, precision=prec)
 
-    h = jax.nn.silu(gdot(xr, w1, group_sizes)) * gdot(xr, w2, group_sizes)
+    # checkpoint_name tags (inert without a policy): remat='moe' saves
+    # xr/g1/g2 across the block's remat boundary so the backward re-runs
+    # ZERO forward grouped GEMMs — h recomputes elementwise from g1/g2,
+    # and every wgrad/dgrad input is either saved or a backward gmm.
+    from jax.ad_checkpoint import checkpoint_name
+
+    xr = checkpoint_name(xr, "moe_xr")
+    g1 = checkpoint_name(gdot(xr, w1, group_sizes), "moe_g1")
+    g2 = checkpoint_name(gdot(xr, w2, group_sizes), "moe_g2")
+    h = jax.nn.silu(g1) * g2
     out = gdot(h, wp, group_sizes)  # (N*K, D)
 
     out = _permute_rows(out, inv, order).reshape(n, k, d)
@@ -775,7 +784,18 @@ def forward(
                         mlp_remat=(remat == "mlp"))
         return out, None
 
-    if remat is True or remat == "full":
+    if remat == "moe":
+        # full-block remat EXCEPT the MoE grouped-GEMM outputs: saving
+        # xr/g1/g2 (~130 MB/layer at the 8-expert bench shapes) means the
+        # backward re-runs zero forward gmm calls (the dense-path names
+        # simply never appear, so this degrades to full remat there)
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "moe_xr", "moe_g1", "moe_g2"
+            ),
+        )
+    elif remat is True or remat == "full":
         body = jax.checkpoint(body)
 
     xs = (params["blocks"], layer_ids) if rngs is None else (

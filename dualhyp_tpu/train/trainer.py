@@ -93,7 +93,10 @@ class TrainConfig:
     seed: int = 1337
     compute_dtype: str = "bfloat16"
     frozen_dtype: str = ""  # e.g. "bfloat16": store frozen base weights low-p
-    remat: bool = False
+    # False | True/'full' (whole block) | 'mlp' (MLP only) | 'moe'
+    # (whole block but the MoE grouped-GEMM activations stay saved —
+    # the backward re-runs zero forward gmm calls; models/gpt.forward)
+    remat: bool | str = False
     reference_loss_norm: bool = True  # mean-over-all-tokens training quirk
     mode: str = "lora"  # lora | adapter | adapter_v2 | full
     pipeline_stages: int = 1       # >1: GPipe PP over the block stack

@@ -27,7 +27,7 @@ MB, SEQ = 4, 1024
 
 
 def run(impl: str, n_expert: int = 8, n_layer: int = 4,
-        intermediate: int = 3584) -> float:
+        intermediate: int = 3584, remat=True) -> float:
     if impl in ("sparse", "megablox"):
         os.environ["DUALHYP_MOE_IMPL"] = impl
     else:
@@ -44,7 +44,7 @@ def run(impl: str, n_expert: int = 8, n_layer: int = 4,
     params = gpt.init(cfg, jax.random.key(0))
     tcfg = TrainConfig(batch_size=MB, micro_batch_size=MB,
                        compute_dtype="bfloat16", frozen_dtype="bfloat16",
-                       mode="full", lm_head_chunk_size=128, remat=True)
+                       mode="full", lm_head_chunk_size=128, remat=remat)
     trainer = Trainer(cfg, tcfg, params)
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, (MB, SEQ)).astype(np.int32)
@@ -110,6 +110,11 @@ def main():
         check_equivalence()
         m = run("megablox")
         print(f"megablox gmm vs dense: x{d/m:.2f}")
+        # remat='moe' keeps the grouped-GEMM activations saved across the
+        # block remat boundary: the backward re-runs zero forward gmm
+        # calls (gradients bit-identical to remat=True; models/gpt.py)
+        m2 = run("megablox", remat="moe")
+        print(f"megablox gmm, remat='moe' vs dense: x{d/m2:.2f}")
     except Exception as exc:
         print(f"megablox path unavailable: {type(exc).__name__}: {exc}")
 
