@@ -509,23 +509,23 @@ def joint_device_beam_batch(
         use_lm=use_lm, use_ctc=use_ctc, early_exit=n_utt == 1,
     )
 
-    step = 0
-    while step < max_len and not all(utt_done):
-        n_steps = min(chunk_steps, max_len - step)
+    def dispatch(pos_base, n):
+        nonlocal state, live_count_d, fin_count_d
         if use_lm:
             # bucketed prefix width for the (uncached) LM forward only;
             # the attention decoder steps through its cache at O(T)
-            t_pad_c = min(-(-(step + n_steps) // 16) * 16, t_buf)
+            t_pad_c = min(-(-(pos_base + n) // 16) * 16, t_buf)
         else:
             t_pad_c = t_buf  # single compile
         state, live_count_d, fin_count_d, ys = _joint_chunk(
             dec_params, lm_params, cross_kv, mem_len_d, ctc_x_d,
             ctc_valid_d, pos_table, state, live_count_d, fin_count_d,
-            jnp.int32(step), w_tuple, jnp.int32(blank), jnp.int32(eos),
-            n_steps=n_steps, t_pad=t_pad_c, **step_kwargs,
+            jnp.int32(pos_base), w_tuple, jnp.int32(blank), jnp.int32(eos),
+            n_steps=n, t_pad=t_pad_c, **step_kwargs,
         )
-        arr = np.asarray(ys)  # ONE host sync per chunk of n_steps tokens
+        return ys
 
+    def replay(arr, n):
         # replay the device's selection rule to rebuild token lists
         # (batch scalar extraction + cons cells: the per-candidate numpy
         # reads and O(len) token-list copies dominated the wall once the
@@ -533,7 +533,7 @@ def joint_device_beam_batch(
         finite = np.isfinite(arr[:, 0])
         parents_all = arr[:, 1].astype(np.int64) // k_pre
         toks_all = arr[:, 2].astype(np.int64)
-        for s in range(n_steps):
+        for s in range(n):
             for ui in range(n_utt):
                 if utt_done[ui]:
                     continue
@@ -563,7 +563,33 @@ def joint_device_beam_batch(
                 live[ui] = new_live
                 if len(fin_u) >= beam_size or not new_live:
                     utt_done[ui] = True
-        step += n_steps
+
+    # SPECULATIVE chunk pipelining (see whisper_device_beam): chunk k+1
+    # depends only on the device-side carry, so it is dispatched BEFORE
+    # chunk k's scalar pack is fetched — the tunnel sync + host replay
+    # of chunk k overlap the device running chunk k+1 (the round-4f
+    # instrumented run measured 116-140 ms of fetch blocking per ~80 ms
+    # device chunk). At most one chunk of device work is discarded when
+    # the run finishes before the token budget; token streams unchanged.
+    step = 0
+    pending = None  # (in-flight ys, its n_steps)
+    while True:
+        if pending is None:
+            if step >= max_len or all(utt_done):
+                break
+            n_steps = min(chunk_steps, max_len - step)
+            pending = (dispatch(step, n_steps), n_steps)
+            step += n_steps
+        nxt = None
+        if step < max_len:
+            n2 = min(chunk_steps, max_len - step)
+            nxt = (dispatch(step, n2), n2)
+            step += n2
+        ys_k, n_k = pending
+        replay(np.asarray(ys_k), n_k)  # overlaps the in-flight chunk
+        if all(utt_done):
+            break
+        pending = nxt
 
     results: List[List[JointHypothesis]] = []
     for ui in range(n_utt):

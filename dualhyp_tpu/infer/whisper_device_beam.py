@@ -506,16 +506,16 @@ def device_beam_search_batch(
     finished: List[dict] = [{} for _ in range(n_utt)]
     utt_done = [False] * n_utt
 
-    step_done = 0
-    while step_done < max_new_tokens and not all(utt_done):
-        n_steps = min(chunk_steps, max_new_tokens - step_done)
-        state, live_d, fin_d, ys = _beam_chunk(
+    def dispatch(pos_base, n):
+        nonlocal state
+        state, _, _, ys = _beam_chunk(
             dec_params, cross, state, suppress_mask, blank_mask,
-            ts_static_mask, jnp.int32(sample_begin - 1 + step_done),
-            n_steps=n_steps, **chunk_kwargs,
+            ts_static_mask, jnp.int32(sample_begin - 1 + pos_base),
+            n_steps=n, **chunk_kwargs,
         )
-        arr = np.asarray(ys)  # ONE host sync per chunk of n_steps tokens
+        return ys
 
+    def replay(arr, n):
         # replay the device's selection rule to rebuild token lists
         # (same inputs, same deterministic rule — host and device stay
         # in lockstep; ref: decoding.py:338-441). Sequences are
@@ -526,7 +526,7 @@ def device_beam_search_batch(
         finite = np.isfinite(arr[:, 0])
         parents_all = (arr[:, 1].astype(np.int64)) // k_top
         toks_all = arr[:, 2].astype(np.int64)
-        for s in range(n_steps):
+        for s in range(n):
             sel_scores = arr[s, 0]
             for u in range(n_utt):
                 if utt_done[u]:
@@ -554,7 +554,35 @@ def device_beam_search_batch(
                 live[u] = new_live
                 if len(fin_u) >= max_candidates or not new_live:
                     utt_done[u] = True
-        step_done += n_steps
+
+    # SPECULATIVE chunk pipelining: chunk k+1 is dispatched BEFORE chunk
+    # k's scalar pack is fetched — the next chunk depends only on the
+    # device-side carry, never on host state, so the ~30-60 ms tunnel
+    # fetch + the host replay of chunk k overlap the device running
+    # chunk k+1. If the replay finds every utterance finished, the
+    # in-flight chunk is discarded unread (bounded waste: at most one
+    # chunk per batch, only when the run ends before the token budget;
+    # done utterances' rows compute garbage that is never read either
+    # way). Token streams are unchanged — replay order is identical.
+    step_done = 0
+    pending = None  # (in-flight ys, its n_steps)
+    while True:
+        if pending is None:
+            if step_done >= max_new_tokens or all(utt_done):
+                break
+            n_steps = min(chunk_steps, max_new_tokens - step_done)
+            pending = (dispatch(step_done, n_steps), n_steps)
+            step_done += n_steps
+        nxt = None
+        if step_done < max_new_tokens:
+            n2 = min(chunk_steps, max_new_tokens - step_done)
+            nxt = (dispatch(step_done, n2), n2)
+            step_done += n2
+        ys_k, n_k = pending
+        replay(np.asarray(ys_k), n_k)  # overlaps the in-flight chunk
+        if all(utt_done):
+            break
+        pending = nxt
 
     out: List[List[BeamHypothesis]] = []
     for u in range(n_utt):
