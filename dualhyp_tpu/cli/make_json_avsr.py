@@ -71,9 +71,8 @@ def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
     # 640-trimmed waveform (its docstring; asserted against the compiled
     # frontend in tests/test_batch_encode.py), so the padded batch can be
     # sliced back to the per-utterance frame counts in closed form.
-    vlens = np.array([len(v) for v in videos], np.int32)
     alens = np.array([len(a) // 640 for a in audios], np.int32)
-    vids, vlens_pad, _ = pad_video_batch(
+    vids, vlens_pad, vlens = pad_video_batch(
         videos, pad_multiple, min_frames=int(alens.max())
     )
     u, u_pad, t_pad = len(videos), vids.shape[0], vids.shape[2]
@@ -253,17 +252,16 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         if not pending:
             return
         try:
-            if pending:
-                results = transcribe_avsr_nbest_batch(
-                    [p[5] for p in pending], [p[4] for p in pending],
-                    params, video_cfg, audio_cfg, dec_params, dec_cfg,
-                    ctc_params, token_list, **beam_kwargs,
-                )
-                for (uid, wav_path, roi_path, caption, _a, _v, prior,
-                     vcfg), (texts, scores) in zip(pending, results):
-                    emit(uid, wav_path, roi_path, caption, prior, vcfg,
-                         texts, scores)
-                return
+            results = transcribe_avsr_nbest_batch(
+                [p[5] for p in pending], [p[4] for p in pending],
+                params, video_cfg, audio_cfg, dec_params, dec_cfg,
+                ctc_params, token_list, **beam_kwargs,
+            )
+            for (uid, wav_path, roi_path, caption, _a, _v, prior,
+                 vcfg), (texts, scores) in zip(pending, results):
+                emit(uid, wav_path, roi_path, caption, prior, vcfg,
+                     texts, scores)
+            return
         except Exception as exc:
             print(f"batched decode failed ({type(exc).__name__}: {exc}); "
                   f"falling back to per-utterance")

@@ -338,17 +338,16 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         if not pending:
             return
         try:
-            if pending:
-                results = transcribe_vsr_nbest_batch(
-                    [p[3] for p in pending], frontend_params, enc_params,
-                    enc_cfg, dec_params, dec_cfg, ctc_params, token_list,
-                    **beam_kwargs,
-                )
-                for (uid, roi_path, caption, _, vcfg), (texts, scores) in zip(
-                    pending, results
-                ):
-                    emit(uid, roi_path, caption, vcfg, texts, scores)
-                return
+            results = transcribe_vsr_nbest_batch(
+                [p[3] for p in pending], frontend_params, enc_params,
+                enc_cfg, dec_params, dec_cfg, ctc_params, token_list,
+                **beam_kwargs,
+            )
+            for (uid, roi_path, caption, _, vcfg), (texts, scores) in zip(
+                pending, results
+            ):
+                emit(uid, roi_path, caption, vcfg, texts, scores)
+            return
         except Exception as exc:
             print(f"batched decode failed ({type(exc).__name__}: {exc}); "
                   f"falling back to per-utterance")

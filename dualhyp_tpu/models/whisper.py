@@ -571,8 +571,15 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         # K is PRE-SCALED by hd**-0.25 at creation, so the cache holds
         # scaled K and the logits einsums never re-multiply the (B, T,
         # n_state) attention-side tensors (same elementwise multiply,
-        # 35x fewer elements at a 35-token cache — bit-identical).
-        # precompute_cross_kv pre-scales the memory K the same way.
+        # 35x fewer elements at a 35-token cache). Bit-identical when
+        # the cache dtype equals the compute dtype (the f32 parity
+        # tests); with a LOWER-precision cache the rounding point moves
+        # — round(k*scale) stored vs round(k)*scale read — so bf16-cache
+        # logits can differ from the pre-change ones in the last ulp
+        # (values equal within one bf16 quantum; near-tie beam picks may
+        # differ run-to-run, as they already do across XLA versions).
+        # precompute_cross_kv pre-scales the memory K the same way (that
+        # one IS bit-identical: same multiply, same dtype, just earlier).
         k_new = _linear(leaf["attn"]["key"], n) * scale
         v_new = _linear(leaf["attn"]["value"], n)
         if anc_onehot is not None:

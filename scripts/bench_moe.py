@@ -26,8 +26,10 @@ from dualhyp_tpu.train import TrainConfig, Trainer
 MB, SEQ = 4, 1024
 
 
-def run(impl: str, n_expert: int = 8, n_layer: int = 4,
-        intermediate: int = 3584, remat=True) -> float:
+def build_trainer(impl: str, n_expert: int = 8, n_layer: int = 4,
+                  intermediate: int = 3584, remat=True):
+    """The bench configuration as a warm Trainer + batch (also reused by
+    scripts/profile_moe.py so the traced step is the benched step)."""
     if impl in ("sparse", "megablox"):
         os.environ["DUALHYP_MOE_IMPL"] = impl
     else:
@@ -49,11 +51,17 @@ def run(impl: str, n_expert: int = 8, n_layer: int = 4,
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, (MB, SEQ)).astype(np.int32)
     batch = {"input_ids": ids, "labels": ids.copy()}
-
-    for _ in range(2):
+    for _ in range(2):  # compile + warm
         trainer.train_step(batch, max_iters=100, warmup_steps=5,
                            rng=jax.random.key(1))
     jax.block_until_ready(trainer.trainable)
+    return trainer, batch
+
+
+def run(impl: str, n_expert: int = 8, n_layer: int = 4,
+        intermediate: int = 3584, remat=True) -> float:
+    trainer, batch = build_trainer(impl, n_expert, n_layer, intermediate,
+                                   remat)
     t0 = time.perf_counter()
     for _ in range(8):
         trainer.train_step(batch, max_iters=100, warmup_steps=5,

@@ -1,13 +1,15 @@
 """Op-level profiler trace of the sparse-MoE train step (real TPU).
 
 The 8-expert/top-2 sparse step holds a 4x FLOP advantage over dense but
-measures only ~1.24x (BENCH_NOTES) — and ragged_dot vs megablox gmm
+measures only ~1.3x (BENCH_NOTES) — and ragged_dot vs megablox gmm
 measure the SAME, which points the finger at the shared machinery
-(router sort, gather/scatter permutes, bwd) rather than the grouped GEMM
-itself. This trace attributes the step to fusions the way
-profile_whisper_beam does for the beam.
+(router sort, gather/scatter permutes, optimizer, attention) rather
+than the grouped GEMM itself. This trace attributes the step to fusions
+the way profile_whisper_beam does for the beam. The traced step IS the
+benched step: the Trainer comes from bench_moe.build_trainer.
 
     python scripts/profile_moe.py [--impl megablox|sparse|dense]
+        [--remat true|moe]
 """
 
 import argparse
@@ -30,53 +32,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="megablox",
                     choices=("dense", "sparse", "megablox"))
+    ap.add_argument("--remat", default="true", choices=("true", "moe"))
     args = ap.parse_args()
 
-    from bench_moe import run  # reuses the exact bench configuration
+    from bench_moe import build_trainer
 
-    # warm + measure via the bench's own loop (compiles once)
-    dt = run(args.impl)
+    remat = True if args.remat == "true" else args.remat
+    trainer, batch = build_trainer(args.impl, remat=remat)
 
-    import numpy as np
-
-    from bench_moe import MB, SEQ
-    from dualhyp_tpu.config import GPTConfig
-    from dualhyp_tpu.models import gpt
-    from dualhyp_tpu.train import TrainConfig, Trainer
-
-    if args.impl in ("sparse", "megablox"):
-        os.environ["DUALHYP_MOE_IMPL"] = args.impl
-    else:
-        os.environ.pop("DUALHYP_MOE_IMPL", None)
-    cfg = GPTConfig(
-        name=f"moe-bench-{args.impl}-e8", block_size=2048, vocab_size=8192,
-        padding_multiple=64, n_layer=4, n_head=16, n_query_groups=4,
-        n_embd=1024, rotary_percentage=1.0, parallel_residual=False,
-        bias=False, norm_class="RMSNorm", mlp_class="LLaMAMoE",
-        intermediate_size=3584, n_expert=8, n_expert_per_token=2,
-    )
-    params = gpt.init(cfg, jax.random.key(0))
-    tcfg = TrainConfig(batch_size=MB, micro_batch_size=MB,
-                       compute_dtype="bfloat16", frozen_dtype="bfloat16",
-                       mode="full", lm_head_chunk_size=128, remat=True)
-    trainer = Trainer(cfg, tcfg, params)
-    rng = np.random.default_rng(0)
-    ids = rng.integers(1, cfg.vocab_size, (MB, SEQ)).astype(np.int32)
-    batch = {"input_ids": ids, "labels": ids.copy()}
-    for _ in range(2):
+    steps = 8
+    t0 = time.perf_counter()
+    for _ in range(steps):
         trainer.train_step(batch, max_iters=100, warmup_steps=5,
                            rng=jax.random.key(1))
     jax.block_until_ready(trainer.trainable)
+    dt = (time.perf_counter() - t0) / steps
 
-    steps = 8
     trace_dir = tempfile.mkdtemp(prefix=f"dualhyp_moe_{args.impl}_trace_")
     with jax.profiler.trace(trace_dir):
         for _ in range(steps):
             trainer.train_step(batch, max_iters=100, warmup_steps=5,
                                rng=jax.random.key(1))
         jax.block_until_ready(trainer.trainable)
-    print(f"{args.impl}: {dt*1e3:.1f} ms/step; trace: {trace_dir}",
-          flush=True)
+    print(f"{args.impl} (remat={args.remat}): {dt*1e3:.1f} ms/step; "
+          f"trace: {trace_dir}", flush=True)
 
     from profile_train_trace import analyze
     analyze(trace_dir, steps=steps)

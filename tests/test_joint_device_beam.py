@@ -229,3 +229,26 @@ def test_device_beam_single_utterance(rng, decoder):
         decoder, mems[0], ctcs[0], weights=weights, beam=3, max_len=8
     )
     _assert_nbest_match(host_hyps, dev[0], n=3)
+
+
+def test_joint_beam_chunk_boundaries_identical(rng, decoder):
+    """The speculative chunk-pipelined driver crosses chunk boundaries
+    without changing results: many small chunks (pending/nxt rotation,
+    cross-chunk parent handoff, in-flight discard on early finish) give
+    exactly the single-chunk run's n-best."""
+    mems, ctcs = _utterances(rng)
+    weights = {"decoder": 0.7, "ctc": 0.3, "length_bonus": 0.1}
+    kw = dict(sos=ODIM - 1, eos=ODIM - 1, beam_size=4, weights=weights,
+              max_len=14)
+    ref = joint_device_beam_batch(decoder[0], decoder[1], mems, ctcs,
+                                  chunk_steps=64, **kw)
+    for chunk in (3, 5):
+        got = joint_device_beam_batch(decoder[0], decoder[1], mems, ctcs,
+                                      chunk_steps=chunk, **kw)
+        for u, (g, r) in enumerate(zip(got, ref)):
+            assert [h.tokens for h in g] == [h.tokens for h in r], \
+                f"chunk={chunk} utterance {u}"
+            np.testing.assert_allclose(
+                [h.score for h in g], [h.score for h in r],
+                rtol=1e-5, atol=1e-6,
+            )

@@ -280,3 +280,42 @@ def test_row_top_k_matches_lax_top_k(rng):
     want_v, want_i = jax.lax.top_k(x, 51)
     got_v, got_i = _row_top_k(x, 51)
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_batched_beam_chunk_boundaries_identical(rng):
+    """The speculative chunk-pipelined driver crosses chunk boundaries
+    without changing results: a multi-utterance run split into many
+    small chunks (pending/nxt rotation, replay handoff of parents across
+    chunk edges, in-flight-chunk discard on early finish) returns
+    exactly the single-chunk run's hypotheses. No vendored dependency —
+    internal consistency across chunkings on a tiny random model."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    feats = jnp.asarray(rng.normal(size=(3, 16, 64)).astype(np.float32))
+    kw = dict(
+        beam_size=4, eos_id=dec_cfg.n_vocab - 1, max_new_tokens=14,
+        suppress_tokens=[0, 1], prefix=[90, 91],
+    )
+    ref = device_beam_search_batch(dec, dec_cfg, feats, kw.pop("prefix"),
+                                   chunk_steps=64, **kw)
+    for chunk in (3, 5, 7):
+        got = device_beam_search_batch(dec, dec_cfg, feats, [90, 91],
+                                       chunk_steps=chunk, **kw)
+        for u in range(3):
+            assert [h.tokens for h in got[u]] == [
+                h.tokens for h in ref[u]
+            ], f"chunk={chunk} utterance {u}"
+            np.testing.assert_allclose(
+                [h.score for h in got[u]], [h.score for h in ref[u]],
+                rtol=1e-5, atol=1e-6,
+            )
