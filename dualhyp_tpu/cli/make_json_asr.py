@@ -111,7 +111,7 @@ class CachedWhisperStepper:
         self.dec_cfg = dec_cfg
         self.cross_kv_single = w.precompute_cross_kv(
             dec_params, dec_cfg, features
-        )  # (L, 1, S, D) each
+        )  # (L, 1, D, S) each (S-minor — see precompute_cross_kv)
         self.max_total = max_total
         self.cache = None
         self.prefix_to_row = {}

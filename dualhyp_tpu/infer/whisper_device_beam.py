@@ -428,9 +428,9 @@ def device_beam_search_batch(
         # weights and f32 scales — neither is a sane KV-cache dtype)
         cache_dtype = dec_params["token_embedding"].dtype
 
-    # (L, U, S, n_state) memory KV (K pre-scaled by hd**-0.25 — see
-    # precompute_cross_kv); rows map to utterance row // beam_size inside
-    # decode_step_cached's grouped cross-attention path
+    # (L, U, n_state, S) memory KV (S-minor + K pre-scaled by hd**-0.25
+    # — see precompute_cross_kv); rows map to utterance row // beam_size
+    # inside decode_step_cached's grouped cross-attention path
     cross = w.precompute_cross_kv(dec_params, dec_cfg, features)
     t_buf = sample_begin + max_new_tokens
     cache = w.init_self_cache(dec_cfg, rows, t_buf, dtype=cache_dtype)

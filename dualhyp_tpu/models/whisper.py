@@ -466,25 +466,28 @@ def decode_logits_with_cross_qk(params: dict, cfg: WhisperDecoderConfig,
 def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
                         audio_features):
     """Cross-attention K/V from encoder output, once per utterance.
-    Returns (k, v) each (L, B, S, n_state).
+    Returns (k, v) each (L, B, n_state, S) — S-MINOR, so the decode
+    step's cross dots consume the per-layer slice with the contraction
+    dims already placed (hd sublane / S lane after the free major-axis
+    head reshape) and no transposes appear between the scan slice and
+    the dots. Measured NEUTRAL on device time vs the flat
+    (B, S, n_state) layout: the ~2.9 ms/step-per-tensor cost the
+    round-4 profile shows (`constant_dynamic-slice_fusion`) is the
+    layer scan MATERIALISING each 30 MB per-layer slice, which is the
+    same bandwidth in either layout — not a re-layout penalty. (A
+    pre-HEAD-SPLIT (B, h, S, hd) variant measured 3x slower — hd=64
+    minor half-fills the (8, 128) tile; minor-dim 1280/1500 tiles
+    cleanly.)
 
-    K comes back PRE-SCALED by hd**-0.25: `decode_step_cached`'s logits
-    einsums consume K without their own scale multiply, so the decode
-    step never re-multiplies the (B, S, n_state) memory K — at
-    whisper-large beam-50 x 8 utterances that multiply was a 30 MB
-    bf16 pass per layer PER STEP (~2.9 ms/step in the round-4 profile).
-    Same elementwise multiply, done once here — bit-identical logits.
-
-    A pre-HEAD-SPLIT (L, B, h, S, hd) variant (sparing the decode step
-    its per-layer slice-transpose) measured 3x SLOWER end-to-end: the
-    hd=64 minor dim only half fills the (8, 128) TPU tile, doubling the
-    per-step cross-K/V stream; flat minor-1280 tiles perfectly."""
+    K also comes back PRE-SCALED by hd**-0.25: the logits einsums
+    consume it without a per-layer-per-step 30 MB multiply — same
+    elementwise multiply, done once, bit-identical logits."""
     xa = audio_features
     scale = (cfg.n_state // cfg.n_head) ** -0.25
 
     def per_layer(leaf, _):
-        k = _linear(leaf["cross"]["key"], xa) * scale
-        v = _linear(leaf["cross"]["value"], xa)
+        k = (_linear(leaf["cross"]["key"], xa) * scale).swapaxes(1, 2)
+        v = _linear(leaf["cross"]["value"], xa).swapaxes(1, 2)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(
@@ -649,26 +652,30 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         # was MEASURED SLOWER (352 vs 307 ms/utt at beam 50 x 8 utts):
         # 32 per-layer pallas launches at M=50 cost more than the
         # ~48 MB/layer score materialisation they avoid. Einsum stays.
-        # memory K arrives PRE-SCALED by hd**-0.25 (precompute_cross_kv)
-        kx = split(xk, xk.shape[1])
-        vx = split(xv, xv.shape[1])
+        # memory K/V arrive S-MINOR (B, n_state, S) with K pre-scaled by
+        # hd**-0.25 (precompute_cross_kv) — the head split off the MAJOR
+        # n_state axis is a free reshape and the dots consume the
+        # frame-minor layout as-is (perf-neutral vs flat: the scan's
+        # 30 MB/layer slice materialisation dominates either way)
+        kx = xk.reshape(xk.shape[0], h, hd, xk.shape[-1])
+        vx = xv.reshape(xv.shape[0], h, hd, xv.shape[-1])
         if kx.shape[0] == 1 and b != 1:
-            logits = _logits_einsum("bhtd,hsd->bhts", qx * scale, kx[0])
+            logits = _logits_einsum("bhtd,hds->bhts", qx * scale, kx[0])
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("bhts,hsd->bhtd", w, vx[0])
+            att = einsum("bhts,hds->bhtd", w, vx[0])
         elif kx.shape[0] != b and b % kx.shape[0] == 0:
             # grouped memory: U utterances x (b // U) beam rows each share
             # one utterance's cross K/V (multi-utterance batched beam)
             u = kx.shape[0]
             rows = b // u
             qg = qx.reshape(u, rows, h, 1, hd)
-            logits = _logits_einsum("ubhtd,uhsd->ubhts", qg * scale, kx)
+            logits = _logits_einsum("ubhtd,uhds->ubhts", qg * scale, kx)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("ubhts,uhsd->ubhtd", w, vx).reshape(b, h, 1, hd)
+            att = einsum("ubhts,uhds->ubhtd", w, vx).reshape(b, h, 1, hd)
         else:
-            logits = _logits_einsum("bhtd,bhsd->bhts", qx * scale, kx)
+            logits = _logits_einsum("bhtd,bhds->bhts", qx * scale, kx)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("bhts,bhsd->bhtd", w, vx)
+            att = einsum("bhts,bhds->bhtd", w, vx)
         att = att.transpose(0, 2, 1, 3).reshape(b, 1, s)
         hcur = hcur + _linear(leaf["cross"]["out"], att)
 
