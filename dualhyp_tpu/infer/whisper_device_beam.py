@@ -47,6 +47,7 @@ DecodingTask is asserted in tests/test_whisper_decoding_rules.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Sequence
 
@@ -59,6 +60,19 @@ from dualhyp_tpu.infer.beam_search import (
 )
 
 _NEG = jnp.float32(-jnp.inf)
+
+
+def _layer_unroll() -> int:
+    """Decoder layer-scan unroll factor (DUALHYP_WHISPER_LAYER_UNROLL,
+    default 1 = rolled). Full unroll (32) was MEASURED SLOWER at
+    large-v3 beam 50 x 8 utterances: 50.5 vs 40.7 ms/step. The rolled
+    scan's per-layer slice materialisation of the cross/self KV stacks
+    (the ~2.9 ms/step `constant_dynamic-slice_fusion`s in the profile)
+    is not waste — it double-buffers layer i+1's KV stream behind layer
+    i's compute, which statically-sliced unrolled dots do not replicate.
+    Matches the earlier python-loop negative (408 vs 293 ms/utt, see
+    decode_step_cached docstring) from the pre-append-only-cache era."""
+    return int(os.environ.get("DUALHYP_WHISPER_LAYER_UNROLL", "1"))
 
 
 def _row_top_k(x, k, chunk=128):
@@ -164,7 +178,7 @@ def _beam_chunk(
         )
         logits, cols = w.decode_step_cached(
             dec_params, dec_cfg, last_tokens, pos, cache, cross,
-            anc_onehot=onehot,
+            anc_onehot=onehot, unroll=_layer_unroll(),
         )
         cache = {
             "k": jax.lax.dynamic_update_slice(

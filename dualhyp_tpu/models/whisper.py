@@ -516,7 +516,7 @@ def _logits_einsum(sub, a, b):
 
 def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                        cache: dict, cross_kv, row_gather=None,
-                       anc_onehot=None):
+                       anc_onehot=None, unroll: int = 1):
     """One decode step. tokens: (B,) int32 current tokens at position `pos`
     (scalar — beams advance in lockstep). Returns (logits (B, V), cache).
 
@@ -687,7 +687,8 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         return hcur, out_kv
 
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], cache["k"], cache["v"], cross_k, cross_v)
+        body, x, (params["blocks"], cache["k"], cache["v"], cross_k, cross_v),
+        unroll=unroll,
     )
     x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
     logits = einsum("btd,vd->btv", x, params["token_embedding"].astype(x.dtype))
