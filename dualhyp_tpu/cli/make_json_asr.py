@@ -265,7 +265,8 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
                            max_new_tokens=224, language="en",
                            suppress_blank=True, suppress_tokens="-1",
                            without_timestamps=False, max_initial_timestamp=1.0,
-                           patience=None, length_penalty=None):
+                           patience=None, length_penalty=None,
+                           t_bucket=None):
     """Batched DecodingTask beam over U mels in lockstep: one
     (U x beam)-row device step per token amortises the per-step host
     round-trip across utterances. Returns (per-utterance hyps lists,
@@ -289,7 +290,8 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
         patience=patience, length_penalty=length_penalty,
     )
     all_hyps = device_beam_search_batch(
-        dec_params, dec_cfg, features, prefix, **beam_kwargs
+        dec_params, dec_cfg, features, prefix, t_bucket=t_bucket,
+        **beam_kwargs
     )
     ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
     detok = lambda toks: tokenizer.decode(
@@ -305,7 +307,7 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
                           suppress_blank=True, suppress_tokens="-1",
                           without_timestamps=False, max_initial_timestamp=1.0,
                           patience=None, length_penalty=None,
-                          stepper="device"):
+                          stepper="device", t_bucket=None):
     """Whisper DecodingTask beam over one mel: returns (hyps, prefix, detok)
     with every beam, ranked (ref: data/whisper/decoding.py:556-821).
 
@@ -339,7 +341,8 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
         from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
 
         hyps = device_beam_search(
-            dec_params, dec_cfg, features, prefix, **beam_kwargs
+            dec_params, dec_cfg, features, prefix, t_bucket=t_bucket,
+            **beam_kwargs
         )
     else:
         if use_cache and stepper != "full":

@@ -369,6 +369,7 @@ def device_beam_search(
     length_penalty: Optional[float] = None,
     cache_dtype=None,
     chunk_steps: Optional[int] = None,
+    t_bucket: Optional[int] = None,
 ) -> List[BeamHypothesis]:
     """Whisper DecodingTask beam search with the per-step compute AND the
     candidate selection on device.
@@ -384,7 +385,7 @@ def device_beam_search(
         suppress_tokens=suppress_tokens, suppress_blank_ids=suppress_blank_ids,
         timestamp_rules=timestamp_rules, patience=patience,
         length_penalty=length_penalty, cache_dtype=cache_dtype,
-        chunk_steps=chunk_steps,
+        chunk_steps=chunk_steps, t_bucket=t_bucket,
     )[0]
 
 
@@ -404,12 +405,28 @@ def device_beam_search_batch(
     length_penalty: Optional[float] = None,
     cache_dtype=None,
     chunk_steps: Optional[int] = None,
+    t_bucket: Optional[int] = None,
+    debug_trace: Optional[list] = None,
 ) -> List[List[BeamHypothesis]]:
     """Beam search over U utterances at once: (U x beam_size)-row device
     steps amortise per-step work and fill the MXU; the host syncs once
     per `chunk_steps` tokens and replays the device's selection rule from
     the returned scalar pack. Utterances advance in lockstep; finished
     ones keep dead rows until all complete.
+
+    t_bucket: initial new-token capacity of the self cache (None = 32,
+    capped at max_new_tokens). The cache, token and ancestor buffers are
+    allocated at this BUCKET, not the full budget, and grown by doubling
+    (32 -> 64 -> 128 -> budget) only while utterances are still decoding
+    — with the reference-parity budget of 224 the full-size buffers are
+    ~15 GB at 8 utterances x beam 50 x large-v3 (an immediate OOM on a
+    16 GB chip) and every step's append-only history selection streams
+    the whole static T, so a short utterance must not pay for the budget
+    it never uses. At each growth the finished utterances are COMPACTED
+    away (live set padded to a power of two to bound the number of
+    compiled (n_utt, T) variants), so deep buckets only carry the
+    stragglers. Token streams are unchanged: growth pads with zeros the
+    masked attention never reads, and compaction only re-indexes.
 
     chunk_steps=None picks per batch size: 16 for multi-utterance groups
     (the host replay of chunk N overlaps the device running chunk N+1 —
@@ -446,8 +463,9 @@ def device_beam_search_batch(
     # — see precompute_cross_kv); rows map to utterance row // beam_size
     # inside decode_step_cached's grouped cross-attention path
     cross = w.precompute_cross_kv(dec_params, dec_cfg, features)
-    t_buf = sample_begin + max_new_tokens
-    cache = w.init_self_cache(dec_cfg, rows, t_buf, dtype=cache_dtype)
+    cap = min(max_new_tokens, 32 if t_bucket is None else max(t_bucket, 1))
+    t_cap = sample_begin + cap
+    cache = w.init_self_cache(dec_cfg, rows, t_cap, dtype=cache_dtype)
 
     def vocab_mask(ids):
         m = np.zeros((n_vocab,), np.float32)
@@ -471,7 +489,7 @@ def device_beam_search_batch(
     )
 
     if sample_begin > 1:
-        small = w.init_self_cache(dec_cfg, n_utt, t_buf, dtype=cache_dtype)
+        small = w.init_self_cache(dec_cfg, n_utt, t_cap, dtype=cache_dtype)
         small = _prefill(
             dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32), small,
             dec_cfg=dec_cfg,
@@ -482,7 +500,7 @@ def device_beam_search_batch(
             k: cache[k].at[:, ::beam_size].set(small[k]) for k in cache
         }
 
-    tokens0 = np.zeros((rows, t_buf), np.int32)
+    tokens0 = np.zeros((rows, t_cap), np.int32)
     tokens0[:, :sample_begin] = prefix
     state = (
         jnp.asarray(tokens0),
@@ -491,7 +509,7 @@ def device_beam_search_batch(
         cache,
         # ancestor map: slot of each row's history per step (within its
         # beam group); zeros = the prefix lives in each group's row 0
-        jnp.zeros((rows, t_buf), jnp.int32),
+        jnp.zeros((rows, t_cap), jnp.int32),
         jnp.zeros((rows,), bool),   # last sampled token is a timestamp
         jnp.ones((rows,), bool),    # penultimate is a timestamp (len<2)
         jnp.zeros((rows,), bool),   # any timestamp sampled yet
@@ -519,6 +537,9 @@ def device_beam_search_batch(
     live: List[List[tuple]] = [[(root, 0.0)] for _ in range(n_utt)]
     finished: List[dict] = [{} for _ in range(n_utt)]
     utt_done = [False] * n_utt
+    # device-slot -> original-utterance map; None marks a padding slot
+    # introduced by compaction (its selections are computed and ignored)
+    amap: List[Optional[int]] = list(range(n_utt))
 
     def dispatch(pos_base, n):
         nonlocal state
@@ -529,7 +550,55 @@ def device_beam_search_batch(
         )
         return ys
 
-    def replay(arr, n):
+    def grow_and_compact():
+        # called only between chunks, with every dispatched chunk
+        # replayed (utt_done is current) and more budget still to decode
+        nonlocal state, cross, amap, cap, chunk_kwargs
+        tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc = state
+        keep = [i for i, u in enumerate(amap)
+                if u is not None and not utt_done[u]]
+        n_new = 1
+        while n_new < len(keep):
+            n_new *= 2
+        if n_new < len(amap):
+            # drop finished utterances before paying for bigger buffers;
+            # pad to a power of two with a DUPLICATE of a live utterance
+            # (frozen nowhere — it decodes garbage nobody replays) so the
+            # compiled (n_utt, T) variants stay a small ladder
+            idx = keep + [keep[0]] * (n_new - len(keep))
+            amap = [amap[i] for i in keep] + [None] * (n_new - len(keep))
+            ui = jnp.asarray(idx, jnp.int32)
+            ri = (ui[:, None] * beam_size
+                  + jnp.arange(beam_size)[None, :]).reshape(-1)
+            tokens, scores, anc = tokens[ri], scores[ri], anc[ri]
+            lt, pt, has, stamp = lt[ri], pt[ri], has[ri], stamp[ri]
+            cache = {k: jnp.take(v, ri, axis=1) for k, v in cache.items()}
+            cross = tuple(jnp.take(c, ui, axis=1) for c in cross)
+            lc, fc = lc[ui], fc[ui]
+            chunk_kwargs = dict(
+                chunk_kwargs, n_utt=n_new, early_exit=n_new == 1
+            )
+        new_cap = min(max_new_tokens, cap * 2)
+        pad = new_cap - cap
+        if pad > 0:
+            tokens = jnp.pad(tokens, ((0, 0), (0, pad)))
+            anc = jnp.pad(anc, ((0, 0), (0, pad)))
+            # grow K before V so at most one grown cache tensor coexists
+            # with both old ones (the padded region is zeros the masked
+            # attention never reads)
+            cache = dict(cache)
+            for k in ("k", "v"):
+                cache[k] = jnp.pad(
+                    cache[k], ((0, 0), (0, 0), (0, pad), (0, 0))
+                )
+            cap = new_cap
+        state = (tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc)
+        if debug_trace is not None:  # (new cap, live slots) per growth
+            debug_trace.append(
+                (cap, sum(1 for u in amap if u is not None))
+            )
+
+    def replay(arr, n, amap_k):
         # replay the device's selection rule to rebuild token lists
         # (same inputs, same deterministic rule — host and device stay
         # in lockstep; ref: decoding.py:338-441). Sequences are
@@ -542,13 +611,13 @@ def device_beam_search_batch(
         toks_all = arr[:, 2].astype(np.int64)
         for s in range(n):
             sel_scores = arr[s, 0]
-            for u in range(n_utt):
-                if utt_done[u]:
+            for slot, u in enumerate(amap_k):
+                if u is None or utt_done[u]:
                     continue
-                idxs = np.nonzero(finite[s, u])[0]
-                sc_l = sel_scores[u][idxs].tolist()
-                par_l = parents_all[s, u][idxs].tolist()
-                tok_l = toks_all[s, u][idxs].tolist()
+                idxs = np.nonzero(finite[s, slot])[0]
+                sc_l = sel_scores[slot][idxs].tolist()
+                par_l = parents_all[s, slot][idxs].tolist()
+                tok_l = toks_all[s, slot][idxs].tolist()
                 lu = live[u]
                 nlu = len(lu)
                 fin_u = finished[u]
@@ -578,22 +647,31 @@ def device_beam_search_batch(
     # chunk per batch, only when the run ends before the token budget;
     # done utterances' rows compute garbage that is never read either
     # way). Token streams are unchanged — replay order is identical.
+    # Speculation never crosses a bucket boundary: growth/compaction
+    # needs the previous chunk replayed (utt_done current), and the
+    # grown state replaces the carry the speculative chunk would read.
     step_done = 0
-    pending = None  # (in-flight ys, its n_steps)
+    pending = None  # (in-flight ys, its n_steps, its slot->utterance map)
     while True:
         if pending is None:
             if step_done >= max_new_tokens or all(utt_done):
                 break
-            n_steps = min(chunk_steps, max_new_tokens - step_done)
-            pending = (dispatch(step_done, n_steps), n_steps)
+            if cap - step_done == 0:
+                grow_and_compact()
+            n_steps = min(
+                chunk_steps, max_new_tokens - step_done, cap - step_done
+            )
+            pending = (dispatch(step_done, n_steps), n_steps, list(amap))
             step_done += n_steps
         nxt = None
-        if step_done < max_new_tokens:
-            n2 = min(chunk_steps, max_new_tokens - step_done)
-            nxt = (dispatch(step_done, n2), n2)
+        if step_done < max_new_tokens and cap - step_done > 0:
+            n2 = min(
+                chunk_steps, max_new_tokens - step_done, cap - step_done
+            )
+            nxt = (dispatch(step_done, n2), n2, list(amap))
             step_done += n2
-        ys_k, n_k = pending
-        replay(np.asarray(ys_k), n_k)  # overlaps the in-flight chunk
+        ys_k, n_k, amap_k = pending
+        replay(np.asarray(ys_k), n_k, amap_k)  # overlaps in-flight chunk
         if all(utt_done):
             break
         pending = nxt

@@ -70,7 +70,12 @@ class BenchTok:
         return ids
 
     def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"w{int(t)}" for t in ids if t < self.eot - 40)
+        # letters-only words: digits would be exploded by the pipeline's
+        # digits->words normalizer, inflating word counts 3-5x
+        return " ".join(
+            "w" + "".join("abcdefghij"[int(c)] for c in str(int(t)))
+            for t in ids if t < self.eot - 40
+        )
 
 
 def main():
@@ -82,6 +87,12 @@ def main():
     ap.add_argument("--max_new_tokens", type=int, default=32,
                     help="typical LRS2 utterance length; random weights "
                          "rarely sample EOT so this bounds the beam")
+    ap.add_argument("--eos_bias", type=float, default=0.0,
+                    help="scale the random decoder's EOT embedding row so "
+                         "beams TERMINATE at speech-like lengths (0 = off; "
+                         "decodes then run the full budget). Lets the bench "
+                         "run the production --max_new_tokens 224 budget "
+                         "with realistic early exit + bucketed cache growth")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
 
@@ -105,6 +116,10 @@ def main():
         lambda x: x.astype(dtype), w.init_decoder(dec_cfg, jax.random.key(1))
     )
     tok = BenchTok(dec_cfg.n_vocab, tiny=args.tiny)
+    if args.eos_bias:
+        dec["token_embedding"] = (
+            dec["token_embedding"].at[tok.eot].multiply(args.eos_bias)
+        )
 
     tmp = Path(tempfile.mkdtemp(prefix="bench_makejson_"))
     rng = np.random.default_rng(0)
@@ -168,6 +183,9 @@ def main():
     out = json.load(open(tmp / "out.json"))
     assert len(out) == n, (len(out), n)
     assert all(len(r["nhyps"]["hyps"]) == 5 for r in out)
+    lens = [len(r["nhyps"]["hyps"][0].split()) for r in out]
+    print(f"  decoded length (best hyp): mean {np.mean(lens):.1f} tokens, "
+          f"max {max(lens)} (budget {args.max_new_tokens})")
     ups = n / dt
     print(
         f"make_json_asr end-to-end: {n} utterances, beam {args.beam}, "

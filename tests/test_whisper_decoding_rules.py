@@ -319,3 +319,92 @@ def test_batched_beam_chunk_boundaries_identical(rng):
                 [h.score for h in got[u]], [h.score for h in ref[u]],
                 rtol=1e-5, atol=1e-6,
             )
+
+
+def test_bucket_growth_and_compaction_identical(rng):
+    """The bucketed self-cache (t_bucket growth ladder + finished-
+    utterance compaction at growth boundaries) returns exactly the
+    full-allocation run's hypotheses. eos is made reachable (scaled
+    embedding row) so utterances finish at staggered steps: across the
+    three seeds the growth trace covers no-compaction, compaction to 2
+    live utterances, and compaction to 1 (which flips the chunk's
+    device-side early exit on). No vendored dependency."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    eos = dec_cfg.n_vocab - 1
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    dec["token_embedding"] = dec["token_embedding"].at[eos].multiply(4.0)
+    kw = dict(beam_size=4, eos_id=eos, max_new_tokens=24,
+              suppress_tokens=[0, 1])
+    compactions = 0
+    for seed in range(3):
+        srng = np.random.default_rng(seed)
+        feats = jnp.asarray(srng.normal(size=(3, 16, 64)).astype(np.float32))
+        ref = device_beam_search_batch(
+            dec, dec_cfg, feats, [90, 91], chunk_steps=4,
+            t_bucket=kw["max_new_tokens"], **kw
+        )
+        trace = []
+        got = device_beam_search_batch(
+            dec, dec_cfg, feats, [90, 91], chunk_steps=4, t_bucket=4,
+            debug_trace=trace, **kw
+        )
+        assert trace, f"seed {seed}: growth never triggered"
+        compactions += sum(1 for _, n_live in trace if n_live < 3)
+        for u in range(3):
+            assert [h.tokens for h in got[u]] == [
+                h.tokens for h in ref[u]
+            ], f"seed={seed} utterance {u}"
+            np.testing.assert_allclose(
+                [h.score for h in got[u]], [h.score for h in ref[u]],
+                rtol=1e-5, atol=1e-6,
+            )
+    assert compactions > 0, "no seed exercised utterance compaction"
+
+
+@requires_vendored
+def test_bucket_growth_matches_vendored_decoding_task(vendored, rng):
+    """Vendored DecodingTask parity under bucket growth: t_bucket=4 with
+    sample_len 12 forces two growths (4 -> 8 -> 12) mid-decode with the
+    reference default rules (timestamps, blank + non-speech suppression)
+    — the timestamp carry state must survive the grown buffers."""
+    import torch
+
+    from dualhyp_tpu.cli.make_json_asr import decode_beams_from_mel
+
+    model, dims = _tiny_model(vendored, seed=0)
+    encoder, decoder = _our_model(model, dims)
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    adapter = VendoredTokAdapter(tok)
+    mel = rng.normal(size=(dims.n_mels, dims.n_audio_ctx * 2)).astype(
+        np.float32
+    )
+    beam_size, sample_len = 5, 12
+    ref_opts = vendored.DecodingOptions(
+        language="en", beam_size=beam_size, fp16=False,
+        sample_len=sample_len,
+    )
+    ref = vendored.decode(model, torch.from_numpy(mel), ref_opts)
+
+    hyps, prefix, detok = decode_beams_from_mel(
+        mel, encoder, decoder, adapter,
+        beam_size=beam_size, max_new_tokens=sample_len, t_bucket=4,
+    )
+    our_tokens = [h.tokens[len(prefix):] for h in hyps]
+    assert our_tokens == ref.tokens
+    assert [detok(t).strip() for t in our_tokens] == ref.texts
+    np.testing.assert_allclose(
+        [h.avg_logprob for h in hyps], ref.avg_logprob,
+        rtol=1e-4, atol=1e-6,
+    )
