@@ -36,6 +36,122 @@ from dualhyp_tpu.infer.joint_beam_search import JointHypothesis
 LOG_ZERO = -1e10
 
 
+def _ctc_impl() -> str:
+    """CTC frame-recursion implementation: 'assoc' (log-depth
+    `lax.associative_scan`, the TPU default — the sequential scan's ~T
+    tiny-body iterations are issue-bound at ~1 GF/s on v5e) or 'seq'
+    (the reference-shaped sequential `lax.scan`). Values agree to float
+    rounding (reassociated logaddexp chains); tests run both."""
+    import os
+
+    return os.environ.get("DUALHYP_CTC_IMPL", "assoc")
+
+
+def _ctc_recursion_seq(xs, xb, phi_prev, start, valid, out_len, t_frames):
+    """Sequential CTC forward recursion over frames (the direct
+    transcription of ctc_prefix_score.py:293-341): one lax.scan step per
+    frame. Returns (rn_all, rb_all, psi) with rn/rb_all (T, R, K)."""
+    import jax.numpy as jnp
+
+    r_cnt, k = xs.shape[0], xs.shape[2]
+
+    def body(carry, inp):
+        r_n, r_b, psi = carry
+        t, xs_t, xb_t, phi_tm1 = inp
+        act = ((t >= start) & (t < valid))[:, None]  # (R, 1)
+        rn_new = jnp.logaddexp(r_n, phi_tm1) + xs_t
+        rb_new = jnp.logaddexp(r_n, r_b) + xb_t[:, None]
+        psi_new = jnp.logaddexp(psi, phi_tm1 + xs_t)
+        # init region t < start: LOG_ZERO rows, except r^n[0] = xs[0] for
+        # the empty prefix (ref: ctc_prefix_score.py:293-296)
+        init0 = ((t == 0) & (out_len == 0) & (valid > 0))[:, None]
+        pre_n = jnp.where(init0, xs_t, LOG_ZERO)
+        r_n2 = jnp.where(act, rn_new, jnp.where(t < start, pre_n, r_n))
+        r_b2 = jnp.where(act, rb_new,
+                         jnp.where(t < start, jnp.full_like(r_b, LOG_ZERO), r_b))
+        psi2 = jnp.where(act, psi_new, psi)
+        # log_psi starts from r^n[start-1] (ref: ctc_prefix_score.py:316)
+        psi2 = jnp.where(t == start - 1, r_n2, psi2)
+        return (r_n2, r_b2, psi2), (r_n2, r_b2)
+
+    zeros = jnp.full((r_cnt, k), LOG_ZERO, jnp.float32)
+    (rn, rb, psi), (rn_all, rb_all) = jax.lax.scan(
+        body,
+        (zeros, zeros, zeros),
+        (jnp.arange(t_frames),
+         xs.transpose(1, 0, 2).astype(jnp.float32),
+         xb.transpose(1, 0).astype(jnp.float32),
+         phi_prev.transpose(1, 0, 2).astype(jnp.float32)),
+    )
+    return rn_all, rb_all, psi
+
+
+def _ctc_recursion_assoc(xs, xb, phi_prev, start, valid, out_len, t_frames):
+    """Log-depth CTC forward recursion via `lax.associative_scan`.
+
+    The sequential recursion (ctc_prefix_score.py:293-341) is, in the
+    log semiring (⊕ = logaddexp, ⊗ = +), a pair of SCALAR affine
+    recurrences plus a pure reduction — not a dense matrix recurrence:
+
+      r^n[t] = xs[t] ⊗ r^n[t-1]  ⊕  (xs[t] ⊗ phi[t-1])        (self-loop)
+      r^b[t] = xb[t] ⊗ r^b[t-1]  ⊕  (xb[t] ⊗ r^n[t-1])        (needs r^n)
+      psi    = r^n[start-1]  ⊕  ⊕_{t active} (phi[t-1] ⊗ xs[t])
+
+    Each affine recurrence x[t] = a[t] ⊗ x[t-1] ⊕ b[t] composes
+    associatively ((a,b) pairs: (a2+a1, b2 ⊕ (a2+b1))), so the T-step
+    chain runs in log2(T) batched passes instead of T issue-bound scan
+    iterations. Gating folds into the coefficients exactly:
+      active        a = xs[t]      b = xs[t] + phi[t-1]
+      t < start     a = -inf       b = pre_n[t]   (hard reset)
+      t >= valid    a = 0          b = -inf       (freeze/carry)
+    t = 0 is always in the reset region (start >= 1), so the prefix
+    A-products never reach back past a reset and the initial carry
+    drops out. Values equal the sequential scan's up to logaddexp
+    reassociation (float rounding); selection ties are measure-zero."""
+    import jax.numpy as jnp
+
+    neg_inf = jnp.float32(-jnp.inf)
+    t_idx = jnp.arange(t_frames)
+    act = (t_idx[:, None] >= start) & (t_idx[:, None] < valid[None, :])
+    pre = t_idx[:, None] < start                       # (T, R)
+    init0 = (t_idx[:, None] == 0) & (out_len == 0) & (valid[None, :] > 0)
+
+    xs_t = xs.transpose(1, 0, 2).astype(jnp.float32)      # (T, R, K)
+    xb_t = xb.transpose(1, 0).astype(jnp.float32)         # (T, R)
+    phi_t = phi_prev.transpose(1, 0, 2).astype(jnp.float32)
+
+    act_k = act[..., None]
+    pre_k = pre[..., None]
+    pre_n = jnp.where(init0[..., None], xs_t, LOG_ZERO)   # reset value
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a1 + a2, jnp.logaddexp(b2, a2 + b1)
+
+    a_n = jnp.where(act_k, xs_t, jnp.where(pre_k, neg_inf, 0.0))
+    b_n = jnp.where(act_k, xs_t + phi_t, jnp.where(pre_k, pre_n, neg_inf))
+    _, rn_all = jax.lax.associative_scan(combine, (a_n, b_n), axis=0)
+
+    rn_prev = jnp.concatenate(
+        [jnp.full_like(rn_all[:1], LOG_ZERO), rn_all[:-1]], axis=0
+    )
+    xbk = xb_t[..., None]
+    a_b = jnp.where(act_k, xbk, jnp.where(pre_k, neg_inf, 0.0))
+    b_b = jnp.where(act_k, xbk + rn_prev,
+                    jnp.where(pre_k, jnp.float32(LOG_ZERO), neg_inf))
+    _, rb_all = jax.lax.associative_scan(combine, (a_b, b_b), axis=0)
+
+    # psi: seeded at r^n[start-1] (ctc_prefix_score.py:316), then a pure
+    # ⊕-reduction of the active extension terms — no recurrence at all
+    seed = jax.lax.dynamic_index_in_dim(
+        rn_all, jnp.maximum(start - 1, 0), axis=0, keepdims=False
+    )
+    terms = jnp.where(act_k, phi_t + xs_t, neg_inf)
+    psi = jnp.logaddexp(seed, jax.nn.logsumexp(terms, axis=0))
+    return rn_all, rb_all, psi
+
+
 def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
                           out_len, blank, eos, n_hyps_per_utt):
     """Vectorised CTC prefix scoring of (R, K) candidate extensions.
@@ -88,34 +204,14 @@ def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
     start = jnp.maximum(out_len, 1)
     valid = ctc_valid[u]  # (R,)
 
-    def body(carry, inp):
-        r_n, r_b, psi = carry
-        t, xs_t, xb_t, phi_tm1 = inp
-        act = ((t >= start) & (t < valid))[:, None]  # (R, 1)
-        rn_new = jnp.logaddexp(r_n, phi_tm1) + xs_t
-        rb_new = jnp.logaddexp(r_n, r_b) + xb_t[:, None]
-        psi_new = jnp.logaddexp(psi, phi_tm1 + xs_t)
-        # init region t < start: LOG_ZERO rows, except r^n[0] = xs[0] for
-        # the empty prefix (ref: ctc_prefix_score.py:293-296)
-        init0 = ((t == 0) & (out_len == 0) & (valid > 0))[:, None]
-        pre_n = jnp.where(init0, xs_t, LOG_ZERO)
-        r_n2 = jnp.where(act, rn_new, jnp.where(t < start, pre_n, r_n))
-        r_b2 = jnp.where(act, rb_new,
-                         jnp.where(t < start, jnp.full_like(r_b, LOG_ZERO), r_b))
-        psi2 = jnp.where(act, psi_new, psi)
-        # log_psi starts from r^n[start-1] (ref: ctc_prefix_score.py:316)
-        psi2 = jnp.where(t == start - 1, r_n2, psi2)
-        return (r_n2, r_b2, psi2), (r_n2, r_b2)
-
-    zeros = jnp.full((r_cnt, k), LOG_ZERO, jnp.float32)
-    (rn, rb, psi), (rn_all, rb_all) = jax.lax.scan(
-        body,
-        (zeros, zeros, zeros),
-        (jnp.arange(t_frames),
-         xs.transpose(1, 0, 2).astype(jnp.float32),
-         xb.transpose(1, 0).astype(jnp.float32),
-         phi_prev.transpose(1, 0, 2).astype(jnp.float32)),
-    )
+    if _ctc_impl() == "assoc":
+        rn_all, rb_all, psi = _ctc_recursion_assoc(
+            xs, xb, phi_prev, start, valid, out_len, t_frames
+        )
+    else:
+        rn_all, rb_all, psi = _ctc_recursion_seq(
+            xs, xb, phi_prev, start, valid, out_len, t_frames
+        )
     r_new = jnp.stack([rn_all, rb_all], axis=-1).transpose(1, 2, 0, 3)
 
     # eos candidate scores the prefix's own total probability at the last

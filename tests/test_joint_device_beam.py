@@ -252,3 +252,73 @@ def test_joint_beam_chunk_boundaries_identical(rng, decoder):
                 [h.score for h in g], [h.score for h in r],
                 rtol=1e-5, atol=1e-6,
             )
+
+
+def test_ctc_recursion_assoc_matches_seq(rng):
+    """The log-depth associative-scan CTC recursion == the sequential
+    lax.scan transcription of ctc_prefix_score.py, to float rounding,
+    across out_len positions and degenerate frame counts."""
+    from dualhyp_tpu.infer import joint_device_beam as jdb
+
+    u, h, k, t, v = 3, 4, 6, 37, 11
+    r = u * h
+    ctc_x = np.log(rng.dirichlet(np.ones(v), (u, t))).astype(np.float32)
+    ctc_valid = np.array([t, 20, 1], np.int32)
+    r_prev = rng.normal(-5, 2, (r, t, 2)).astype(np.float32)
+    last = rng.integers(1, v, (r,)).astype(np.int32)
+    cand = rng.integers(0, v, (r, k)).astype(np.int32)
+    cand[:, 0] = last      # repeat-label branch
+    cand[:, 1] = v - 1     # eos candidate
+    cand[:, 2] = 0         # blank candidate
+
+    for out_len in (0, 1, 5, t - 1):
+        outs = {}
+        for impl in ("seq", "assoc"):
+            rec = (jdb._ctc_recursion_seq if impl == "seq"
+                   else jdb._ctc_recursion_assoc)
+            orig = jdb._ctc_impl
+            jdb._ctc_impl = lambda impl=impl: impl
+            try:
+                psi, r_new = jax.jit(
+                    lambda *a: jdb._ctc_score_candidates(
+                        *a, blank=0, eos=v - 1, n_hyps_per_utt=h
+                    )
+                )(
+                    jnp.asarray(ctc_x), jnp.asarray(ctc_valid),
+                    jnp.asarray(r_prev), jnp.asarray(last),
+                    jnp.asarray(cand), jnp.int32(out_len),
+                )
+            finally:
+                jdb._ctc_impl = orig
+            outs[impl] = (np.asarray(psi), np.asarray(r_new))
+            assert not np.isnan(outs[impl][0]).any()
+            assert not np.isnan(outs[impl][1]).any()
+        np.testing.assert_allclose(
+            outs["seq"][0], outs["assoc"][0], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            outs["seq"][1], outs["assoc"][1], rtol=1e-5, atol=1e-5
+        )
+
+
+@requires_espnet
+def test_device_beam_ctc_impls_agree(rng, decoder, monkeypatch):
+    """Full batched device beam under DUALHYP_CTC_IMPL=seq and =assoc
+    returns identical n-best token sequences (the impl is read at trace
+    time, so the jit cache is cleared between runs)."""
+    mems, ctcs = _utterances(rng)
+    kw = dict(sos=ODIM - 1, eos=ODIM - 1, beam_size=4,
+              weights={"decoder": 0.7, "ctc": 0.3}, max_len=12)
+    results = {}
+    for impl in ("seq", "assoc"):
+        monkeypatch.setenv("DUALHYP_CTC_IMPL", impl)
+        jax.clear_caches()
+        results[impl] = joint_device_beam_batch(
+            decoder[0], decoder[1], mems, ctcs, **kw
+        )
+    for u, (a, b) in enumerate(zip(results["seq"], results["assoc"])):
+        assert [h.tokens for h in a] == [h.tokens for h in b], u
+        np.testing.assert_allclose(
+            [h.score for h in a], [h.score for h in b],
+            rtol=1e-5, atol=1e-5,
+        )
