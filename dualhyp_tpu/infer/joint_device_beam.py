@@ -152,18 +152,12 @@ def _ctc_recursion_assoc(xs, xb, phi_prev, start, valid, out_len, t_frames):
     return rn_all, rb_all, psi
 
 
-def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
-                          out_len, blank, eos, n_hyps_per_utt):
-    """Vectorised CTC prefix scoring of (R, K) candidate extensions.
-
-    ctc_x: (U, T, V) frame log-probs; ctc_valid: (U,) frame counts;
-    r_prev: (R, T, 2) forward variables of the live prefixes;
-    last_tokens: (R,) last label of each prefix; cand: (R, K) candidate
-    ids; out_len: traced scalar = sampled tokens so far (lockstep-shared).
-    Returns (log_psi (R, K), r_new (R, K, T, 2)). Frames beyond
-    ctc_valid freeze (their values are never read downstream).
-    (ref: data/raven/espnet/nets/ctc_prefix_score.py:273-359)
-    """
+def _ctc_cand_inputs(ctc_x, ctc_valid, r_prev, last_tokens, cand,
+                     out_len, blank, n_hyps_per_utt):
+    """Shared preamble of the candidate CTC scorers: per-candidate
+    emission columns xs (R, T, K), blank columns xb (R, T), the shifted
+    phi inputs (R, T, K), and the (start, valid, r_sum) gating scalars
+    (ref: ctc_prefix_score.py:278-292)."""
     import jax.numpy as jnp
 
     r_cnt, k = cand.shape
@@ -203,6 +197,101 @@ def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
 
     start = jnp.maximum(out_len, 1)
     valid = ctc_valid[u]  # (R,)
+    return xs, xb, phi_prev, start, valid, r_sum, t_frames
+
+
+def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
+                    out_len, blank, eos, n_hyps_per_utt):
+    """log_psi (R, K) of the candidate extensions WITHOUT materialising
+    the (R, K, T, 2) forward-variable histories.
+
+    psi has no frame recurrence at all: it is seeded at r^n[start-1]
+    (which lies in the reset region, so it equals xs[0] for the empty
+    prefix and LOG_ZERO otherwise — ctc_prefix_score.py:293-296,316) and
+    then ⊕-accumulates phi[t-1] ⊗ xs[t] over active frames
+    (ctc_prefix_score.py:333-341) — a pure logsumexp reduction. The
+    histories are computed separately for the <= beam SELECTED
+    candidates only (`_ctc_history_selected`), K-fold less recursion
+    work than scoring-time histories for all K pre-beam candidates."""
+    import jax.numpy as jnp
+
+    xs, xb, phi_prev, start, valid, r_sum, t_frames = _ctc_cand_inputs(
+        ctc_x, ctc_valid, r_prev, last_tokens, cand, out_len, blank,
+        n_hyps_per_utt,
+    )
+    t_idx = jnp.arange(t_frames)
+    act = (t_idx[None, :] >= start) & (t_idx[None, :] < valid[:, None])
+    terms = jnp.where(act[..., None], phi_prev + xs, -jnp.inf)
+    seed = jnp.where(
+        (out_len == 0) & (valid > 0)[:, None], xs[:, 0, :], LOG_ZERO
+    )
+    psi = jnp.logaddexp(seed, jax.nn.logsumexp(terms, axis=1))
+
+    last_valid = jnp.clip(valid - 1, 0, t_frames - 1)
+    r_sum_last = jnp.take_along_axis(r_sum, last_valid[:, None], axis=1)
+    psi = jnp.where(cand == eos, r_sum_last, psi)
+    psi = jnp.where(cand == blank, LOG_ZERO, psi)
+    return psi
+
+
+def _ctc_history_selected(ctc_x, ctc_valid, r_prev_sel, last_sel, tok,
+                          out_len, blank, n_hyps_per_utt):
+    """(R, T, 2) forward-variable histories of the SELECTED extensions:
+    row r of the refilled beam extends parent history r_prev_sel[r]
+    (already gathered at the parent) with token tok[r]. One K=1
+    recursion instead of the K=k_pre scoring-time one."""
+    import jax.numpy as jnp
+
+    r_cnt = tok.shape[0]
+    n_utt, t_frames, vocab = ctc_x.shape
+    h = n_hyps_per_utt
+    u = jnp.arange(r_cnt) // h
+
+    onehot = jax.nn.one_hot(tok.reshape(n_utt, h), vocab, dtype=jnp.float32)
+    xs = jax.lax.dot_general(
+        ctc_x.astype(jnp.float32), onehot,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).transpose(0, 2, 1).reshape(r_cnt, t_frames)  # (R, T)
+    xb = jnp.take(ctc_x, blank, axis=2)[u]  # (R, T)
+
+    r_sum = jnp.logaddexp(r_prev_sel[..., 0], r_prev_sel[..., 1])
+    log_phi = jnp.where(
+        (tok == last_sel)[:, None], r_prev_sel[..., 1], r_sum
+    )  # (R, T)
+    phi_prev = jnp.concatenate(
+        [jnp.full_like(log_phi[:, :1], LOG_ZERO), log_phi[:, :-1]], axis=1
+    )
+    start = jnp.maximum(out_len, 1)
+    valid = ctc_valid[u]
+
+    rn_all, rb_all, _ = _ctc_recursion_assoc(
+        xs[..., None], xb, phi_prev[..., None], start, valid, out_len,
+        t_frames,
+    )  # (T, R, 1)
+    return jnp.stack(
+        [rn_all[..., 0], rb_all[..., 0]], axis=-1
+    ).transpose(1, 0, 2)  # (R, T, 2)
+
+
+def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
+                          out_len, blank, eos, n_hyps_per_utt):
+    """Vectorised CTC prefix scoring of (R, K) candidate extensions.
+
+    ctc_x: (U, T, V) frame log-probs; ctc_valid: (U,) frame counts;
+    r_prev: (R, T, 2) forward variables of the live prefixes;
+    last_tokens: (R,) last label of each prefix; cand: (R, K) candidate
+    ids; out_len: traced scalar = sampled tokens so far (lockstep-shared).
+    Returns (log_psi (R, K), r_new (R, K, T, 2)). Frames beyond
+    ctc_valid freeze (their values are never read downstream).
+    (ref: data/raven/espnet/nets/ctc_prefix_score.py:273-359)
+    """
+    import jax.numpy as jnp
+
+    xs, xb, phi_prev, start, valid, r_sum, t_frames = _ctc_cand_inputs(
+        ctc_x, ctc_valid, r_prev, last_tokens, cand, out_len, blank,
+        n_hyps_per_utt,
+    )
 
     if _ctc_impl() == "assoc":
         rn_all, rb_all, psi = _ctc_recursion_assoc(
@@ -332,10 +421,19 @@ def _joint_chunk(
             )
         top_vals, cand = jax.lax.top_k(fulls, k_pre)  # (R, K)
         if use_ctc:
-            psi, r_new = _ctc_score_candidates(
-                ctc_x, ctc_valid, r_live, last_tokens, cand, pos, blank,
-                eos, h,
-            )
+            if _ctc_impl() == "seq":
+                psi, r_new = _ctc_score_candidates(
+                    ctc_x, ctc_valid, r_live, last_tokens, cand, pos,
+                    blank, eos, h,
+                )
+            else:
+                # scan-free psi for all K pre-beam candidates; forward
+                # histories deferred to the selected beam only (below)
+                psi = _ctc_psi_scores(
+                    ctc_x, ctc_valid, r_live, last_tokens, cand, pos,
+                    blank, eos, h,
+                )
+                r_new = None
             total = (beam_scores[:, None] + top_vals
                      + w_ctc * (psi - ctc_scores[:, None]))
         else:
@@ -417,7 +515,19 @@ def _joint_chunk(
         beam_scores = live_scores.reshape(-1)
         if use_ctc:
             ctc_scores = live_psi.reshape(-1)
-            r_live = r_new[gparent, j]
+            if r_new is not None:
+                r_live = r_new[gparent, j]
+            else:
+                # K=1 recursion for just the refilled beam rows; values
+                # == r_new[gparent, j] (the K columns are independent).
+                # Dead rows (beyond live_count) get token-0 histories
+                # where the eager path gave parent-candidate-0 ones —
+                # both are never read (their candidates mask to -inf).
+                r_live = _ctc_history_selected(
+                    ctc_x, ctc_valid, r_live[gparent],
+                    last_tokens[gparent], live_tok.reshape(-1), pos,
+                    blank, h,
+                )
 
         ys = jnp.stack([
             sel_scores.astype(jnp.float32),

@@ -322,3 +322,46 @@ def test_device_beam_ctc_impls_agree(rng, decoder, monkeypatch):
             [h.score for h in a], [h.score for h in b],
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_ctc_lazy_psi_and_selected_history(rng):
+    """Scan-free psi == the scoring-time psi, and the K=1 selected-token
+    history == the corresponding column of the full (R, K, T, 2) one."""
+    from dualhyp_tpu.infer import joint_device_beam as jdb
+
+    u, h, k, t, v = 2, 3, 5, 23, 9
+    r = u * h
+    ctc_x = np.log(rng.dirichlet(np.ones(v), (u, t))).astype(np.float32)
+    ctc_valid = np.array([t, 11], np.int32)
+    r_prev = rng.normal(-5, 2, (r, t, 2)).astype(np.float32)
+    last = rng.integers(1, v, (r,)).astype(np.int32)
+    cand = rng.integers(0, v, (r, k)).astype(np.int32)
+    cand[:, 0] = last
+    cand[:, 1] = v - 1
+    cand[:, 2] = 0
+
+    for out_len in (0, 4, 12):
+        args = (jnp.asarray(ctc_x), jnp.asarray(ctc_valid),
+                jnp.asarray(r_prev), jnp.asarray(last), jnp.asarray(cand),
+                jnp.int32(out_len))
+        psi_full, r_full = jdb._ctc_score_candidates(
+            *args, blank=0, eos=v - 1, n_hyps_per_utt=h
+        )
+        psi_lazy = jdb._ctc_psi_scores(
+            *args, blank=0, eos=v - 1, n_hyps_per_utt=h
+        )
+        np.testing.assert_allclose(
+            np.asarray(psi_full), np.asarray(psi_lazy), rtol=1e-5, atol=1e-5
+        )
+        # pick one candidate per row, compare its history column
+        j = rng.integers(0, k, (r,)).astype(np.int32)
+        tok = np.take_along_axis(cand, j[:, None], axis=1)[:, 0]
+        hist = jdb._ctc_history_selected(
+            jnp.asarray(ctc_x), jnp.asarray(ctc_valid), jnp.asarray(r_prev),
+            jnp.asarray(last), jnp.asarray(tok), jnp.int32(out_len),
+            blank=0, n_hyps_per_utt=h,
+        )
+        want = np.asarray(r_full)[np.arange(r), j]
+        np.testing.assert_allclose(
+            np.asarray(hist), want, rtol=1e-5, atol=1e-5
+        )
