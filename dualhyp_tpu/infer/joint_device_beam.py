@@ -275,7 +275,8 @@ def _ctc_history_selected(ctc_x, ctc_valid, r_prev_sel, last_sel, tok,
 
 
 def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
-                          out_len, blank, eos, n_hyps_per_utt):
+                          out_len, blank, eos, n_hyps_per_utt,
+                          impl=None):
     """Vectorised CTC prefix scoring of (R, K) candidate extensions.
 
     ctc_x: (U, T, V) frame log-probs; ctc_valid: (U,) frame counts;
@@ -293,7 +294,7 @@ def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
         n_hyps_per_utt,
     )
 
-    if _ctc_impl() == "assoc":
+    if (impl or _ctc_impl()) == "assoc":
         rn_all, rb_all, psi = _ctc_recursion_assoc(
             xs, xb, phi_prev, start, valid, out_len, t_frames
         )
@@ -339,7 +340,7 @@ def _lm_logprobs_at(lm_params, lm_cfg, tokens, pos):
     jax.jit,
     static_argnames=(
         "dec_cfg", "lm_cfg", "n_utt", "beam", "k_pre", "use_lm", "use_ctc",
-        "n_steps", "t_pad", "early_exit",
+        "n_steps", "t_pad", "early_exit", "ctc_impl",
     ),
 )
 def _joint_chunk(
@@ -368,6 +369,7 @@ def _joint_chunk(
     n_steps,
     t_pad,
     early_exit=False,
+    ctc_impl="assoc",
 ):
     """`n_steps` lockstep beam steps with DEVICE-side ESPnet candidate
     selection, ONE host transfer per chunk.
@@ -421,10 +423,10 @@ def _joint_chunk(
             )
         top_vals, cand = jax.lax.top_k(fulls, k_pre)  # (R, K)
         if use_ctc:
-            if _ctc_impl() == "seq":
+            if ctc_impl == "seq":
                 psi, r_new = _ctc_score_candidates(
                     ctc_x, ctc_valid, r_live, last_tokens, cand, pos,
-                    blank, eos, h,
+                    blank, eos, h, impl="seq",
                 )
             else:
                 # scan-free psi for all K pre-beam candidates; forward
@@ -713,6 +715,9 @@ def joint_device_beam_batch(
     step_kwargs = dict(
         dec_cfg=dec_cfg, lm_cfg=lm_cfg, n_utt=n_utt, beam=h, k_pre=k_pre,
         use_lm=use_lm, use_ctc=use_ctc, early_exit=n_utt == 1,
+        # read once here and passed as a STATIC jit arg — an env read
+        # inside the traced body would not key the jit cache
+        ctc_impl=_ctc_impl(),
     )
 
     def dispatch(pos_base, n):

@@ -106,7 +106,7 @@ def _row_top_k(x, k, chunk=128):
         "dec_cfg", "n_utt", "beam", "k_top", "sel_k", "n_steps",
         "sample_begin", "eos", "max_cand", "use_ts", "tb", "eot",
         "max_init_idx", "use_suppress", "use_blank", "use_ts_static",
-        "early_exit",
+        "early_exit", "unroll",
     ),
     donate_argnums=(2,),
 )
@@ -136,6 +136,7 @@ def _beam_chunk(
     use_blank,
     use_ts_static,
     early_exit=False,
+    unroll=1,
 ):
     """`n_steps` lockstep beam steps with DEVICE-side candidate selection
     (the reference BeamSearchDecoder.update rule), ONE host transfer per
@@ -178,7 +179,7 @@ def _beam_chunk(
         )
         logits, cols = w.decode_step_cached(
             dec_params, dec_cfg, last_tokens, pos, cache, cross,
-            anc_onehot=onehot, unroll=_layer_unroll(),
+            anc_onehot=onehot, unroll=unroll,
         )
         cache = {
             "k": jax.lax.dynamic_update_slice(
@@ -463,7 +464,15 @@ def device_beam_search_batch(
     # — see precompute_cross_kv); rows map to utterance row // beam_size
     # inside decode_step_cached's grouped cross-attention path
     cross = w.precompute_cross_kv(dec_params, dec_cfg, features)
-    cap = min(max_new_tokens, 32 if t_bucket is None else max(t_bucket, 1))
+    if t_bucket is None:
+        # multi-utterance: start small and grow (the 4h memory fix —
+        # budget-224 batched caches OOM outright at full width). U=1's
+        # full-budget cache is small (~1.9 GB at large-v3 budget 224)
+        # and its protocol is ONE whole-budget chunk with one host
+        # sync — starting at the full budget keeps growth from
+        # splitting it into extra dispatches + recompiles.
+        t_bucket = max_new_tokens if n_utt == 1 else 32
+    cap = min(max_new_tokens, max(t_bucket, 1))
     t_cap = sample_begin + cap
     cache = w.init_self_cache(dec_cfg, rows, t_cap, dtype=cache_dtype)
 
@@ -525,6 +534,10 @@ def device_beam_search_batch(
         max_init_idx=max_init_idx, use_suppress=use_suppress,
         use_blank=use_blank, use_ts_static=use_ts_static,
         early_exit=n_utt == 1,
+        # read once here and passed as a STATIC jit arg: an env read
+        # inside the traced body would not key the jit cache, so
+        # toggling it mid-process would silently reuse the stale trace
+        unroll=_layer_unroll(),
     )
 
     # host-side mirrors, rebuilt by replaying the device rule
@@ -555,6 +568,10 @@ def device_beam_search_batch(
         # replayed (utt_done is current) and more budget still to decode
         nonlocal state, cross, amap, cap, chunk_kwargs
         tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc = state
+        # drop the old state tuple NOW: it holds the pre-growth cache
+        # dict, which would otherwise keep every old tensor alive until
+        # the final rebind and defeat the one-at-a-time staging below
+        state = None
         keep = [i for i, u in enumerate(amap)
                 if u is not None and not utt_done[u]]
         n_new = 1
@@ -572,7 +589,12 @@ def device_beam_search_batch(
                   + jnp.arange(beam_size)[None, :]).reshape(-1)
             tokens, scores, anc = tokens[ri], scores[ri], anc[ri]
             lt, pt, has, stamp = lt[ri], pt[ri], has[ri], stamp[ri]
-            cache = {k: jnp.take(v, ri, axis=1) for k, v in cache.items()}
+            # pop per key so each old tensor dies right after its take
+            cache = dict(cache)
+            for k in list(cache):
+                old = cache.pop(k)
+                cache[k] = jnp.take(old, ri, axis=1)
+                del old
             cross = tuple(jnp.take(c, ui, axis=1) for c in cross)
             lc, fc = lc[ui], fc[ui]
             chunk_kwargs = dict(
@@ -585,12 +607,15 @@ def device_beam_search_batch(
             anc = jnp.pad(anc, ((0, 0), (0, pad)))
             # grow K before V so at most one grown cache tensor coexists
             # with both old ones (the padded region is zeros the masked
-            # attention never reads)
+            # attention never reads); pop per key so old K is freed
+            # before V grows
             cache = dict(cache)
             for k in ("k", "v"):
+                old = cache.pop(k)
                 cache[k] = jnp.pad(
-                    cache[k], ((0, 0), (0, 0), (0, pad), (0, 0))
+                    old, ((0, 0), (0, 0), (0, pad), (0, 0))
                 )
+                del old
             cap = new_cap
         state = (tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc)
         if debug_trace is not None:  # (new cap, live slots) per growth

@@ -98,7 +98,7 @@ def main():
     auds = np.zeros((u_pad, t_pad * 640), np.float32)
     asamps = np.full((u_pad,), 640, np.int32)
     for i, a in enumerate(audios):
-        auds[i, : t_pad * 640] = a[: t_pad * 640]
+        auds[i, : min(len(a), t_pad * 640)] = a[: t_pad * 640]
         asamps[i] = min(len(a), t_pad * 640)
     alens_pad = np.ones((u_pad,), np.int32)
     alens_pad[:u] = alens
