@@ -32,6 +32,38 @@ import numpy as np
 A100_REFERENCE_TOKENS_PER_SEC = 3000.0  # see BENCH_NOTES.md
 
 
+def _probe_devices_or_die(timeout_s=None):
+    """Fail FAST if the tunneled TPU is unreachable instead of hanging.
+
+    jax.devices() blocks inside a C call when the axon tunnel is down
+    (observed: a bench process idle for hours at 0.3% CPU), which stalls
+    the whole round. Probe backend init from a daemon thread and
+    os._exit with a diagnostic if it never answers — no fake JSON is
+    emitted, the failure is loud and immediate."""
+    import os
+    import threading
+
+    timeout_s = timeout_s or float(
+        os.environ.get("DUALHYP_BENCH_DEVICE_TIMEOUT_S", "300")
+    )
+    result = {}
+
+    def probe():
+        result["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" not in result:
+        print(
+            f"bench.py: jax.devices() unresponsive after {timeout_s:.0f}s "
+            "— the axon TPU tunnel is down; aborting instead of hanging",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(2)
+    return result["devices"]
+
+
 def build_trainer(cfg, micro_batch, seq_len, remat=True):
     from dualhyp_tpu.models import gpt
     from dualhyp_tpu.train import TrainConfig, Trainer
@@ -84,7 +116,7 @@ def time_chunked(trainer, batch, chunk=8, n_measure=2):
 
 
 def main():
-    on_accel = jax.devices()[0].platform != "cpu"
+    on_accel = _probe_devices_or_die()[0].platform != "cpu"
     if on_accel:
         from dualhyp_tpu.registry import config_from_name
 
