@@ -266,7 +266,7 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
                            suppress_blank=True, suppress_tokens="-1",
                            without_timestamps=False, max_initial_timestamp=1.0,
                            patience=None, length_penalty=None,
-                           t_bucket=None):
+                           t_bucket=None, cross_kv_quant=None):
     """Batched DecodingTask beam over U mels in lockstep: one
     (U x beam)-row device step per token amortises the per-step host
     round-trip across utterances. Returns (per-utterance hyps lists,
@@ -291,7 +291,7 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
     )
     all_hyps = device_beam_search_batch(
         dec_params, dec_cfg, features, prefix, t_bucket=t_bucket,
-        **beam_kwargs
+        cross_kv_quant=cross_kv_quant, **beam_kwargs
     )
     ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
     detok = lambda toks: tokenizer.decode(
@@ -307,7 +307,8 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
                           suppress_blank=True, suppress_tokens="-1",
                           without_timestamps=False, max_initial_timestamp=1.0,
                           patience=None, length_penalty=None,
-                          stepper="device", t_bucket=None):
+                          stepper="device", t_bucket=None,
+                          cross_kv_quant=None):
     """Whisper DecodingTask beam over one mel: returns (hyps, prefix, detok)
     with every beam, ranked (ref: data/whisper/decoding.py:556-821).
 
@@ -342,7 +343,7 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
 
         hyps = device_beam_search(
             dec_params, dec_cfg, features, prefix, t_bucket=t_bucket,
-            **beam_kwargs
+            cross_kv_quant=cross_kv_quant, **beam_kwargs
         )
     else:
         if use_cache and stepper != "full":
@@ -473,6 +474,11 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         without_timestamps=bool(cfg.get("without_timestamps", False)),
         # DecodingOptions.sample_len (ref: data/whisper/decoding.py:97)
         max_new_tokens=int(cfg.get("max_new_tokens", 224)),
+        # "int8": per-channel int8 cross-attention K/V — halves the
+        # beam's dominant per-step HBM stream and the decode_batch
+        # memory bound; near-lossless like the weight quantization but
+        # n-best not guaranteed token-identical. Opt-in, default exact.
+        cross_kv_quant=cfg.get("cross_kv_quant"),
     )
 
     def emit(uid, wav_path, caption, corr, texts, scores):

@@ -371,6 +371,7 @@ def device_beam_search(
     cache_dtype=None,
     chunk_steps: Optional[int] = None,
     t_bucket: Optional[int] = None,
+    cross_kv_quant=None,
 ) -> List[BeamHypothesis]:
     """Whisper DecodingTask beam search with the per-step compute AND the
     candidate selection on device.
@@ -387,6 +388,7 @@ def device_beam_search(
         timestamp_rules=timestamp_rules, patience=patience,
         length_penalty=length_penalty, cache_dtype=cache_dtype,
         chunk_steps=chunk_steps, t_bucket=t_bucket,
+        cross_kv_quant=cross_kv_quant,
     )[0]
 
 
@@ -407,6 +409,7 @@ def device_beam_search_batch(
     cache_dtype=None,
     chunk_steps: Optional[int] = None,
     t_bucket: Optional[int] = None,
+    cross_kv_quant=None,
     debug_trace: Optional[list] = None,
 ) -> List[List[BeamHypothesis]]:
     """Beam search over U utterances at once: (U x beam_size)-row device
@@ -463,7 +466,12 @@ def device_beam_search_batch(
     # (L, U, n_state, S) memory KV (S-minor + K pre-scaled by hd**-0.25
     # — see precompute_cross_kv); rows map to utterance row // beam_size
     # inside decode_step_cached's grouped cross-attention path
-    cross = w.precompute_cross_kv(dec_params, dec_cfg, features)
+    # cross_kv_quant="int8" halves the beam's dominant per-step HBM
+    # stream (and the U-width memory bound) at a small logits rounding;
+    # None keeps the exact bf16/f32 path (see precompute_cross_kv)
+    cross = w.precompute_cross_kv(
+        dec_params, dec_cfg, features, quantize=cross_kv_quant
+    )
     if t_bucket is None:
         # multi-utterance: start small and grow (the 4h memory fix —
         # budget-224 batched caches OOM outright at full width). U=1's

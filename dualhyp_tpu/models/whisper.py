@@ -464,7 +464,7 @@ def decode_logits_with_cross_qk(params: dict, cfg: WhisperDecoderConfig,
 # ref: model.py:186-199 install_kv_cache_hooks) ----
 
 def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
-                        audio_features):
+                        audio_features, quantize=None):
     """Cross-attention K/V from encoder output, once per utterance.
     Returns (k, v) each (L, B, n_state, S) — S-MINOR, so the decode
     step's cross dots consume the per-layer slice with the contraction
@@ -481,7 +481,17 @@ def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
 
     K also comes back PRE-SCALED by hd**-0.25: the logits einsums
     consume it without a per-layer-per-step 30 MB multiply — same
-    elementwise multiply, done once, bit-identical logits."""
+    elementwise multiply, done once, bit-identical logits.
+
+    quantize="int8": returns (k_q, k_scale, v_q, v_scale) with k_q/v_q
+    int8 (L, B, n_state, S) and per-(layer, utterance, channel)
+    symmetric scales (L, B, n_state). Halves the dominant per-step HBM
+    stream of the batched beam (the layer scan re-reads the FULL cross
+    K/V every decode step — ~245 MB/utterance at large-v3 — and the
+    U=16 lockstep width is cross-KV-bound, CLAUDE.md) at the cost of a
+    ~1/255-per-channel rounding on attention logits; decode_step_cached
+    dequantizes in the layer body. All four tensors keep B on axis 1,
+    so the beam's compaction `jnp.take(c, ui, axis=1)` is unchanged."""
     xa = audio_features
     scale = (cfg.n_state // cfg.n_head) ** -0.25
 
@@ -493,7 +503,21 @@ def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
     _, (ks, vs) = jax.lax.scan(
         lambda carry, leaf: (None, per_layer(leaf, None)[1]), None, params["blocks"]
     )
-    return ks, vs
+    if quantize is None:
+        return ks, vs
+    if quantize != "int8":
+        raise ValueError(f"unsupported cross-KV quantization: {quantize}")
+
+    def q8(t):
+        t = t.astype(jnp.float32)
+        s8 = jnp.max(jnp.abs(t), axis=-1) / 127.0  # (L, B, n_state)
+        s8 = jnp.maximum(s8, 1e-12)
+        q = jnp.clip(jnp.round(t / s8[..., None]), -127, 127).astype(jnp.int8)
+        return q, s8
+
+    kq, ksc = q8(ks)
+    vq, vsc = q8(vs)
+    return kq, ksc, vq, vsc
 
 
 def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,
@@ -558,7 +582,17 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     x = x + jax.lax.dynamic_slice_in_dim(
         params["positional_embedding"], pos, 1, axis=0
     )
-    cross_k, cross_v = cross_kv
+    # 2-tuple: (k, v) at the compute dtype. 4-tuple: int8-quantized
+    # (k_q, k_scale, v_q, v_scale) from precompute_cross_kv(quantize=
+    # "int8") — the layer scan streams the int8 tensors (half the HBM
+    # traffic of the dominant per-step stream) and the body dequantizes
+    # the 30 MB per-layer slice right before the cross dots.
+    cross_quant = len(cross_kv) == 4
+    if cross_quant:
+        cross_k, cross_k_scale, cross_v, cross_v_scale = cross_kv
+    else:
+        cross_k, cross_v = cross_kv
+        cross_k_scale = cross_v_scale = None
     kv_len = pos + 1
     max_len = cache["k"].shape[2]
     valid = jnp.arange(max_len)[None, :] < kv_len  # (1, max_len)
@@ -568,7 +602,14 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
 
     def body(carry, scanned):
         hcur = carry
-        leaf, ck_layer, cv_layer, xk, xv = scanned
+        if cross_quant:
+            leaf, ck_layer, cv_layer, xk_q, xk_s, xv_q, xv_s = scanned
+            xk = (xk_q.astype(jnp.float32)
+                  * xk_s[..., None]).astype(x.dtype)
+            xv = (xv_q.astype(jnp.float32)
+                  * xv_s[..., None]).astype(x.dtype)
+        else:
+            leaf, ck_layer, cv_layer, xk, xv = scanned
         n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
         scale = hd ** -0.25
         # K is PRE-SCALED by hd**-0.25 at creation, so the cache holds
@@ -686,10 +727,13 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         )
         return hcur, out_kv
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], cache["k"], cache["v"], cross_k, cross_v),
-        unroll=unroll,
+    xs_scan = (
+        (params["blocks"], cache["k"], cache["v"], cross_k,
+         cross_k_scale, cross_v, cross_v_scale)
+        if cross_quant
+        else (params["blocks"], cache["k"], cache["v"], cross_k, cross_v)
     )
+    x, (new_k, new_v) = jax.lax.scan(body, x, xs_scan, unroll=unroll)
     x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
     logits = einsum("btd,vd->btv", x, params["token_embedding"].astype(x.dtype))
     # anc_onehot mode: {"k"/"v"} are the new (L, B, n_state) COLUMNS to

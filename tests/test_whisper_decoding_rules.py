@@ -408,3 +408,62 @@ def test_bucket_growth_matches_vendored_decoding_task(vendored, rng):
         [h.avg_logprob for h in hyps], ref.avg_logprob,
         rtol=1e-4, atol=1e-6,
     )
+
+
+@requires_vendored
+def test_cross_kv_int8_quantization(vendored, rng):
+    """cross_kv_quant="int8": per-channel dequant error is bounded by
+    half a quantization step, step logits stay close to exact, and the
+    batched device beam runs end-to-end returning the same top-1 tokens
+    at this tiny scale (quant noise << logit gaps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.cli.make_json_asr import decode_beams_from_mels
+    from dualhyp_tpu.models import whisper as w
+
+    model, dims = _tiny_model(vendored, seed=0)
+    encoder, decoder = _our_model(model, dims)
+    (enc_params, enc_cfg), (dec_params, dec_cfg) = encoder, decoder
+
+    mels = rng.normal(
+        size=(2, dims.n_mels, dims.n_audio_ctx * 2)
+    ).astype(np.float32)
+    feats = w.encode(enc_params, enc_cfg, jnp.asarray(mels))
+
+    exact = w.precompute_cross_kv(dec_params, dec_cfg, feats)
+    kq, ks, vq, vs = w.precompute_cross_kv(
+        dec_params, dec_cfg, feats, quantize="int8"
+    )
+    for q, s, ref in ((kq, ks, exact[0]), (vq, vs, exact[1])):
+        dq = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+        err = np.abs(dq - np.asarray(ref, np.float32))
+        # round-to-nearest: error <= scale/2 per element (+ float slop)
+        assert (err <= np.asarray(s)[..., None] * 0.5 + 1e-6).all()
+
+    # one cached decode step: quantized cross logits close to exact
+    cache = w.init_self_cache(dec_cfg, 2, 4)
+    toks = jnp.asarray([3, 7], jnp.int32)
+    lg_exact, _ = w.decode_step_cached(
+        dec_params, dec_cfg, toks, 0, cache, exact
+    )
+    lg_quant, _ = w.decode_step_cached(
+        dec_params, dec_cfg, toks, 0, cache, (kq, ks, vq, vs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_exact), np.asarray(lg_quant), rtol=0.0, atol=0.15
+    )
+
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    adapter = VendoredTokAdapter(tok)
+    kw = dict(beam_size=4, max_new_tokens=8, without_timestamps=True)
+    ref_hyps, _, _ = decode_beams_from_mels(
+        mels, encoder, decoder, adapter, **kw
+    )
+    q_hyps, _, _ = decode_beams_from_mels(
+        mels, encoder, decoder, adapter, cross_kv_quant="int8", **kw
+    )
+    for r, q in zip(ref_hyps, q_hyps):
+        assert r[0].tokens == q[0].tokens
