@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--steps", type=int, default=32,
                     help="sampled tokens per utterance (typical LRS2 length)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "pins jax_platforms, so JAX_PLATFORMS=cpu alone "
+                         "does not take; also the only way to smoke this "
+                         "script while the TPU tunnel is down)")
     ap.add_argument("--utterances", type=int, default=4,
                     help="batched-beam group size to also measure (0 = skip)")
     ap.add_argument("--n_state", type=int, default=1280)
@@ -39,7 +44,13 @@ def main():
     ap.add_argument("--chunk_steps", type=int, default=None,
                     help="beam steps per host sync (default: adaptive — "
                          "16 batched, whole budget single)")
+    ap.add_argument("--cross_kv_quant", default=None, choices=("int8",),
+                    help="int8 cross-attention K/V (halves the per-step "
+                         "cross-KV HBM stream; make_json_asr "
+                         "`cross_kv_quant` option)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from dualhyp_tpu.infer.beam_search import TimestampRules
     from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
@@ -62,7 +73,8 @@ def main():
             n_layer=args.dec_layers,
         )
 
-    dtype = jnp.bfloat16
+    # XLA:CPU lacks the bf16 x bf16 = f32 dot the TPU path uses
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
     enc = jax.tree_util.tree_map(
         lambda x: x.astype(dtype), w.init_encoder(enc_cfg, jax.random.key(0))
     )
@@ -113,6 +125,7 @@ def main():
             timestamp_rules=rules,
             cache_dtype=dtype,
             chunk_steps=args.chunk_steps,
+            cross_kv_quant=args.cross_kv_quant,
         )
 
     print("compiling beam step...", flush=True)
@@ -158,6 +171,7 @@ def main():
                 timestamp_rules=rules,
                 cache_dtype=dtype,
                 chunk_steps=args.chunk_steps,
+                cross_kv_quant=args.cross_kv_quant,
             )
 
         print(f"compiling batched beam step (U={u})...", flush=True)
