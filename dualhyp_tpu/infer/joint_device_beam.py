@@ -44,7 +44,12 @@ def _ctc_impl() -> str:
     rounding (reassociated logaddexp chains); tests run both."""
     import os
 
-    return os.environ.get("DUALHYP_CTC_IMPL", "assoc")
+    impl = os.environ.get("DUALHYP_CTC_IMPL", "assoc")
+    if impl not in ("seq", "assoc"):
+        raise ValueError(
+            f"DUALHYP_CTC_IMPL must be 'seq' or 'assoc', got {impl!r}"
+        )
+    return impl
 
 
 def _ctc_recursion_seq(xs, xb, phi_prev, start, valid, out_len, t_frames):
@@ -152,6 +157,20 @@ def _ctc_recursion_assoc(xs, xb, phi_prev, start, valid, out_len, t_frames):
     return rn_all, rb_all, psi
 
 
+def _ctc_eos_blank_overrides(psi, cand, r_sum, valid, t_frames, blank, eos):
+    """eos candidates score the prefix's own total probability at the
+    last valid frame; blank is never a label (ref:
+    ctc_prefix_score.py:343-350). Shared by both psi paths so the rule
+    cannot drift between them."""
+    import jax.numpy as jnp
+
+    last_valid = jnp.clip(valid - 1, 0, t_frames - 1)
+    r_sum_last = jnp.take_along_axis(r_sum, last_valid[:, None], axis=1)
+    psi = jnp.where(cand == eos, r_sum_last, psi)
+    psi = jnp.where(cand == blank, LOG_ZERO, psi)
+    return psi
+
+
 def _ctc_cand_inputs(ctc_x, ctc_valid, r_prev, last_tokens, cand,
                      out_len, blank, n_hyps_per_utt):
     """Shared preamble of the candidate CTC scorers: per-candidate
@@ -178,6 +197,10 @@ def _ctc_cand_inputs(ctc_x, ctc_valid, r_prev, last_tokens, cand,
         ctc_x.astype(jnp.float32), onehot,
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        # HIGHEST: this env decomposes f32 dots to bf16 by default
+        # (CLAUDE.md), which would round every gathered log-prob ~0.4%
+        # relative — a one-hot gather must return the stored values
+        precision=jax.lax.Precision.HIGHEST,
     )  # (U, T, H*K)
     xs = (
         xs_u.reshape(n_utt, t_frames, h, k)
@@ -226,12 +249,9 @@ def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
         (out_len == 0) & (valid > 0)[:, None], xs[:, 0, :], LOG_ZERO
     )
     psi = jnp.logaddexp(seed, jax.nn.logsumexp(terms, axis=1))
-
-    last_valid = jnp.clip(valid - 1, 0, t_frames - 1)
-    r_sum_last = jnp.take_along_axis(r_sum, last_valid[:, None], axis=1)
-    psi = jnp.where(cand == eos, r_sum_last, psi)
-    psi = jnp.where(cand == blank, LOG_ZERO, psi)
-    return psi
+    return _ctc_eos_blank_overrides(
+        psi, cand, r_sum, valid, t_frames, blank, eos
+    )
 
 
 def _ctc_history_selected(ctc_x, ctc_valid, r_prev_sel, last_sel, tok,
@@ -252,6 +272,7 @@ def _ctc_history_selected(ctc_x, ctc_valid, r_prev_sel, last_sel, tok,
         ctc_x.astype(jnp.float32), onehot,
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact gather, see above
     ).transpose(0, 2, 1).reshape(r_cnt, t_frames)  # (R, T)
     xb = jnp.take(ctc_x, blank, axis=2)[u]  # (R, T)
 
@@ -304,12 +325,9 @@ def _ctc_score_candidates(ctc_x, ctc_valid, r_prev, last_tokens, cand,
         )
     r_new = jnp.stack([rn_all, rb_all], axis=-1).transpose(1, 2, 0, 3)
 
-    # eos candidate scores the prefix's own total probability at the last
-    # valid frame; blank is never a label (ref: ctc_prefix_score.py:343-350)
-    last_valid = jnp.clip(valid - 1, 0, t_frames - 1)
-    r_sum_last = jnp.take_along_axis(r_sum, last_valid[:, None], axis=1)  # (R,1)
-    psi = jnp.where(cand == eos, r_sum_last, psi)
-    psi = jnp.where(cand == blank, LOG_ZERO, psi)
+    psi = _ctc_eos_blank_overrides(
+        psi, cand, r_sum, valid, t_frames, blank, eos
+    )
     return psi, r_new
 
 

@@ -418,8 +418,11 @@ def device_beam_search_batch(
     the returned scalar pack. Utterances advance in lockstep; finished
     ones keep dead rows until all complete.
 
-    t_bucket: initial new-token capacity of the self cache (None = 32,
-    capped at max_new_tokens). The cache, token and ancestor buffers are
+    t_bucket: initial new-token capacity of the self cache (None = 32
+    for multi-utterance groups, the whole budget at U=1 — a single
+    utterance's full-budget cache is small and one bucket preserves the
+    one-host-sync protocol; always capped at max_new_tokens). The
+    cache, token and ancestor buffers are
     allocated at this BUCKET, not the full budget, and grown by doubling
     (32 -> 64 -> 128 -> budget) only while utterances are still decoding
     — with the reference-parity budget of 224 the full-size buffers are
