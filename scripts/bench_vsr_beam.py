@@ -98,9 +98,16 @@ def main():
                     help="lockstep batch width for the device beam")
     ap.add_argument("--chunk_steps", type=int, default=None,
                     help="beam steps per host sync (default: adaptive)")
+    ap.add_argument("--ctc_impl", default=None, choices=("seq", "assoc"),
+                    help="CTC frame-recursion implementation A/B "
+                         "(sets DUALHYP_CTC_IMPL; default assoc)")
     ap.add_argument("--host_beam", action="store_true",
                     help="also time the host-driven per-utterance beam")
     args = ap.parse_args()
+    if args.ctc_impl:
+        import os
+
+        os.environ["DUALHYP_CTC_IMPL"] = args.ctc_impl
 
     from dualhyp_tpu.infer.beam_search import nbest_texts, BeamHypothesis
     from dualhyp_tpu.infer.ctc_prefix import CTCPrefixScorer
