@@ -312,3 +312,46 @@ def test_cached_beam_search_matches_uncached(rng):
     )
     assert t_cached == t_full
     np.testing.assert_allclose(s_cached, s_full, rtol=1e-4)
+
+
+def test_transcribe_nbest_batch_cross_kv_int8(rng):
+    """The make_json_asr `cross_kv_quant: int8` option runs the batched
+    CLI path end-to-end and returns the exact path's n-best at tiny
+    scale (quant noise << logit gaps on random weights)."""
+    import jax
+
+    from dualhyp_tpu.cli.make_json_asr import transcribe_nbest_batch
+    from dualhyp_tpu.models import whisper as w
+
+    enc_cfg = w.WhisperEncoderConfig(
+        n_mels=80, n_ctx=1500, n_state=32, n_head=4, n_layer=1
+    )
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=64, n_ctx=64, n_state=32, n_head=4, n_layer=1
+    )
+    enc = w.init_encoder(enc_cfg, jax.random.key(0))
+    dec = w.init_decoder(dec_cfg, jax.random.key(1))
+
+    class FakeTok:
+        def convert_tokens_to_ids(self, token):
+            return {"<|startoftranscript|>": 60, "<|en|>": 61,
+                    "<|transcribe|>": 62, "<|notimestamps|>": 63,
+                    "<|endoftext|>": 59}.get(token, -1)
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(f"w{int(t)}" for t in ids if t < 59)
+
+    audios = [
+        rng.normal(size=(16000,)).astype(np.float32) * 0.05 for _ in range(2)
+    ]
+    kwargs = dict(beam_size=4, n_best=3, max_new_tokens=6)
+    exact = transcribe_nbest_batch(
+        audios, (enc, enc_cfg), (dec, dec_cfg), FakeTok(), **kwargs
+    )
+    quant = transcribe_nbest_batch(
+        audios, (enc, enc_cfg), (dec, dec_cfg), FakeTok(),
+        cross_kv_quant="int8", **kwargs
+    )
+    for (te, se), (tq, sq) in zip(exact, quant):
+        assert te == tq
+        np.testing.assert_allclose(se, sq, rtol=5e-2, atol=5e-2)
