@@ -224,31 +224,83 @@ def _ctc_cand_inputs(ctc_x, ctc_valid, r_prev, last_tokens, cand,
 
 
 def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
-                    out_len, blank, eos, n_hyps_per_utt):
+                    out_len, blank, eos, n_hyps_per_utt, ctc_probs=None):
     """log_psi (R, K) of the candidate extensions WITHOUT materialising
-    the (R, K, T, 2) forward-variable histories.
+    the (R, K, T, 2) forward-variable histories — or any (R, T, K)
+    tensor at all.
 
-    psi has no frame recurrence at all: it is seeded at r^n[start-1]
-    (which lies in the reset region, so it equals xs[0] for the empty
-    prefix and LOG_ZERO otherwise — ctc_prefix_score.py:293-296,316) and
-    then ⊕-accumulates phi[t-1] ⊗ xs[t] over active frames
-    (ctc_prefix_score.py:333-341) — a pure logsumexp reduction. The
-    histories are computed separately for the <= beam SELECTED
-    candidates only (`_ctc_history_selected`), K-fold less recursion
-    work than scoring-time histories for all K pre-beam candidates."""
+    psi has no frame recurrence (ctc_prefix_score.py:316,333-341): it is
+    the reset seed (xs[0] for the empty prefix, LOG_ZERO otherwise)
+    ⊕-combined with logsumexp_t(phi[t-1] + xs[t]) over active frames.
+    In linear space that reduction is Σ_t e^{phi[t-1]} · p[t, v] for
+    EVERY candidate v at once — i.e. one dense (rows, T) x (T, V)
+    matmul per utterance against p = exp(ctc_x), max-subtracted per row
+    for range safety. phi has only two variants along K (repeat vs
+    non-repeat of the last label), so the whole vocabulary is scored
+    with two MXU matmuls (~30x fewer FLOPs than gathering (R, T, K)
+    emission columns through a one-hot contraction and reducing in log
+    space) and the K pre-beam candidates just read their columns.
+    Histories are computed separately for the <= beam SELECTED
+    candidates only (`_ctc_history_selected`).
+
+    ctc_probs: optional precomputed exp(ctc_x) — pass it when calling
+    per step inside a scan so the exp is hoisted out of the loop."""
     import jax.numpy as jnp
 
-    xs, xb, phi_prev, start, valid, r_sum, t_frames = _ctc_cand_inputs(
-        ctc_x, ctc_valid, r_prev, last_tokens, cand, out_len, blank,
-        n_hyps_per_utt,
-    )
+    r_cnt, k = cand.shape
+    n_utt, t_frames, vocab = ctc_x.shape
+    h = n_hyps_per_utt
+    u = jnp.arange(r_cnt) // h
+
+    start = jnp.maximum(out_len, 1)
+    valid = ctc_valid[u]
     t_idx = jnp.arange(t_frames)
     act = (t_idx[None, :] >= start) & (t_idx[None, :] < valid[:, None])
-    terms = jnp.where(act[..., None], phi_prev + xs, -jnp.inf)
+
+    r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])  # (R, T)
+
+    def shift(p):  # column t holds phi[t-1]; t=0 never active
+        return jnp.concatenate(
+            [jnp.full_like(p[:, :1], LOG_ZERO), p[:, :-1]], axis=1
+        )
+
+    neg_inf = jnp.float32(-jnp.inf)
+    p_s = jnp.where(act, shift(r_sum), neg_inf)           # non-repeat
+    p_n = jnp.where(act, shift(r_prev[..., 1]), neg_inf)  # repeat
+
+    if ctc_probs is None:
+        ctc_probs = jnp.exp(ctc_x.astype(jnp.float32))
+
+    def branch(p):
+        m = jnp.max(p, axis=1)                            # (R,)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        a = jnp.where(
+            jnp.isfinite(p), jnp.exp(p - m_safe[:, None]), 0.0
+        )
+        b = jax.lax.dot_general(
+            a.reshape(n_utt, h, t_frames), ctc_probs,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            # HIGHEST: f32 sums must not decompose to bf16 (CLAUDE.md);
+            # still ~30x cheaper than the old gather contraction
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(r_cnt, vocab)
+        # log(0) = -inf marks an empty active set, matching the
+        # logsumexp of no terms
+        return m[:, None] + jnp.log(b)
+
+    val_s = jnp.take_along_axis(branch(p_s), cand, axis=1)
+    val_n = jnp.take_along_axis(branch(p_n), cand, axis=1)
+    repeat = cand == last_tokens[:, None]
+    psi_main = jnp.where(repeat, val_n, val_s)
+
+    # seed = r^n[start-1] from the reset region: xs[0] for the empty
+    # prefix, LOG_ZERO otherwise (ctc_prefix_score.py:293-296,316)
+    xs0 = jnp.take_along_axis(ctc_x[:, 0, :][u], cand, axis=1)
     seed = jnp.where(
-        (out_len == 0) & (valid > 0)[:, None], xs[:, 0, :], LOG_ZERO
+        (out_len == 0) & (valid > 0)[:, None], xs0, LOG_ZERO
     )
-    psi = jnp.logaddexp(seed, jax.nn.logsumexp(terms, axis=1))
+    psi = jnp.logaddexp(seed, psi_main)
     return _ctc_eos_blank_overrides(
         psi, cand, r_sum, valid, t_frames, blank, eos
     )
@@ -410,6 +462,12 @@ def _joint_chunk(
     u_of_row = jnp.arange(r_cnt) // h
     row_in_u = jnp.arange(r_cnt) % h
     w_dec, w_ctc, w_lm, penalty = weights
+    # hoisted out of the step loop: the matmul-formulated psi consumes
+    # exp(ctc_x) every step (see _ctc_psi_scores)
+    ctc_probs = (
+        jnp.exp(ctc_x.astype(jnp.float32))
+        if use_ctc and ctc_impl != "seq" else None
+    )
 
     def one(carry, s):
         (tokens, beam_scores, ctc_scores, r_live, cache,
@@ -451,7 +509,7 @@ def _joint_chunk(
                 # histories deferred to the selected beam only (below)
                 psi = _ctc_psi_scores(
                     ctc_x, ctc_valid, r_live, last_tokens, cand, pos,
-                    blank, eos, h,
+                    blank, eos, h, ctc_probs=ctc_probs,
                 )
                 r_new = None
             total = (beam_scores[:, None] + top_vals
