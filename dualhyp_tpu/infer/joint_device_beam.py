@@ -586,6 +586,10 @@ def _joint_chunk(
                 perm.astype(v.dtype), flat,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=v.dtype,
+                # one pass for the production bf16 cache (one-hot
+                # roundtrips bf16 values exactly); keeps the f32 test
+                # mode exact on TPU too (default decomposes f32 to bf16)
+                precision=jax.lax.Precision.HIGHEST,
             )
             return out.reshape(v.shape)
 

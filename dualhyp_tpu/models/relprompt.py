@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dualhyp_tpu.config import GPTConfig
+from dualhyp_tpu.ops.linalg import einsum
 
 NUM_CLASSES = 3  # <<C>>, <<M>>, <<N>>
 
@@ -82,7 +83,7 @@ def classifier_forward(params: dict, x, pool: int, *, rng=None,
     h = _avg_pool_ceil(h, pool)
     h = h.swapaxes(1, 2)  # (B, T_out, hidden)
     w = params["classifier"]["weight"].astype(h.dtype)
-    return jnp.einsum("bth,ch->btc", h, w) + params["classifier"]["bias"]
+    return einsum("bth,ch->btc", h, w) + params["classifier"]["bias"]
 
 
 def init_relprompt_params(cfg: GPTConfig, key) -> dict:
