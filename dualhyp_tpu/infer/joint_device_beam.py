@@ -37,14 +37,28 @@ LOG_ZERO = -1e10
 
 
 def _ctc_impl() -> str:
-    """CTC frame-recursion implementation: 'assoc' (log-depth
-    `lax.associative_scan`, the TPU default — the sequential scan's ~T
-    tiny-body iterations are issue-bound at ~1 GF/s on v5e) or 'seq'
-    (the reference-shaped sequential `lax.scan`). Values agree to float
-    rounding (reassociated logaddexp chains); tests run both."""
+    """CTC candidate-scoring implementation (DUALHYP_CTC_IMPL).
+
+    'seq' (default): the measured-good round-4 configuration — one
+    K-wide sequential `lax.scan` computes psi and the (R, K, T, 2)
+    forward-variable histories at scoring time.
+    'assoc': scoring is TWO dense matmuls against exp(ctc_x) (no scan,
+    no (R, T, K) tensor — see _ctc_psi_scores) and histories are one
+    K=1 `lax.associative_scan` recursion for just the selected beam.
+    Values agree to float rounding; tests run both.
+
+    Why 'seq' is still the default: a round-4 A/B already measured a
+    K-WIDE associative formulation neutral-to-negative on the chip
+    (BENCH_NOTES "associative-scan CTC — measured negative": each log
+    pass streamed (rows, T, beam) intermediates through HBM, and the
+    sequential recursion's latency was not reproducible as removable
+    step time). The 'assoc' mode here is a different design — scoring
+    has NO recursion at all and the remaining (T, R, 1) recursion is
+    ~60x smaller — but it flips to default only if its own TPU A/B
+    wins (bench_vsr_beam --ctc_impl)."""
     import os
 
-    impl = os.environ.get("DUALHYP_CTC_IMPL", "assoc")
+    impl = os.environ.get("DUALHYP_CTC_IMPL", "seq")
     if impl not in ("seq", "assoc"):
         raise ValueError(
             f"DUALHYP_CTC_IMPL must be 'seq' or 'assoc', got {impl!r}"
