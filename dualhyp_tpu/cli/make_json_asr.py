@@ -266,7 +266,8 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
                            suppress_blank=True, suppress_tokens="-1",
                            without_timestamps=False, max_initial_timestamp=1.0,
                            patience=None, length_penalty=None,
-                           t_bucket=None, cross_kv_quant=None):
+                           t_bucket=None, cross_kv_quant=None,
+                           self_kv_quant=None):
     """Batched DecodingTask beam over U mels in lockstep: one
     (U x beam)-row device step per token amortises the per-step host
     round-trip across utterances. Returns (per-utterance hyps lists,
@@ -291,7 +292,8 @@ def decode_beams_from_mels(mels, encoder, decoder, tokenizer, *, beam_size=50,
     )
     all_hyps = device_beam_search_batch(
         dec_params, dec_cfg, features, prefix, t_bucket=t_bucket,
-        cross_kv_quant=cross_kv_quant, **beam_kwargs
+        cross_kv_quant=cross_kv_quant, self_kv_quant=self_kv_quant,
+        **beam_kwargs
     )
     ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
     detok = lambda toks: tokenizer.decode(
@@ -308,7 +310,7 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
                           without_timestamps=False, max_initial_timestamp=1.0,
                           patience=None, length_penalty=None,
                           stepper="device", t_bucket=None,
-                          cross_kv_quant=None):
+                          cross_kv_quant=None, self_kv_quant=None):
     """Whisper DecodingTask beam over one mel: returns (hyps, prefix, detok)
     with every beam, ranked (ref: data/whisper/decoding.py:556-821).
 
@@ -343,7 +345,8 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
 
         hyps = device_beam_search(
             dec_params, dec_cfg, features, prefix, t_bucket=t_bucket,
-            cross_kv_quant=cross_kv_quant, **beam_kwargs
+            cross_kv_quant=cross_kv_quant, self_kv_quant=self_kv_quant,
+            **beam_kwargs
         )
     else:
         if use_cache and stepper != "full":
@@ -479,6 +482,10 @@ def make_json(cfg: dict, shard_index=0, num_shards=1):
         # memory bound; near-lossless like the weight quantization but
         # n-best not guaranteed token-identical. Opt-in, default exact.
         cross_kv_quant=cfg.get("cross_kv_quant"),
+        # "int8": int8 self-attention KV cache (per-column scales folded
+        # out of the attention contractions) — halves the per-step
+        # history stream and the bucket-growth memory bound. Opt-in.
+        self_kv_quant=cfg.get("self_kv_quant"),
     )
 
     def emit(uid, wav_path, caption, corr, texts, scores):

@@ -173,22 +173,49 @@ def _beam_chunk(
         anc_step = jnp.where(
             (jnp.arange(t_buf) == pos)[None, :], row_in_u[:, None], anc
         )
+        self_quant = "k_scale" in cache
+        oh_dtype = (
+            dec_params["token_embedding"].dtype if self_quant
+            else cache["k"].dtype
+        )
         onehot = jax.nn.one_hot(
             anc_step.reshape(n_utt, beam, t_buf), beam, axis=2,
-            dtype=cache["k"].dtype,
+            dtype=oh_dtype,
         )
+        kv_scales = None
+        if self_quant:
+            # ancestor-select the per-column scales ONCE per step for
+            # all layers (the ancestor map is layer-independent); a
+            # (L, U, S, T) take_along_axis outside the layer scan is a
+            # few MB — unlike per-layer gathers inside it
+            idx = jnp.broadcast_to(
+                anc_step.reshape(1, n_utt, beam, t_buf),
+                (dec_cfg.n_layer, n_utt, beam, t_buf),
+            )
+            kv_scales = tuple(
+                jnp.take_along_axis(
+                    cache[key].reshape(
+                        dec_cfg.n_layer, n_utt, beam, t_buf
+                    ),
+                    idx, axis=2,
+                ).reshape(dec_cfg.n_layer, rows, t_buf)
+                for key in ("k_scale", "v_scale")
+            )
         logits, cols = w.decode_step_cached(
             dec_params, dec_cfg, last_tokens, pos, cache, cross,
-            anc_onehot=onehot, unroll=unroll,
+            anc_onehot=onehot, unroll=unroll, self_kv_scales=kv_scales,
         )
-        cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], cols["k"][:, :, None, :], (0, 0, pos, 0)
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], cols["v"][:, :, None, :], (0, 0, pos, 0)
-            ),
-        }
+        upd = {}
+        for key in ("k", "v"):
+            upd[key] = jax.lax.dynamic_update_slice(
+                cache[key], cols[key][:, :, None, :], (0, 0, pos, 0)
+            )
+            sk = key + "_scale"
+            if sk in cache:
+                upd[sk] = jax.lax.dynamic_update_slice(
+                    cache[sk], cols[sk][:, :, None], (0, 0, pos)
+                )
+        cache = upd
         logits = logits.astype(jnp.float32)
         if use_blank:
             logits = jnp.where(is_first, logits + blank_mask, logits)
@@ -372,6 +399,7 @@ def device_beam_search(
     chunk_steps: Optional[int] = None,
     t_bucket: Optional[int] = None,
     cross_kv_quant=None,
+    self_kv_quant=None,
 ) -> List[BeamHypothesis]:
     """Whisper DecodingTask beam search with the per-step compute AND the
     candidate selection on device.
@@ -388,7 +416,7 @@ def device_beam_search(
         timestamp_rules=timestamp_rules, patience=patience,
         length_penalty=length_penalty, cache_dtype=cache_dtype,
         chunk_steps=chunk_steps, t_bucket=t_bucket,
-        cross_kv_quant=cross_kv_quant,
+        cross_kv_quant=cross_kv_quant, self_kv_quant=self_kv_quant,
     )[0]
 
 
@@ -410,6 +438,7 @@ def device_beam_search_batch(
     chunk_steps: Optional[int] = None,
     t_bucket: Optional[int] = None,
     cross_kv_quant=None,
+    self_kv_quant=None,
     debug_trace: Optional[list] = None,
 ) -> List[List[BeamHypothesis]]:
     """Beam search over U utterances at once: (U x beam_size)-row device
@@ -485,7 +514,9 @@ def device_beam_search_batch(
         t_bucket = max_new_tokens if n_utt == 1 else 32
     cap = min(max_new_tokens, max(t_bucket, 1))
     t_cap = sample_begin + cap
-    cache = w.init_self_cache(dec_cfg, rows, t_cap, dtype=cache_dtype)
+    cache = w.init_self_cache(
+        dec_cfg, rows, t_cap, dtype=cache_dtype, quantize=self_kv_quant
+    )
 
     def vocab_mask(ids):
         m = np.zeros((n_vocab,), np.float32)
@@ -509,11 +540,16 @@ def device_beam_search_batch(
     )
 
     if sample_begin > 1:
+        # prefill walks the shared prefix at the FLOAT cache dtype (the
+        # non-append-only step path), then quantizes the small result if
+        # the beam cache is int8 — the prefix is quantized exactly once
         small = w.init_self_cache(dec_cfg, n_utt, t_cap, dtype=cache_dtype)
         small = _prefill(
             dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32), small,
             dec_cfg=dec_cfg,
         )
+        if self_kv_quant:
+            small = w.quantize_self_cache(small)
         # scatter utterance u's prefix KV into its beam row 0; the other
         # rows are never read before their first re-parenting gather
         cache = {
@@ -621,11 +657,11 @@ def device_beam_search_batch(
             # attention never reads); pop per key so old K is freed
             # before V grows
             cache = dict(cache)
-            for k in ("k", "v"):
+            for k in list(cache):
                 old = cache.pop(k)
-                cache[k] = jnp.pad(
-                    old, ((0, 0), (0, 0), (0, pad), (0, 0))
-                )
+                spec = [(0, 0)] * old.ndim
+                spec[2] = (0, pad)  # values (L,R,T,D) / scales (L,R,T)
+                cache[k] = jnp.pad(old, spec)
                 del old
             cap = new_cap
         state = (tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc)

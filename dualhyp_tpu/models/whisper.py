@@ -521,9 +521,39 @@ def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
 
 
 def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, quantize=None):
+    """Self-attention KV cache. quantize="int8" stores int8 values with
+    per-(layer, row, column) f32 scales ("k_scale"/"v_scale",
+    (L, B, T)) — halves the beam's per-step history stream and the
+    bucket-growth memory bound; decode_step_cached's append-only path
+    folds the scales out of both attention contractions so the dequant
+    costs O(B*H*T) multiplies, not O(B*T*D)."""
     shape = (cfg.n_layer, batch, max_len, cfg.n_state)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quantize is None:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quantize != "int8":
+        raise ValueError(f"unsupported self-KV quantization: {quantize}")
+    sshape = shape[:-1]
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, jnp.float32),
+        "v_scale": jnp.zeros(sshape, jnp.float32),
+    }
+
+
+def quantize_self_cache(cache: dict) -> dict:
+    """Quantize a float K/V self cache (e.g. a prefill's) to the int8
+    layout of init_self_cache(quantize="int8")."""
+    out = {}
+    for key in ("k", "v"):
+        t = cache[key].astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(t), axis=-1), 1e-12) / 127.0
+        out[key] = jnp.clip(
+            jnp.round(t / s[..., None]), -127, 127
+        ).astype(jnp.int8)
+        out[key + "_scale"] = s
+    return out
 
 
 def _logits_einsum(sub, a, b):
@@ -540,7 +570,8 @@ def _logits_einsum(sub, a, b):
 
 def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                        cache: dict, cross_kv, row_gather=None,
-                       anc_onehot=None, unroll: int = 1):
+                       anc_onehot=None, unroll: int = 1,
+                       self_kv_scales=None):
     """One decode step. tokens: (B,) int32 current tokens at position `pos`
     (scalar — beams advance in lockstep). Returns (logits (B, V), cache).
 
@@ -588,6 +619,22 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     # traffic of the dominant per-step stream) and the body dequantizes
     # the 30 MB per-layer slice right before the cross dots.
     cross_quant = len(cross_kv) == 4
+    # int8 self cache (init_self_cache(quantize="int8"), anc mode only):
+    # int8 VALUES ride the one-hot ancestor einsum exactly in the
+    # compute dtype (integers <= 127 are exact in bf16), and the
+    # per-(row, column) scales FACTOR OUT of both attention
+    # contractions — logits_q * k_scale[b, t] after the q.k dot, and
+    # (w * v_scale)[b, h, s] folded into the probabilities before the
+    # w.v dot — so dequantization costs O(B*H*T), never O(B*T*D).
+    # self_kv_scales: ((L, B, T), (L, B, T)) ancestor-SELECTED scales
+    # (the selection is layer-independent, so the caller gathers them
+    # once per step outside the layer scan).
+    self_quant = cache["k"].dtype == jnp.int8
+    if self_quant and (anc_onehot is None or self_kv_scales is None):
+        raise NotImplementedError(
+            "int8 self cache requires the append-only (anc_onehot) "
+            "protocol with caller-selected scales"
+        )
     if cross_quant:
         cross_k, cross_k_scale, cross_v, cross_v_scale = cross_kv
     else:
@@ -602,14 +649,19 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
 
     def body(carry, scanned):
         hcur = carry
+        leaf, ck_layer, cv_layer = scanned[:3]
+        i = 3
+        if self_quant:
+            ksc_att, vsc_att = scanned[3:5]  # (b, T) selected scales
+            i = 5
         if cross_quant:
-            leaf, ck_layer, cv_layer, xk_q, xk_s, xv_q, xv_s = scanned
+            xk_q, xk_s, xv_q, xv_s = scanned[i:i + 4]
             xk = (xk_q.astype(jnp.float32)
                   * xk_s[..., None]).astype(x.dtype)
             xv = (xv_q.astype(jnp.float32)
                   * xv_s[..., None]).astype(x.dtype)
         else:
-            leaf, ck_layer, cv_layer, xk, xv = scanned
+            xk, xv = scanned[i:i + 2]
         n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
         scale = hd ** -0.25
         # K is PRE-SCALED by hd**-0.25 at creation, so the cache holds
@@ -631,17 +683,54 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             # (cache is read-only here); inject this step's K/V into its
             # column with the same dtype cast the DUS write applies
             u, rg = anc_onehot.shape[:2]
-            kg = ck_layer.reshape(u, rg, max_len, s)
-            vg = cv_layer.reshape(u, rg, max_len, s)
+            if self_quant:
+                # int8 values <= 127 are EXACT in the compute dtype, so
+                # the one-hot selection below returns the stored ints;
+                # scales were ancestor-selected by the caller (they are
+                # layer-independent) and this step's column is
+                # quantized here so attention sees round-trip values
+                kq = ck_layer.astype(x.dtype)
+                vq = cv_layer.astype(x.dtype)
+
+                def q8(t):  # (b, 1, s) -> int-valued floats + scales
+                    sc = jnp.maximum(
+                        jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1),
+                        1e-12,
+                    ) / 127.0
+                    q = jnp.clip(
+                        jnp.round(t.astype(jnp.float32) / sc[..., None]),
+                        -127, 127,
+                    )
+                    return q, sc
+
+                k_new_i, ksc_new = q8(k_new)
+                v_new_i, vsc_new = q8(v_new)
+                kg = kq.reshape(u, rg, max_len, s)
+                vg = vq.reshape(u, rg, max_len, s)
+            else:
+                kg = ck_layer.reshape(u, rg, max_len, s)
+                vg = cv_layer.reshape(u, rg, max_len, s)
             k_att = einsum("urst,ustd->urtd", anc_onehot, kg).reshape(
                 b, max_len, s)
             v_att = einsum("urst,ustd->urtd", anc_onehot, vg).reshape(
                 b, max_len, s)
             colm = (jnp.arange(max_len) == pos)[None, :, None]
-            k_att = jnp.where(colm, k_new.astype(k_att.dtype), k_att)
-            v_att = jnp.where(colm, v_new.astype(v_att.dtype), v_att)
-            out_kv = (k_new[:, 0].astype(ck_layer.dtype),
-                      v_new[:, 0].astype(cv_layer.dtype))
+            if self_quant:
+                k_att = jnp.where(colm, k_new_i.astype(k_att.dtype), k_att)
+                v_att = jnp.where(colm, v_new_i.astype(v_att.dtype), v_att)
+                colv = (jnp.arange(max_len) == pos)[None, :]
+                ksc_att = jnp.where(colv, ksc_new, ksc_att)
+                vsc_att = jnp.where(colv, vsc_new, vsc_att)
+                out_kv = (
+                    k_new_i[:, 0].astype(jnp.int8),
+                    v_new_i[:, 0].astype(jnp.int8),
+                    ksc_new[:, 0], vsc_new[:, 0],
+                )
+            else:
+                k_att = jnp.where(colm, k_new.astype(k_att.dtype), k_att)
+                v_att = jnp.where(colm, v_new.astype(v_att.dtype), v_att)
+                out_kv = (k_new[:, 0].astype(ck_layer.dtype),
+                          v_new[:, 0].astype(cv_layer.dtype))
             # the attention dots consume k_att/v_att in their FLAT
             # (b, t, n_state) layout: a block-diagonal query — q zeroed
             # outside its own head's 64-wide block — makes the d=1280
@@ -657,8 +746,15 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             q1 = _linear(leaf["attn"]["query"], n)[:, 0]   # (b, n_state)
             q_block = (q1 * scale)[:, None, :] * headmask[None]
             logits = _logits_einsum("bhd,bsd->bhs", q_block, k_att)
+            if self_quant:
+                # the per-column K scale factors out of the d-dot
+                logits = logits * ksc_att[:, None, :].astype(logits.dtype)
             logits = jnp.where(valid[:, None, :], logits, -jnp.inf)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            if self_quant:
+                # ... and the V scale folds into the probabilities
+                w = (w.astype(jnp.float32)
+                     * vsc_att[:, None, :]).astype(hcur.dtype)
             att_full = einsum("bhs,bsd->bhd", w, v_att)    # (b, h, n_state)
             att = (att_full * headmask[None]).sum(axis=1).reshape(b, 1, s)
         else:
@@ -727,18 +823,24 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         )
         return hcur, out_kv
 
-    xs_scan = (
-        (params["blocks"], cache["k"], cache["v"], cross_k,
-         cross_k_scale, cross_v, cross_v_scale)
-        if cross_quant
-        else (params["blocks"], cache["k"], cache["v"], cross_k, cross_v)
-    )
-    x, (new_k, new_v) = jax.lax.scan(body, x, xs_scan, unroll=unroll)
+    xs_scan = [params["blocks"], cache["k"], cache["v"]]
+    if self_quant:
+        xs_scan += list(self_kv_scales)  # selected (L, b, T) k/v scales
+    if cross_quant:
+        xs_scan += [cross_k, cross_k_scale, cross_v, cross_v_scale]
+    else:
+        xs_scan += [cross_k, cross_v]
+    x, new_kv = jax.lax.scan(body, x, tuple(xs_scan), unroll=unroll)
+    new_k, new_v = new_kv[0], new_kv[1]
     x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
     logits = einsum("btd,vd->btv", x, params["token_embedding"].astype(x.dtype))
     # anc_onehot mode: {"k"/"v"} are the new (L, B, n_state) COLUMNS to
-    # append at `pos`; otherwise the fully rewritten cache
-    return logits[:, 0].astype(jnp.float32), {"k": new_k, "v": new_v}
+    # append at `pos` (+ their (L, B) scales when int8); otherwise the
+    # fully rewritten cache
+    cols = {"k": new_k, "v": new_v}
+    if self_quant:
+        cols["k_scale"], cols["v_scale"] = new_kv[2], new_kv[3]
+    return logits[:, 0].astype(jnp.float32), cols
 
 
 def convert_hf_whisper_decoder(hf: Dict[str, np.ndarray],

@@ -48,6 +48,10 @@ def main():
                     help="int8 cross-attention K/V (halves the per-step "
                          "cross-KV HBM stream; make_json_asr "
                          "`cross_kv_quant` option)")
+    ap.add_argument("--self_kv_quant", default=None, choices=("int8",),
+                    help="int8 self-attention KV cache (halves the "
+                         "history stream + growth memory; make_json_asr "
+                         "`self_kv_quant` option)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -126,6 +130,7 @@ def main():
             cache_dtype=dtype,
             chunk_steps=args.chunk_steps,
             cross_kv_quant=args.cross_kv_quant,
+            self_kv_quant=args.self_kv_quant,
         )
 
     print("compiling beam step...", flush=True)
@@ -172,6 +177,7 @@ def main():
                 cache_dtype=dtype,
                 chunk_steps=args.chunk_steps,
                 cross_kv_quant=args.cross_kv_quant,
+                self_kv_quant=args.self_kv_quant,
             )
 
         print(f"compiling batched beam step (U={u})...", flush=True)

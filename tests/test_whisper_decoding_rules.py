@@ -467,3 +467,34 @@ def test_cross_kv_int8_quantization(vendored, rng):
     )
     for r, q in zip(ref_hyps, q_hyps):
         assert r[0].tokens == q[0].tokens
+
+
+@requires_vendored
+def test_self_kv_int8_quantization(vendored, rng):
+    """self_kv_quant="int8" (int8 self-attention KV cache with
+    folded-out scales) runs the batched device beam end-to-end —
+    including the growth/compaction path with scale buffers — and
+    returns the exact path's top beams at tiny scale."""
+    from dualhyp_tpu.cli.make_json_asr import decode_beams_from_mels
+
+    model, dims = _tiny_model(vendored, seed=0)
+    encoder, decoder = _our_model(model, dims)
+    tok = vendored.tokenizer.get_tokenizer(
+        multilingual=True, language="en", task="transcribe"
+    )
+    adapter = VendoredTokAdapter(tok)
+    mels = rng.normal(
+        size=(2, dims.n_mels, dims.n_audio_ctx * 2)
+    ).astype(np.float32)
+    kw = dict(beam_size=4, max_new_tokens=8, without_timestamps=True)
+    ref_hyps, _, _ = decode_beams_from_mels(
+        mels, encoder, decoder, adapter, **kw
+    )
+    for extra in (dict(self_kv_quant="int8"),
+                  dict(self_kv_quant="int8", cross_kv_quant="int8"),
+                  dict(self_kv_quant="int8", t_bucket=2)):
+        q_hyps, _, _ = decode_beams_from_mels(
+            mels, encoder, decoder, adapter, **extra, **kw
+        )
+        for r, q in zip(ref_hyps, q_hyps):
+            assert r[0].tokens == q[0].tokens, extra
