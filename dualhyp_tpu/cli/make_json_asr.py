@@ -338,6 +338,11 @@ def decode_beams_from_mel(mel, encoder, decoder, tokenizer, *, beam_size=50,
     )
     if not use_cache and stepper == "device":
         stepper = "full"  # legacy flag: full-prefix recompute stepper
+    if stepper != "device" and (cross_kv_quant or self_kv_quant):
+        raise ValueError(
+            "cross_kv_quant/self_kv_quant require the device stepper "
+            f"(got stepper={stepper!r})"
+        )
     if stepper == "device":
         # one jitted call per step: KV gather + decode + logit rules +
         # top(beam+1) all stay on device (infer/whisper_device_beam.py)

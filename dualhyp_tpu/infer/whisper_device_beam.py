@@ -185,19 +185,20 @@ def _beam_chunk(
         kv_scales = None
         if self_quant:
             # ancestor-select the per-column scales ONCE per step for
-            # all layers (the ancestor map is layer-independent); a
-            # (L, U, S, T) take_along_axis outside the layer scan is a
-            # few MB — unlike per-layer gathers inside it
-            idx = jnp.broadcast_to(
-                anc_step.reshape(1, n_utt, beam, t_buf),
-                (dec_cfg.n_layer, n_utt, beam, t_buf),
-            )
+            # all layers (the ancestor map is layer-independent) as a
+            # one-hot MXU contraction — a take_along_axis here sits
+            # inside the chunk lax.scan, the exact pattern the round-4b
+            # lesson says lowers to a DMA loop. f32 one-hot + HIGHEST
+            # keeps the selection exact.
+            oh32 = onehot.astype(jnp.float32)
+            from dualhyp_tpu.ops.linalg import einsum as _einsum
+
             kv_scales = tuple(
-                jnp.take_along_axis(
+                _einsum(
+                    "urst,lust->lurt", oh32,
                     cache[key].reshape(
                         dec_cfg.n_layer, n_utt, beam, t_buf
                     ),
-                    idx, axis=2,
                 ).reshape(dec_cfg.n_layer, rows, t_buf)
                 for key in ("k_scale", "v_scale")
             )

@@ -508,16 +508,21 @@ def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
     if quantize != "int8":
         raise ValueError(f"unsupported cross-KV quantization: {quantize}")
 
-    def q8(t):
-        t = t.astype(jnp.float32)
-        s8 = jnp.max(jnp.abs(t), axis=-1) / 127.0  # (L, B, n_state)
-        s8 = jnp.maximum(s8, 1e-12)
-        q = jnp.clip(jnp.round(t / s8[..., None]), -127, 127).astype(jnp.int8)
-        return q, s8
+    kq, ksc = _q8(ks)
+    vq, vsc = _q8(vs)
+    return kq.astype(jnp.int8), ksc, vq.astype(jnp.int8), vsc
 
-    kq, ksc = q8(ks)
-    vq, vsc = q8(vs)
-    return kq, ksc, vq, vsc
+
+def _q8(t, axis=-1):
+    """Symmetric round-to-nearest int8 quantization along `axis`:
+    (int-valued f32 in [-127, 127], f32 scales with a 1e-12 floor).
+    The ONE quantizer for cross-KV, prefill self-KV, and in-step self-KV
+    columns — the latter two MUST round identically (prefix columns are
+    quantized at prefill, step columns inside the decode step)."""
+    t = t.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(t), axis=axis) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(t / jnp.expand_dims(sc, axis)), -127, 127)
+    return q, sc
 
 
 def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,
@@ -547,12 +552,9 @@ def quantize_self_cache(cache: dict) -> dict:
     layout of init_self_cache(quantize="int8")."""
     out = {}
     for key in ("k", "v"):
-        t = cache[key].astype(jnp.float32)
-        s = jnp.maximum(jnp.max(jnp.abs(t), axis=-1), 1e-12) / 127.0
-        out[key] = jnp.clip(
-            jnp.round(t / s[..., None]), -127, 127
-        ).astype(jnp.int8)
-        out[key + "_scale"] = s
+        q, sc = _q8(cache[key])
+        out[key] = q.astype(jnp.int8)
+        out[key + "_scale"] = sc
     return out
 
 
@@ -692,19 +694,8 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                 kq = ck_layer.astype(x.dtype)
                 vq = cv_layer.astype(x.dtype)
 
-                def q8(t):  # (b, 1, s) -> int-valued floats + scales
-                    sc = jnp.maximum(
-                        jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1),
-                        1e-12,
-                    ) / 127.0
-                    q = jnp.clip(
-                        jnp.round(t.astype(jnp.float32) / sc[..., None]),
-                        -127, 127,
-                    )
-                    return q, sc
-
-                k_new_i, ksc_new = q8(k_new)
-                v_new_i, vsc_new = q8(v_new)
+                k_new_i, ksc_new = _q8(k_new)
+                v_new_i, vsc_new = _q8(v_new)
                 kg = kq.reshape(u, rg, max_len, s)
                 vg = vq.reshape(u, rg, max_len, s)
             else:
