@@ -94,7 +94,14 @@ def main():
                          "run the production --max_new_tokens 224 budget "
                          "with realistic early exit + bucketed cache growth")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "pins jax_platforms; use with --tiny)")
+    ap.add_argument("--cross_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from dualhyp_tpu.cli import make_json_asr
     from dualhyp_tpu.models import whisper as w
@@ -108,7 +115,8 @@ def main():
         enc_cfg = w.WHISPER_LARGE_V3
         dec_cfg = w.WhisperDecoderConfig()  # large-v3 decoder defaults
 
-    dtype = jnp.bfloat16
+    # XLA:CPU lacks the bf16 x bf16 = f32 dot the TPU path uses
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
     enc = jax.tree_util.tree_map(
         lambda x: x.astype(dtype), w.init_encoder(enc_cfg, jax.random.key(0))
     )
@@ -163,6 +171,8 @@ def main():
         "max_new_tokens": args.max_new_tokens,
         "dump_every": 10_000,
         "seed": 0,
+        "cross_kv_quant": args.cross_kv_quant,
+        "self_kv_quant": args.self_kv_quant,
     }
 
     print("warmup (compile) pass...", flush=True)
