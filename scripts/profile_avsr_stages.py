@@ -37,7 +37,12 @@ def main():
     ap.add_argument("--beam", type=int, default=40)
     ap.add_argument("--max_len", type=int, default=40)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (f32 weights; validates the script "
+                         "end-to-end without the chip)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     sys.path.insert(0, str(Path(__file__).parent))
 
@@ -46,6 +51,11 @@ def main():
     from dualhyp_tpu.models import espnet_decoder as ed, raven
 
     weights = build_weights()
+    if args.cpu:
+        # XLA:CPU lacks the bf16 x bf16 = f32 dot the TPU path uses
+        weights = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), weights
+        )
     enc_cfg = raven.RavenEncoderConfig(
         attention_dim=ADIM, attention_heads=AHEADS, linear_units=EUNITS,
         num_blocks=ELAYERS, macaron_style=True, use_cnn_module=True,
