@@ -52,7 +52,7 @@ def _encode_jit():
 
 
 def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
-                        audios, pad_multiple=32):
+                        audios, pad_multiple=32, as_device=False):
     """U variable-length (video, audio) pairs -> per-utterance fused
     (memory, ctc_log_probs) through ONE compiled call per bucket — the
     AV twin of make_json_vsr.encode_ctc_batch (the eager per-utterance
@@ -88,9 +88,12 @@ def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
         jnp.asarray(vids), jnp.asarray(vlens_pad),
         jnp.asarray(auds), jnp.asarray(asamps), jnp.asarray(alens_pad),
     )
+    tlens = np.minimum(vlens, alens)
+    if as_device:
+        # DEVICE HANDOFF — see make_json_vsr.encode_ctc_batch
+        return ((memory[:u], tlens), (ctc_lp[:u], tlens))
     memory = np.asarray(memory, np.float32)
     ctc_lp = np.asarray(ctc_lp, np.float32)
-    tlens = np.minimum(vlens, alens)
     return ([memory[i, :t] for i, t in enumerate(tlens)],
             [ctc_lp[i, :t] for i, t in enumerate(tlens)])
 
@@ -148,7 +151,8 @@ def transcribe_avsr_nbest_batch(videos, audios, params, video_cfg, audio_cfg,
     sos = eos = len(token_list) - 1
     blank = 0
     memories, ctc_lps = encode_ctc_batch_av(
-        params, ctc_params, video_cfg, audio_cfg, videos, audios
+        params, ctc_params, video_cfg, audio_cfg, videos, audios,
+        as_device=True,
     )
 
     all_hyps = joint_device_beam_batch(

@@ -91,7 +91,7 @@ def pad_video_batch(videos, pad_multiple=32, min_frames=0):
 
 
 def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
-                     videos, pad_multiple=32):
+                     videos, pad_multiple=32, as_device=False):
     """U variable-length (T_i, H, W) videos -> per-utterance (memory,
     ctc_log_probs), through ONE compiled call per (U_pad, T_pad) bucket.
 
@@ -112,6 +112,13 @@ def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
         frontend_params, enc_params, ctc_params, enc_cfg,
         jnp.asarray(vids), jnp.asarray(lens_pad)
     )
+    if as_device:
+        # DEVICE HANDOFF: the bucket-padded (U, T_pad, ...) outputs stay
+        # in HBM for joint_device_beam_batch (pad positions are masked by
+        # the lengths everywhere downstream) instead of fetching ~40 MB
+        # through the tunnel and re-uploading it. Batch-pad rows sliced.
+        u = len(videos)
+        return ((memory[:u], lengths), (ctc_lp[:u], lengths))
     memory = np.asarray(memory, np.float32)
     ctc_lp = np.asarray(ctc_lp, np.float32)
     return ([memory[i, :l] for i, l in enumerate(lengths)],
@@ -231,7 +238,8 @@ def transcribe_vsr_nbest_batch(videos, frontend_params, enc_params, enc_cfg,
     sos = eos = len(token_list) - 1
     blank = 0
     memories, ctc_lps = encode_ctc_batch(
-        frontend_params, enc_params, ctc_params, enc_cfg, videos
+        frontend_params, enc_params, ctc_params, enc_cfg, videos,
+        as_device=True,
     )
 
     all_hyps = joint_device_beam_batch(

@@ -678,8 +678,12 @@ def _joint_chunk(
 def joint_device_beam_batch(
     dec_params,
     dec_cfg,
-    memories: Sequence[np.ndarray],      # U x (S_i, adim)
-    ctc_log_probs: Optional[Sequence[np.ndarray]],  # U x (T_i, V) or None
+    memories,        # U x (S_i, adim) arrays, OR ((U, S_pad, adim) device
+                     # array, (U,) lengths) — the DEVICE HANDOFF form: the
+                     # encoder's bucket-padded output stays in HBM instead
+                     # of round-tripping ~40 MB through the (tunneled)
+                     # host between encode and beam
+    ctc_log_probs,   # U x (T_i, V) arrays, ((U, T_pad, V), (U,)), or None
     *,
     sos: int,
     eos: int,
@@ -711,7 +715,12 @@ def joint_device_beam_batch(
     use_lm = lm is not None and weights["lm"] != 0.0
     lm_params, lm_cfg = lm if lm is not None else (None, None)
 
-    n_utt = len(memories)
+    def _handoff(x):
+        return (isinstance(x, tuple) and len(x) == 2
+                and getattr(x[0], "ndim", 0) == 3)
+
+    mem_handoff = _handoff(memories)
+    n_utt = int(memories[1].shape[0]) if mem_handoff else len(memories)
     if chunk_steps is None:
         chunk_steps = 16 if n_utt > 1 else max_len
     h = beam_size
@@ -724,17 +733,35 @@ def joint_device_beam_batch(
         if use_ctc else min(beam_size + 1, vocab)
     )
 
-    # pad memories / CTC frames to shared buckets
-    s_max = max(m.shape[0] for m in memories)
-    s_pad = -(-s_max // mem_pad_multiple) * mem_pad_multiple
-    adim = memories[0].shape[-1]
-    memory = np.zeros((n_utt, s_pad, adim), np.float32)
-    mem_len = np.zeros((n_utt,), np.int32)
-    for i, m in enumerate(memories):
-        memory[i, : m.shape[0]] = m
-        mem_len[i] = m.shape[0]
+    # pad memories / CTC frames to shared buckets. Handoff form: the
+    # encoder's bucket-padded device arrays are SLICED (device op) to
+    # the needed multiple instead of fetched + re-padded on host; pad
+    # values beyond each utterance's length are never read (mem_len
+    # masks attention; ctc_valid gates every recursion/reduction).
+    if mem_handoff:
+        mem_arr, mlens = memories
+        mem_len = np.asarray(mlens, np.int32)
+        s_pad = -(-int(mem_len.max()) // mem_pad_multiple) * mem_pad_multiple
+        assert mem_arr.shape[0] == n_utt, (mem_arr.shape, n_utt)
+        memory = mem_arr[:, :s_pad] if mem_arr.shape[1] > s_pad else mem_arr
+    else:
+        s_max = max(m.shape[0] for m in memories)
+        s_pad = -(-s_max // mem_pad_multiple) * mem_pad_multiple
+        adim = memories[0].shape[-1]
+        memory = np.zeros((n_utt, s_pad, adim), np.float32)
+        mem_len = np.zeros((n_utt,), np.int32)
+        for i, m in enumerate(memories):
+            memory[i, : m.shape[0]] = m
+            mem_len[i] = m.shape[0]
 
-    if use_ctc:
+    if use_ctc and _handoff(ctc_log_probs):
+        ctc_arr, tlens = ctc_log_probs
+        ctc_valid = np.asarray(tlens, np.int32)
+        t_pad = -(-int(ctc_valid.max()) // mem_pad_multiple) * mem_pad_multiple
+        assert ctc_arr.shape[0] == n_utt, (ctc_arr.shape, n_utt)
+        ctc_x = ctc_arr[:, :t_pad] if ctc_arr.shape[1] > t_pad else ctc_arr
+        t_pad = ctc_x.shape[1]
+    elif use_ctc:
         t_max = max(x.shape[0] for x in ctc_log_probs)
         t_pad = -(-t_max // mem_pad_multiple) * mem_pad_multiple
         ctc_x = np.full((n_utt, t_pad, vocab), LOG_ZERO, np.float32)
@@ -750,16 +777,25 @@ def joint_device_beam_batch(
     t_buf = max_len + 1
     tokens0 = np.zeros((r_cnt, t_buf), np.int32)
     tokens0[:, 0] = sos
-    # initial CTC state of the empty prefix: r^b accumulates blanks
-    # (ref: ctc_prefix_score.py initial_state)
-    r0 = np.full((n_utt, t_pad, 2), LOG_ZERO, np.float32)
+    # initial CTC state of the empty prefix: r^b accumulates blanks over
+    # the valid frames (ref: ctc_prefix_score.py initial_state); the
+    # cumulative sum runs wherever ctc_x lives (host numpy or device)
     if use_ctc:
-        for i in range(n_utt):
-            acc = 0.0
-            for t in range(int(ctc_valid[i])):
-                acc += float(ctc_x[i, t, blank])
-                r0[i, t, 1] = acc
-    r_live0 = np.repeat(r0, h, axis=0)  # (R, T, 2)
+        xp = jnp if mem_handoff or _handoff(ctc_log_probs) else np
+        blanks = ctc_x[:, :, blank]
+        if xp is np:
+            csum = np.cumsum(blanks.astype(np.float32), axis=1)
+        else:
+            csum = jnp.cumsum(blanks.astype(jnp.float32), axis=1)
+        live_t = np.arange(t_pad)[None, :] < ctc_valid[:, None]
+        r0b = xp.where(xp.asarray(live_t), csum, LOG_ZERO)
+        r0 = xp.stack(
+            [xp.full_like(r0b, LOG_ZERO), r0b], axis=-1
+        )  # (U, T, 2)
+    else:
+        r0 = np.full((n_utt, t_pad, 2), LOG_ZERO, np.float32)
+    r_live0 = (jnp.repeat(r0, h, axis=0) if not isinstance(r0, np.ndarray)
+               else np.repeat(r0, h, axis=0))  # (R, T, 2)
 
     # only row 0 of each utterance is alive at step 0
     beam_scores0 = np.full((r_cnt,), -1e30, np.float32)
