@@ -498,3 +498,82 @@ def test_self_kv_int8_quantization(vendored, rng):
         )
         for r, q in zip(ref_hyps, q_hyps):
             assert r[0].tokens == q[0].tokens, extra
+
+
+def test_beam_param_fuzz_identical(rng):
+    """Deterministic fuzz over the beam's trickiest parameter
+    interactions — bucket ladder x chunking x batch width x int8 KV
+    quantization x patience — each compared against the same model's
+    full-allocation whole-chunk reference run. Token sequences must be
+    identical in the exact configs; quantized configs must agree on the
+    top beam (quant noise << logit gaps at this scale)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    eos = dec_cfg.n_vocab - 1
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    dec["token_embedding"] = dec["token_embedding"].at[eos].multiply(4.0)
+    base = dict(beam_size=3, eos_id=eos, max_new_tokens=18,
+                suppress_tokens=[0, 1])
+
+    cases = []
+    for n_utt, t_bucket, chunk in itertools.product(
+        (1, 2, 5), (2, 5, None), (1, 3, None)
+    ):
+        cases.append(dict(n_utt=n_utt, t_bucket=t_bucket,
+                          chunk_steps=chunk, quant=None))
+    cases.append(dict(n_utt=2, t_bucket=2, chunk_steps=3, quant="both"))
+    # patience widens the candidate pool with many near-tie hypotheses
+    # at random-weight scale, where int8 noise can legitimately flip a
+    # retirement decision — sanity-checked only, not token-compared
+    cases.append(dict(n_utt=5, t_bucket=None, chunk_steps=None,
+                      quant="both", patience=2.0, sanity_only=True))
+
+    refs = {}
+    for case in cases:
+        srng = np.random.default_rng(7)
+        n_utt = case["n_utt"]
+        feats = jnp.asarray(
+            srng.normal(size=(n_utt, 16, 64)).astype(np.float32)
+        )
+        kw = dict(base)
+        if "patience" in case:
+            kw["patience"] = case["patience"]
+        key = (n_utt, kw.get("patience"))
+        if key not in refs:
+            refs[key] = device_beam_search_batch(
+                dec, dec_cfg, feats, [90, 91],
+                t_bucket=base["max_new_tokens"], **kw
+            )
+        ref = refs[key]
+        got = device_beam_search_batch(
+            dec, dec_cfg, feats, [90, 91],
+            t_bucket=case["t_bucket"], chunk_steps=case["chunk_steps"],
+            cross_kv_quant="int8" if case["quant"] else None,
+            self_kv_quant="int8" if case["quant"] else None,
+            **kw,
+        )
+        for u in range(n_utt):
+            if case.get("sanity_only"):
+                assert got[u], case
+                assert all(np.isfinite(h.score) for h in got[u]), case
+            elif case["quant"]:
+                assert got[u][0].tokens == ref[u][0].tokens, case
+            else:
+                assert [h.tokens for h in got[u]] == [
+                    h.tokens for h in ref[u]
+                ], (case, u)
+                np.testing.assert_allclose(
+                    [h.score for h in got[u]],
+                    [h.score for h in ref[u]], rtol=1e-5, atol=1e-6,
+                )
