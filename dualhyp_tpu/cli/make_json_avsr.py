@@ -34,9 +34,15 @@ def _encode_jit():
 
         from dualhyp_tpu.models import avsr, espnet_decoder as ed, raven
 
-        @partial(jax.jit, static_argnames=("video_cfg", "audio_cfg"))
+        @partial(jax.jit,
+                 static_argnames=("video_cfg", "audio_cfg", "compute_dtype"))
         def f(params, ctc_params, video_cfg, audio_cfg, videos, vlens,
-              audios, asamps, alens):
+              audios, asamps, alens, compute_dtype="float32"):
+            # both streams encode in the checkpoint's dtype (see
+            # raven.encode_dtype); fused memory returns to f32 at the
+            # boundary so the CTC head and the beam are dtype-unchanged
+            videos = videos.astype(compute_dtype)
+            audios = audios.astype(compute_dtype)
             vfeats = raven.conv3d_frontend(params["video_frontend"], videos)
             afeats = avsr.conv1d_frontend(params["audio_frontend"], audios,
                                           lengths=asamps)
@@ -45,6 +51,7 @@ def _encode_jit():
             memory = avsr.avsr_encode(params, video_cfg, audio_cfg, vfeats,
                                       afeats, video_mask=vmask,
                                       audio_mask=amask)
+            memory = memory.astype(jnp.float32)
             return memory, ed.ctc_log_probs(ctc_params, memory)
 
         _ENCODE_JIT = f
@@ -83,10 +90,13 @@ def encode_ctc_batch_av(params, ctc_params, video_cfg, audio_cfg, videos,
         asamps[i] = min(len(a), t_pad * 640)
     alens_pad = np.ones((u_pad,), np.int32)
     alens_pad[:u] = alens  # dummy rows length 1 (all-masked row is NaN)
+    from dualhyp_tpu.models.raven import encode_dtype
+
     memory, ctc_lp = _encode_jit()(
         params, ctc_params, video_cfg, audio_cfg,
         jnp.asarray(vids), jnp.asarray(vlens_pad),
         jnp.asarray(auds), jnp.asarray(asamps), jnp.asarray(alens_pad),
+        compute_dtype=encode_dtype(params),
     )
     tlens = np.minimum(vlens, alens)
     if as_device:

@@ -51,12 +51,17 @@ def _encode_ctc_jit():
         from dualhyp_tpu.models import espnet_decoder as ed
         from dualhyp_tpu.models import raven
 
-        @partial(jax.jit, static_argnames=("enc_cfg",))
+        @partial(jax.jit, static_argnames=("enc_cfg", "compute_dtype"))
         def f(frontend_params, enc_params, ctc_params, enc_cfg, videos,
-              lengths):
+              lengths, compute_dtype="float32"):
+            # encode in the checkpoint's dtype (raven.encode_dtype — the
+            # whisper-encoder convention); memory returns to f32 at the
+            # boundary so the CTC head and the beam are dtype-unchanged
+            videos = videos.astype(compute_dtype)
             feats = raven.conv3d_frontend(frontend_params, videos)
             mask = lengths[:, None] > jnp.arange(feats.shape[1])[None, :]
             memory = raven.encode(enc_params, enc_cfg, feats, mask)
+            memory = memory.astype(jnp.float32)
             return memory, ed.ctc_log_probs(ctc_params, memory)
 
         _ENCODE_JIT = f
@@ -107,10 +112,13 @@ def encode_ctc_batch(frontend_params, enc_params, ctc_params, enc_cfg,
     (tests/test_batch_encode.py)."""
     import jax.numpy as jnp
 
+    from dualhyp_tpu.models.raven import encode_dtype
+
     vids, lens_pad, lengths = pad_video_batch(videos, pad_multiple)
     memory, ctc_lp = _encode_ctc_jit()(
         frontend_params, enc_params, ctc_params, enc_cfg,
-        jnp.asarray(vids), jnp.asarray(lens_pad)
+        jnp.asarray(vids), jnp.asarray(lens_pad),
+        compute_dtype=encode_dtype(enc_params),
     )
     if as_device:
         # DEVICE HANDOFF: the bucket-padded (U, T_pad, ...) outputs stay
@@ -143,16 +151,22 @@ def encode_batch(frontend_params, enc_params, enc_cfg, videos,
 
         from dualhyp_tpu.models import raven
 
-        @partial(jax.jit, static_argnames=("enc_cfg",))
-        def f(frontend_params, enc_params, enc_cfg, videos, lengths):
+        @partial(jax.jit, static_argnames=("enc_cfg", "compute_dtype"))
+        def f(frontend_params, enc_params, enc_cfg, videos, lengths,
+              compute_dtype="float32"):
+            videos = videos.astype(compute_dtype)
             feats = raven.conv3d_frontend(frontend_params, videos)
             mask = lengths[:, None] > jnp.arange(feats.shape[1])[None, :]
-            return raven.encode(enc_params, enc_cfg, feats, mask)
+            memory = raven.encode(enc_params, enc_cfg, feats, mask)
+            return memory.astype(jnp.float32)
 
         _ENCODE_ONLY_JIT = f
+    from dualhyp_tpu.models.raven import encode_dtype
+
     vids, lens_pad, lengths = pad_video_batch(videos, pad_multiple)
     memory = _ENCODE_ONLY_JIT(frontend_params, enc_params, enc_cfg,
-                              jnp.asarray(vids), jnp.asarray(lens_pad))
+                              jnp.asarray(vids), jnp.asarray(lens_pad),
+                              compute_dtype=encode_dtype(enc_params))
     memory = np.asarray(memory, np.float32)
     return [memory[i, :l] for i, l in enumerate(lengths)]
 

@@ -76,13 +76,20 @@ AUTO_AVSR_CONFORMER = RavenEncoderConfig(
 # ---------------------------------------------------------------------------
 
 def _bn(leaf, x, axis: int, eps: float = 1e-5):
+    """Computed in f32 regardless of the activation/param dtype and cast
+    back: a bf16 (x - mean) would lose the shift precision, and bf16
+    running stats would make var + eps a bf16 add. Value-identical for
+    all-f32 inputs; XLA fuses the convert pair into the surrounding conv
+    epilogue, so no f32 tensor reaches HBM on the bf16 path."""
     shape = [1] * x.ndim
     shape[axis] = -1
-    mean = leaf["running_mean"].reshape(shape)
-    var = leaf["running_var"].reshape(shape)
-    gamma = leaf["weight"].reshape(shape)
-    beta = leaf["bias"].reshape(shape)
-    return (x - mean) * gamma * jax.lax.rsqrt(var + eps) + beta
+    f32 = jnp.float32
+    mean = leaf["running_mean"].astype(f32).reshape(shape)
+    var = leaf["running_var"].astype(f32).reshape(shape)
+    gamma = leaf["weight"].astype(f32).reshape(shape)
+    beta = leaf["bias"].astype(f32).reshape(shape)
+    y = (x.astype(f32) - mean) * gamma * jax.lax.rsqrt(var + eps) + beta
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +338,28 @@ def _encoder_layer(cfg: RavenEncoderConfig, leaf, x, pos_emb, mask,
     if cfg.use_cnn_module and "norm_final" in leaf:
         x = _ln(leaf["norm_final"], x)
     return x
+
+
+def encode_dtype(params) -> str:
+    """Compute dtype for the frozen VSR/AVSR encode paths, as a static
+    jit key ('bfloat16' | 'float32').
+
+    Follows the whisper-encoder convention (models/whisper._encode_jit:
+    compute in the params' dtype) — a bf16 BRAVEn/auto_avsr checkpoint
+    encodes in bf16 (halved activation HBM traffic, MXU-native convs),
+    an f32 one keeps today's f32 path bit-exactly. Every op that needs
+    f32 keeps its island regardless: attention scores + softmax,
+    LayerNorm and BatchNorm internals, and the CTC head's log_softmax
+    (callers cast memory back to f32 at the encode boundary).
+    DUALHYP_RAVEN_ENCODE_DTYPE overrides (A/B lever: float32 restores
+    the previous always-f32 behavior for bf16 checkpoints)."""
+    import os
+
+    override = os.environ.get("DUALHYP_RAVEN_ENCODE_DTYPE")
+    if override:
+        assert override in ("bfloat16", "float32"), override
+        return override
+    return str(jax.tree_util.tree_leaves(params)[0].dtype)
 
 
 _INFER_MASK_PAD = object()

@@ -39,5 +39,10 @@ run python scripts/bench_make_json_asr.py --cross_kv_quant int8 --self_kv_quant 
 run python scripts/profile_avsr_stages.py
 run python scripts/bench_make_json_avsr.py
 
+# 6. VSR/AVSR encode dtype A/B (bf16 checkpoints now encode in bf16 by
+#    default — raven.encode_dtype; float32 restores the old path)
+run env DUALHYP_RAVEN_ENCODE_DTYPE=float32 python scripts/bench_make_json_vsr.py
+run env DUALHYP_RAVEN_ENCODE_DTYPE=float32 python scripts/bench_make_json_avsr.py
+
 echo "campaign done — update BENCH_NOTES/CLAUDE.md/PARITY with results, \
 flip DUALHYP_CTC_IMPL / quant defaults only where the A/B wins" | tee -a "$LOG"

@@ -308,3 +308,124 @@ def test_encode_ctc_batch_av_matches_per_utterance():
             memories[i], np.asarray(memory, np.float32)[0],
             rtol=1e-4, atol=1e-5, err_msg=f"utt {i}")
         np.testing.assert_allclose(ctc_lps[i], want_lp, rtol=1e-4, atol=1e-4)
+
+
+@requires_espnet
+def test_encode_ctc_batch_bf16_compute(monkeypatch):
+    """bf16 checkpoints now ENCODE in bf16 (raven.encode_dtype — the
+    whisper-encoder convention, models/whisper._encode_jit): the
+    boundary outputs stay f32 and track the f32 encode within bf16
+    tolerance, and DUALHYP_RAVEN_ENCODE_DTYPE=float32 restores the old
+    always-f32 path EXACTLY (f32 compute over bf16-rounded weights)."""
+    import torch
+
+    from dualhyp_tpu.cli.make_json_vsr import encode_ctc_batch
+
+    sys.path.insert(0, str(_REF))
+    try:
+        from espnet.nets.pytorch_backend.backbones.conv3d_extractor import (
+            Conv3dResNet,
+        )
+
+        torch.manual_seed(0)
+        fe = Conv3dResNet(relu_type="swish")
+        state = {k: v.detach().numpy() for k, v in fe.state_dict().items()}
+    finally:
+        sys.path.remove(str(_REF))
+    frontend = raven.convert_conv3d_frontend(state)
+    cfg = raven.RavenEncoderConfig(idim=512, attention_dim=32,
+                                   attention_heads=4, linear_units=48,
+                                   num_blocks=2)
+    enc_params = _enc_params(cfg, seed=5)
+    _, lin, _, _ = _rnd_builders(6)
+    ctc_params = {"ctc_lo": lin(11, 32)}
+    rng = np.random.default_rng(3)
+    videos = [rng.normal(size=(t, 32, 32)).astype(np.float32)
+              for t in (6, 9, 5)]
+
+    monkeypatch.delenv("DUALHYP_RAVEN_ENCODE_DTYPE", raising=False)
+    to = lambda tree, dt: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).astype(dt), tree
+    )
+    f32 = (to(frontend, jnp.float32), to(enc_params, jnp.float32),
+           to(ctc_params, jnp.float32))
+    bf16 = tuple(to(t, jnp.bfloat16) for t in f32)
+    # bf16-rounded weights upcast back to f32: what the override path's
+    # f32 compute reads (weight.astype(x.dtype) on bf16 leaves == this)
+    rounded = tuple(to(t, jnp.float32) for t in bf16)
+
+    ref_mem, ref_lp = encode_ctc_batch(*f32, cfg, videos, pad_multiple=4)
+    got_mem, got_lp = encode_ctc_batch(*bf16, cfg, videos, pad_multiple=4)
+    for i in range(len(videos)):
+        assert got_mem[i].dtype == np.float32
+        assert got_lp[i].dtype == np.float32
+        np.testing.assert_allclose(got_mem[i], ref_mem[i],
+                                   rtol=0.1, atol=0.05, err_msg=f"utt {i}")
+        np.testing.assert_allclose(got_lp[i], ref_lp[i],
+                                   rtol=0.1, atol=0.1, err_msg=f"utt {i}")
+
+    monkeypatch.setenv("DUALHYP_RAVEN_ENCODE_DTYPE", "float32")
+    ov_mem, ov_lp = encode_ctc_batch(*bf16, cfg, videos, pad_multiple=4)
+    want_mem, want_lp = encode_ctc_batch(*rounded, cfg, videos,
+                                         pad_multiple=4)
+    for i in range(len(videos)):
+        np.testing.assert_allclose(ov_mem[i], want_mem[i],
+                                   rtol=2e-6, atol=2e-6)
+        np.testing.assert_allclose(ov_lp[i], want_lp[i],
+                                   rtol=2e-6, atol=2e-6)
+
+
+@requires_espnet
+def test_encode_ctc_batch_av_bf16_compute(monkeypatch):
+    """The AVSR twin encodes both streams in the checkpoint's dtype;
+    f32 boundary outputs track the f32 encode within bf16 tolerance."""
+    import torch
+
+    from dualhyp_tpu.cli.make_json_avsr import encode_ctc_batch_av
+
+    sys.path.insert(0, str(_REF))
+    try:
+        from espnet.nets.pytorch_backend.backbones.conv3d_extractor import (
+            Conv3dResNet,
+        )
+
+        torch.manual_seed(0)
+        fe = Conv3dResNet(relu_type="swish")
+        state = {k: v.detach().numpy() for k, v in fe.state_dict().items()}
+    finally:
+        sys.path.remove(str(_REF))
+    cfg = raven.RavenEncoderConfig(
+        idim=512, attention_dim=32, attention_heads=4, linear_units=48,
+        num_blocks=1, macaron_style=True, use_cnn_module=True,
+        cnn_module_kernel=5)
+    rnd, lin, ln, bn = _rnd_builders(7)
+    params = {
+        "video_frontend": raven.convert_conv3d_frontend(state),
+        "audio_frontend": _conv1d_params(8),
+        "video_encoder": _enc_params(cfg, seed=9),
+        "audio_encoder": _enc_params(cfg, seed=10),
+        "fusion": {"fc1": lin(24, 64), "norm": bn(24), "fc2": lin(32, 24)},
+    }
+    ctc_params = {"ctc_lo": lin(11, 32)}
+    rng = np.random.default_rng(4)
+    videos = [rng.normal(size=(t, 32, 32)).astype(np.float32)
+              for t in (6, 9)]
+    audios = [rng.normal(size=(t * 640,)).astype(np.float32)
+              for t in (6, 9)]
+
+    monkeypatch.delenv("DUALHYP_RAVEN_ENCODE_DTYPE", raising=False)
+    to = lambda tree, dt: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x).astype(dt), tree
+    )
+    ref_mem, ref_lp = encode_ctc_batch_av(
+        to(params, jnp.float32), to(ctc_params, jnp.float32), cfg, cfg,
+        videos, audios, pad_multiple=4)
+    got_mem, got_lp = encode_ctc_batch_av(
+        to(params, jnp.bfloat16), to(ctc_params, jnp.bfloat16), cfg, cfg,
+        videos, audios, pad_multiple=4)
+    for i in range(len(videos)):
+        assert got_mem[i].dtype == np.float32
+        np.testing.assert_allclose(got_mem[i], ref_mem[i],
+                                   rtol=0.1, atol=0.05, err_msg=f"utt {i}")
+        np.testing.assert_allclose(got_lp[i], ref_lp[i],
+                                   rtol=0.1, atol=0.1, err_msg=f"utt {i}")
