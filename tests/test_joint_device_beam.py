@@ -231,6 +231,7 @@ def test_device_beam_single_utterance(rng, decoder):
     _assert_nbest_match(host_hyps, dev[0], n=3)
 
 
+@requires_espnet
 def test_joint_beam_chunk_boundaries_identical(rng, decoder):
     """The speculative chunk-pipelined driver crosses chunk boundaries
     without changing results: many small chunks (pending/nxt rotation,
@@ -365,3 +366,80 @@ def test_ctc_lazy_psi_and_selected_history(rng):
         np.testing.assert_allclose(
             np.asarray(hist), want, rtol=1e-5, atol=1e-5
         )
+
+
+@requires_espnet
+def test_joint_beam_param_fuzz_identical(rng, decoder, monkeypatch):
+    """Deterministic fuzz over the joint beam's parameter interactions —
+    batch width x chunking x pad multiple x input form (host lists vs
+    device handoff) x CTC impl x fusion weights — each vs the same
+    configuration's whole-chunk seq-impl reference run. Every config is
+    exact (chunking, padding, handoff, and the assoc rewrite are all
+    value-preserving), so n-best tokens must be identical and scores
+    equal to float rounding."""
+    import itertools
+
+    all_mems, all_ctcs = _utterances(rng)
+    kw = dict(sos=ODIM - 1, eos=ODIM - 1, beam_size=4, max_len=10)
+    w_ctc = {"decoder": 0.7, "ctc": 0.3, "length_bonus": 0.1}
+    w_att = {"decoder": 1.0, "ctc": 0.0}
+
+    cases = []
+    for n_utt, chunk, pad in itertools.product(
+        (1, 2, 3), (1, 4, None), (4, 32)
+    ):
+        cases.append(dict(n_utt=n_utt, chunk=chunk, pad=pad,
+                          weights=w_ctc, impl="seq", handoff=False))
+    cases.append(dict(n_utt=3, chunk=4, pad=8, weights=w_att,
+                      impl="seq", handoff=False))
+    cases.append(dict(n_utt=3, chunk=4, pad=8, weights=w_ctc,
+                      impl="assoc", handoff=False))
+    cases.append(dict(n_utt=3, chunk=None, pad=32, weights=w_ctc,
+                      impl="assoc", handoff=True))
+    cases.append(dict(n_utt=2, chunk=3, pad=16, weights=w_ctc,
+                      impl="seq", handoff=True))
+
+    def handoff_form(mems, ctcs, pad):
+        s_pad = -(-max(m.shape[0] for m in mems) // pad) * pad
+        mem = np.zeros((len(mems), s_pad, ADIM), np.float32)
+        for i, m in enumerate(mems):
+            mem[i, : m.shape[0]] = m
+        mlen = np.asarray([m.shape[0] for m in mems], np.int32)
+        t_pad = -(-max(c.shape[0] for c in ctcs) // pad) * pad
+        ctc = np.full((len(ctcs), t_pad, ODIM), -1e10, np.float32)
+        for i, c in enumerate(ctcs):
+            ctc[i, : c.shape[0]] = c
+        tlen = np.asarray([c.shape[0] for c in ctcs], np.int32)
+        return ((jnp.asarray(mem), jnp.asarray(mlen)),
+                (jnp.asarray(ctc), jnp.asarray(tlen)))
+
+    refs = {}
+    for case in cases:
+        n_utt = case["n_utt"]
+        mems, ctcs = all_mems[:n_utt], all_ctcs[:n_utt]
+        use_ctc = case["weights"]["ctc"] != 0.0
+        rkey = (n_utt, use_ctc)
+        monkeypatch.setenv("DUALHYP_CTC_IMPL", "seq")
+        jax.clear_caches()
+        if rkey not in refs:
+            refs[rkey] = joint_device_beam_batch(
+                decoder[0], decoder[1], mems, ctcs if use_ctc else None,
+                weights=case["weights"], chunk_steps=64, **kw,
+            )
+        ref = refs[rkey]
+        monkeypatch.setenv("DUALHYP_CTC_IMPL", case["impl"])
+        jax.clear_caches()
+        if case["handoff"]:
+            mems, ctcs = handoff_form(mems, ctcs, case["pad"])
+        got = joint_device_beam_batch(
+            decoder[0], decoder[1], mems, ctcs if use_ctc else None,
+            weights=case["weights"], chunk_steps=case["chunk"],
+            mem_pad_multiple=case["pad"], **kw,
+        )
+        for u, (g, r) in enumerate(zip(got, ref)):
+            assert [h.tokens for h in g] == [h.tokens for h in r], \
+                (case, u)
+            np.testing.assert_allclose(
+                [h.score for h in g], [h.score for h in r],
+                rtol=1e-5, atol=1e-5, err_msg=str(case),
+            )
