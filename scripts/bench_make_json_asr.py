@@ -99,6 +99,10 @@ def main():
                          "pins jax_platforms; use with --tiny)")
     ap.add_argument("--cross_kv_quant", default=None, choices=("int8",))
     ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--quantize", default=None, choices=("int8", "int4"),
+                    help="the make_json_asr `quantize` option (int8 decoder "
+                         "weights — the beam is decoder-weight-HBM-bound at "
+                         "small decode batches)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -173,6 +177,7 @@ def main():
         "seed": 0,
         "cross_kv_quant": args.cross_kv_quant,
         "self_kv_quant": args.self_kv_quant,
+        "quantize": args.quantize,
     }
 
     print("warmup (compile) pass...", flush=True)

@@ -31,9 +31,16 @@ run python scripts/bench_whisper_beam.py --utterances 8 --cross_kv_quant int8 --
 # 3. decode_batch=16 retry under full-int8 KV (the 4h-era OOM driver)
 run python scripts/bench_whisper_beam.py --utterances 16 --cross_kv_quant int8 --self_kv_quant int8
 
+# 3b. int8 decoder WEIGHTS on top (beam is decoder-weight-HBM-bound at
+#     small decode batches — 2x the dominant stream; changes outputs,
+#     so it stays an option: validate_quant_wer probes the WER cost)
+run python scripts/bench_whisper_beam.py --utterances 8 --quantize int8
+run python scripts/bench_whisper_beam.py --utterances 8 --quantize int8 --cross_kv_quant int8 --self_kv_quant int8
+
 # 4. offline-stage e2e (refresh + quantized variant)
 run python scripts/bench_make_json_asr.py
 run python scripts/bench_make_json_asr.py --cross_kv_quant int8 --self_kv_quant int8 || true
+run python scripts/bench_make_json_asr.py --quantize int8 --cross_kv_quant int8 --self_kv_quant int8 || true
 
 # 5. AVSR stage attribution (encode vs fetch vs beam)
 run python scripts/profile_avsr_stages.py
