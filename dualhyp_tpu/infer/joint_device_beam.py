@@ -237,6 +237,21 @@ def _ctc_cand_inputs(ctc_x, ctc_valid, r_prev, last_tokens, cand,
     return xs, xb, phi_prev, start, valid, r_sum, t_frames
 
 
+def _ctc_probs_shifted(ctc_x):
+    """Hoisted operand of the matmul psi: (exp(ctc_x - mx), mx) with
+    mx (U, V) the per-(utterance, label) column max over frames. The
+    column shift joins the per-row phi shift so a term only flushes to
+    zero when phi[t-1]+x[t,v] sits ~88 nats below the SEPARABLE bound
+    max_t(phi)+max_t(x) — without it, routine peaky-CTC columns
+    (log-probs ~ -100 at every frame) underflowed to psi=LOG_ZERO where
+    the seq path's log-space logsumexp stays finite and rankable."""
+    import jax.numpy as jnp
+
+    x = ctc_x.astype(jnp.float32)
+    mx = jnp.max(x, axis=1)  # (U, V)
+    return jnp.exp(x - mx[:, None, :]), mx
+
+
 def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
                     out_len, blank, eos, n_hyps_per_utt, ctc_probs=None):
     """log_psi (R, K) of the candidate extensions WITHOUT materialising
@@ -248,17 +263,23 @@ def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
     ⊕-combined with logsumexp_t(phi[t-1] + xs[t]) over active frames.
     In linear space that reduction is Σ_t e^{phi[t-1]} · p[t, v] for
     EVERY candidate v at once — i.e. one dense (rows, T) x (T, V)
-    matmul per utterance against p = exp(ctc_x), max-subtracted per row
-    for range safety. phi has only two variants along K (repeat vs
-    non-repeat of the last label), so the whole vocabulary is scored
+    matmul per utterance against p = exp(ctc_x - column_max), shifted
+    per row by max(phi) AND per column by max_t(ctc_x) for range safety
+    (see _ctc_probs_shifted). phi has only two variants along K (repeat
+    vs non-repeat of the last label), so the whole vocabulary is scored
     with two MXU matmuls (~30x fewer FLOPs than gathering (R, T, K)
     emission columns through a one-hot contraction and reducing in log
-    space) and the K pre-beam candidates just read their columns.
+    space). The K pre-beam candidates then read their columns via
+    one-hot MXU contractions — NOT take_along_axis, which lowers to a
+    DMA loop inside the chunk scan (the round-4b lesson, see
+    _ctc_cand_inputs / whisper_device_beam.py). A flushed-to-zero sum
+    clamps to LOG_ZERO (the seq path's finite convention), never -inf.
     Histories are computed separately for the <= beam SELECTED
     candidates only (`_ctc_history_selected`).
 
-    ctc_probs: optional precomputed exp(ctc_x) — pass it when calling
-    per step inside a scan so the exp is hoisted out of the loop."""
+    ctc_probs: optional precomputed _ctc_probs_shifted(ctc_x) — pass it
+    when calling per step inside a scan so the exp and the column max
+    are hoisted out of the loop."""
     import jax.numpy as jnp
 
     r_cnt, k = cand.shape
@@ -283,7 +304,41 @@ def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
     p_n = jnp.where(act, shift(r_prev[..., 1]), neg_inf)  # repeat
 
     if ctc_probs is None:
-        ctc_probs = jnp.exp(ctc_x.astype(jnp.float32))
+        ctc_probs = _ctc_probs_shifted(ctc_x)
+    probs, col_max = ctc_probs
+
+    hi = jax.lax.Precision.HIGHEST
+    # HIGHEST everywhere below: f32 dots must not decompose to bf16
+    # (CLAUDE.md) — the one-hot contractions are exact gathers and the
+    # psi matmul is an f32 sum
+    onehot = jax.nn.one_hot(
+        cand.reshape(n_utt, h * k), vocab, dtype=jnp.float32
+    )  # (U, H*K, V)
+
+    def gather_rows(mat):
+        """Row-wise candidate read (R, V) -> (R, K): each row gathers
+        its OWN cand columns. One batched one-hot dot to (U, H, H*K)
+        then an eye-contraction selects the block diagonal — both MXU
+        work, no fancy indexing. mat must be finite (-inf would make
+        the one-hot multiply NaN)."""
+        g = jax.lax.dot_general(
+            mat.reshape(n_utt, h, vocab), onehot,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(n_utt, h, h, k)
+        eye = jnp.eye(h, dtype=jnp.float32)
+        sel = jnp.einsum("uhgk,hg->uhk", g, eye, precision=hi)
+        return sel.reshape(r_cnt, k)
+
+    def gather_utt(mat_u):
+        """Per-utterance candidate read (U, V) -> (R, K): all h rows of
+        an utterance read the same source row."""
+        g = jax.lax.dot_general(
+            mat_u[:, None, :], onehot,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (U, 1, H*K)
+        return g.reshape(r_cnt, k)
 
     def branch(p):
         m = jnp.max(p, axis=1)                            # (R,)
@@ -292,25 +347,27 @@ def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
             jnp.isfinite(p), jnp.exp(p - m_safe[:, None]), 0.0
         )
         b = jax.lax.dot_general(
-            a.reshape(n_utt, h, t_frames), ctc_probs,
+            a.reshape(n_utt, h, t_frames), probs,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            # HIGHEST: f32 sums must not decompose to bf16 (CLAUDE.md);
-            # still ~30x cheaper than the old gather contraction
-            precision=jax.lax.Precision.HIGHEST,
+            precision=hi,
         ).reshape(r_cnt, vocab)
-        # log(0) = -inf marks an empty active set, matching the
-        # logsumexp of no terms
-        return m[:, None] + jnp.log(b)
+        # empty/flushed sums clamp to the finite LOG_ZERO convention
+        # (matches the seq path; keeps the gather dot NaN-free)
+        return jnp.where(
+            b > 0.0, m_safe[:, None] + jnp.log(jnp.maximum(b, 1e-45)),
+            LOG_ZERO,
+        )
 
-    val_s = jnp.take_along_axis(branch(p_s), cand, axis=1)
-    val_n = jnp.take_along_axis(branch(p_n), cand, axis=1)
+    mx_cand = gather_utt(col_max)  # (R, K) column-shift restore
+    val_s = gather_rows(branch(p_s)) + mx_cand
+    val_n = gather_rows(branch(p_n)) + mx_cand
     repeat = cand == last_tokens[:, None]
     psi_main = jnp.where(repeat, val_n, val_s)
 
     # seed = r^n[start-1] from the reset region: xs[0] for the empty
     # prefix, LOG_ZERO otherwise (ctc_prefix_score.py:293-296,316)
-    xs0 = jnp.take_along_axis(ctc_x[:, 0, :][u], cand, axis=1)
+    xs0 = gather_utt(ctc_x[:, 0, :].astype(jnp.float32))
     seed = jnp.where(
         (out_len == 0) & (valid > 0)[:, None], xs0, LOG_ZERO
     )
@@ -453,7 +510,7 @@ def _joint_chunk(
     n_steps,
     t_pad,
     early_exit=False,
-    ctc_impl="assoc",
+    ctc_impl="seq",
 ):
     """`n_steps` lockstep beam steps with DEVICE-side ESPnet candidate
     selection, ONE host transfer per chunk.
@@ -477,9 +534,9 @@ def _joint_chunk(
     row_in_u = jnp.arange(r_cnt) % h
     w_dec, w_ctc, w_lm, penalty = weights
     # hoisted out of the step loop: the matmul-formulated psi consumes
-    # exp(ctc_x) every step (see _ctc_psi_scores)
+    # (exp(ctc_x - column_max), column_max) every step (_ctc_psi_scores)
     ctc_probs = (
-        jnp.exp(ctc_x.astype(jnp.float32))
+        _ctc_probs_shifted(ctc_x)
         if use_ctc and ctc_impl != "seq" else None
     )
 

@@ -494,23 +494,27 @@ def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
     so the beam's compaction `jnp.take(c, ui, axis=1)` is unchanged."""
     xa = audio_features
     scale = (cfg.n_state // cfg.n_head) ** -0.25
-
-    def per_layer(leaf, _):
-        k = (_linear(leaf["cross"]["key"], xa) * scale).swapaxes(1, 2)
-        v = _linear(leaf["cross"]["value"], xa).swapaxes(1, 2)
-        return None, (k, v)
-
-    _, (ks, vs) = jax.lax.scan(
-        lambda carry, leaf: (None, per_layer(leaf, None)[1]), None, params["blocks"]
-    )
-    if quantize is None:
-        return ks, vs
-    if quantize != "int8":
+    if quantize not in (None, "int8"):
         raise ValueError(f"unsupported cross-KV quantization: {quantize}")
 
-    kq, ksc = _q8(ks)
-    vq, vsc = _q8(vs)
-    return kq.astype(jnp.int8), ksc, vq.astype(jnp.int8), vsc
+    def per_layer(leaf):
+        k = (_linear(leaf["cross"]["key"], xa) * scale).swapaxes(1, 2)
+        v = _linear(leaf["cross"]["value"], xa).swapaxes(1, 2)
+        if quantize is None:
+            return k, v
+        # quantize INSIDE the layer scan: only one layer's f32
+        # temporaries ever live (a whole-tensor _q8 after the scan
+        # peaked at several full (L, B, n_state, S) f32 copies — an
+        # HBM spike in exactly the wide-batch case int8 exists for);
+        # per-(l, b, channel) rows round identically either way
+        kq, ksc = _q8(k)
+        vq, vsc = _q8(v)
+        return kq.astype(jnp.int8), ksc, vq.astype(jnp.int8), vsc
+
+    _, out = jax.lax.scan(
+        lambda carry, leaf: (None, per_layer(leaf)), None, params["blocks"]
+    )
+    return out
 
 
 def _q8(t, axis=-1):

@@ -9,7 +9,8 @@ LOG=${LOG:-/tmp/ab_campaign.log}
 run() {
   echo "=== $* ===" | tee -a "$LOG"
   timeout "${STEP_TIMEOUT:-1800}" "$@" 2>&1 | tee -a "$LOG"
-  echo "=== exit $? ===" | tee -a "$LOG"
+  # $? after a pipeline is tee's status (always 0) — log the step's own
+  echo "=== exit ${PIPESTATUS[0]} ===" | tee -a "$LOG"
 }
 
 # 0. headline sanity (the driver's round-end metric)

@@ -406,7 +406,12 @@ def test_joint_beam_param_fuzz_identical(rng, decoder, monkeypatch):
             mem[i, : m.shape[0]] = m
         mlen = np.asarray([m.shape[0] for m in mems], np.int32)
         t_pad = -(-max(c.shape[0] for c in ctcs) // pad) * pad
-        ctc = np.full((len(ctcs), t_pad, ODIM), -1e10, np.float32)
+        # pad frames hold FINITE garbage like the production handoff
+        # (bucket-padded log_softmax rows, not LOG_ZERO): every read past
+        # an utterance's length must be gated by ctc_valid, so identity
+        # vs the host-list reference proves the gating
+        ctc = np.random.default_rng(11).normal(
+            size=(len(ctcs), t_pad, ODIM)).astype(np.float32)
         for i, c in enumerate(ctcs):
             ctc[i, : c.shape[0]] = c
         tlen = np.asarray([c.shape[0] for c in ctcs], np.int32)
