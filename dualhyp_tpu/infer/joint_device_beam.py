@@ -237,19 +237,28 @@ def _ctc_cand_inputs(ctc_x, ctc_valid, r_prev, last_tokens, cand,
     return xs, xb, phi_prev, start, valid, r_sum, t_frames
 
 
+_PSI_LO_SHIFT = 80.0
+
+
 def _ctc_probs_shifted(ctc_x):
-    """Hoisted operand of the matmul psi: (exp(ctc_x - mx), mx) with
-    mx (U, V) the per-(utterance, label) column max over frames. The
-    column shift joins the per-row phi shift so a term only flushes to
-    zero when phi[t-1]+x[t,v] sits ~88 nats below the SEPARABLE bound
-    max_t(phi)+max_t(x) — without it, routine peaky-CTC columns
-    (log-probs ~ -100 at every frame) underflowed to psi=LOG_ZERO where
-    the seq path's log-space logsumexp stays finite and rankable."""
+    """Hoisted operands of the matmul psi: (exp(x - mx), exp(x - mx +
+    80), mx) with mx (U, V) the per-(utterance, label) column max over
+    frames. The column shift joins the per-row phi shift so a term only
+    flushes when phi[t-1]+x[t,v] sits ~88 nats below the SEPARABLE
+    bound max_t(phi)+max_t(x); the +80 copy is the LOW-RANGE rescue for
+    the case that bound misses — the column max can fall OUTSIDE the
+    row's active [start, valid) window (the window advances with the
+    decode position while this hoist is per call), leaving the in-
+    window terms ~-110 nats down where exp flushes to zero but the seq
+    path's log-space logsumexp stays finite and rankable. The rescue
+    dot extends the representable range by 80 nats (~168 total); its
+    terms stay below T * e^80 << f32 max."""
     import jax.numpy as jnp
 
     x = ctc_x.astype(jnp.float32)
     mx = jnp.max(x, axis=1)  # (U, V)
-    return jnp.exp(x - mx[:, None, :]), mx
+    sh = x - mx[:, None, :]
+    return jnp.exp(sh), jnp.exp(sh + _PSI_LO_SHIFT), mx
 
 
 def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
@@ -305,7 +314,7 @@ def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
 
     if ctc_probs is None:
         ctc_probs = _ctc_probs_shifted(ctc_x)
-    probs, col_max = ctc_probs
+    probs, probs_lo, col_max = ctc_probs
 
     hi = jax.lax.Precision.HIGHEST
     # HIGHEST everywhere below: f32 dots must not decompose to bf16
@@ -346,17 +355,25 @@ def _ctc_psi_scores(ctc_x, ctc_valid, r_prev, last_tokens, cand,
         a = jnp.where(
             jnp.isfinite(p), jnp.exp(p - m_safe[:, None]), 0.0
         )
-        b = jax.lax.dot_general(
-            a.reshape(n_utt, h, t_frames), probs,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=hi,
-        ).reshape(r_cnt, vocab)
-        # empty/flushed sums clamp to the finite LOG_ZERO convention
+
+        def dot(pr):
+            return jax.lax.dot_general(
+                a.reshape(n_utt, h, t_frames), pr,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=hi,
+            ).reshape(r_cnt, vocab)
+
+        b = dot(probs)
+        b_lo = dot(probs_lo)  # +80-nat low-range rescue (see hoist)
+        log_b = jnp.where(
+            b > 1e-30, jnp.log(jnp.maximum(b, 1e-45)),
+            jnp.log(jnp.maximum(b_lo, 1e-45)) - _PSI_LO_SHIFT,
+        )
+        # fully flushed sums clamp to the finite LOG_ZERO convention
         # (matches the seq path; keeps the gather dot NaN-free)
         return jnp.where(
-            b > 0.0, m_safe[:, None] + jnp.log(jnp.maximum(b, 1e-45)),
-            LOG_ZERO,
+            b_lo > 0.0, m_safe[:, None] + log_b, LOG_ZERO
         )
 
     mx_cand = gather_utt(col_max)  # (R, K) column-shift restore

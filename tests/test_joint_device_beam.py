@@ -368,6 +368,49 @@ def test_ctc_lazy_psi_and_selected_history(rng):
         )
 
 
+def test_ctc_lazy_psi_peaky_no_underflow(rng):
+    """Column-max-shift regression: with peaky CTC emissions (one label
+    near prob 1, the rest ~ -110 nats — routine for a trained CTC head
+    over a big vocab), the exp-space matmul psi must still match the
+    log-space seq recursion. Without _ctc_probs_shifted's per-column
+    shift, exp(-110) flushes to zero in f32 and every unlikely
+    candidate scored LOG_ZERO/-inf where seq returns a finite,
+    rankable ~ -140."""
+    from dualhyp_tpu.infer import joint_device_beam as jdb
+
+    u, h, k, t, v = 2, 3, 5, 23, 9
+    r = u * h
+    ctc_x = np.full((u, t, v), -110.0, np.float32)
+    ctc_x += rng.normal(0, 0.5, ctc_x.shape).astype(np.float32)
+    peak = rng.integers(1, v, (u, t))
+    np.put_along_axis(ctc_x, peak[..., None], -1e-4, axis=2)
+    ctc_valid = np.array([t, 11], np.int32)
+    r_prev = rng.normal(-30, 3, (r, t, 2)).astype(np.float32)
+    last = rng.integers(1, v, (r,)).astype(np.int32)
+    cand = rng.integers(0, v, (r, k)).astype(np.int32)
+    cand[:, 0] = last
+    cand[:, 1] = v - 1
+    cand[:, 2] = 0
+
+    for out_len in (0, 4):
+        args = (jnp.asarray(ctc_x), jnp.asarray(ctc_valid),
+                jnp.asarray(r_prev), jnp.asarray(last), jnp.asarray(cand),
+                jnp.int32(out_len))
+        psi_full, _ = jdb._ctc_score_candidates(
+            *args, blank=0, eos=v - 1, n_hyps_per_utt=h
+        )
+        psi_lazy = jdb._ctc_psi_scores(
+            *args, blank=0, eos=v - 1, n_hyps_per_utt=h
+        )
+        lazy = np.asarray(psi_lazy)
+        assert np.all(np.isfinite(lazy))
+        # non-blank candidates must be RANKABLE, not flushed to LOG_ZERO
+        assert lazy[cand != 0].min() > -1e4
+        np.testing.assert_allclose(
+            np.asarray(psi_full), lazy, rtol=1e-5, atol=1e-4
+        )
+
+
 @requires_espnet
 def test_joint_beam_param_fuzz_identical(rng, decoder, monkeypatch):
     """Deterministic fuzz over the joint beam's parameter interactions —
