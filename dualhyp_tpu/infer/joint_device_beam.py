@@ -39,26 +39,27 @@ LOG_ZERO = -1e10
 def _ctc_impl() -> str:
     """CTC candidate-scoring implementation (DUALHYP_CTC_IMPL).
 
-    'seq' (default): the measured-good round-4 configuration — one
-    K-wide sequential `lax.scan` computes psi and the (R, K, T, 2)
-    forward-variable histories at scoring time.
-    'assoc': scoring is TWO dense matmuls against exp(ctc_x) (no scan,
-    no (R, T, K) tensor — see _ctc_psi_scores) and histories are one
-    K=1 `lax.associative_scan` recursion for just the selected beam.
-    Values agree to float rounding; tests run both.
+    'assoc' (default since the round-4i TPU A/B): scoring is TWO dense
+    matmuls against exp(ctc_x) (no scan, no (R, T, K) tensor — see
+    _ctc_psi_scores) and histories are one K=1 `lax.associative_scan`
+    recursion for just the selected beam.
+    'seq': the round-4 configuration — one K-wide sequential `lax.scan`
+    computes psi and the (R, K, T, 2) forward-variable histories at
+    scoring time. Values agree to float rounding; tests run both.
 
-    Why 'seq' is still the default: a round-4 A/B already measured a
-    K-WIDE associative formulation neutral-to-negative on the chip
-    (BENCH_NOTES "associative-scan CTC — measured negative": each log
-    pass streamed (rows, T, beam) intermediates through HBM, and the
-    sequential recursion's latency was not reproducible as removable
-    step time). The 'assoc' mode here is a different design — scoring
-    has NO recursion at all and the remaining (T, R, 1) recursion is
-    ~60x smaller — but it flips to default only if its own TPU A/B
-    wins (bench_vsr_beam --ctc_impl)."""
+    Why 'assoc' won its A/B (v5e-1, 2026-08-19): beam-level 44 vs 52
+    ms/utt (bench_vsr_beam, BRAVEn-large beam 40), and end-to-end
+    make_json_vsr 99 vs 191 ms/utt / make_json_avsr 75 vs 89 ms/utt —
+    the e2e gap is much larger than the beam-level one because seq's
+    (R, K, T, 2) forward-variable histories and HIGHEST-precision
+    one-hot gathers scale with the CLIs' decode_batch=16 lockstep
+    width. (An EARLIER K-wide associative formulation measured
+    negative — BENCH_NOTES "associative-scan CTC — measured negative";
+    this design removes the recursion from scoring entirely instead of
+    parallelising it.)"""
     import os
 
-    impl = os.environ.get("DUALHYP_CTC_IMPL", "seq")
+    impl = os.environ.get("DUALHYP_CTC_IMPL", "assoc")
     if impl not in ("seq", "assoc"):
         raise ValueError(
             f"DUALHYP_CTC_IMPL must be 'seq' or 'assoc', got {impl!r}"

@@ -100,7 +100,7 @@ def main():
                     help="beam steps per host sync (default: adaptive)")
     ap.add_argument("--ctc_impl", default=None, choices=("seq", "assoc"),
                     help="CTC frame-recursion implementation A/B "
-                         "(sets DUALHYP_CTC_IMPL; default seq)")
+                         "(sets DUALHYP_CTC_IMPL; default assoc)")
     ap.add_argument("--host_beam", action="store_true",
                     help="also time the host-driven per-utterance beam")
     args = ap.parse_args()
