@@ -190,10 +190,17 @@ def decode_window_with_fallback(
         _token_id(tokenizer, "<|startoftranscript|>")
     )
 
+    # the silence gate's sot-position forward is one extra prefill + host
+    # sync per window — only pay it when the threshold is active (with
+    # no_speech_threshold=None the value is never consulted and segments
+    # record 0.0; the fork always computes it, ref: decoding.py:689-694)
     no_speech_id = _token_id(tokenizer, "<|nospeech|>")
-    no_speech_prob = _no_speech_prob(
-        dec_params, dec_cfg, features, prefix, sot_index, no_speech_id
-    )
+    if no_speech_threshold is not None:
+        no_speech_prob = _no_speech_prob(
+            dec_params, dec_cfg, features, prefix, sot_index, no_speech_id
+        )
+    else:
+        no_speech_prob = 0.0
 
     ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
 
@@ -355,8 +362,16 @@ def transcribe(
     from dualhyp_tpu.cli.make_json_asr import _token_id
     from dualhyp_tpu.models import whisper as w
 
+    import jax
+
     enc_params, enc_cfg = encoder
     dec_params, dec_cfg = decoder
+    # run the encode in the checkpoint's own dtype and hand the decoder
+    # features in ITS dtype — a bf16 checkpoint with f32 features used to
+    # upcast the cached-step scan carry and fail to trace (the f32-param
+    # test paths are unchanged: both casts are no-ops there)
+    enc_dtype = jax.tree_util.tree_leaves(enc_params)[0].dtype
+    dec_dtype = jax.tree_util.tree_leaves(dec_params)[0].dtype
 
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
@@ -372,9 +387,12 @@ def transcribe(
     if language is None:
         first_mel = w.pad_or_trim(mel[:, :N_FRAMES], N_FRAMES)
         first_feats = w.encode(
-            enc_params, enc_cfg, jnp.asarray(first_mel[None])
+            enc_params, enc_cfg, jnp.asarray(first_mel[None]),
+            compute_dtype=enc_dtype,
         )
-        language, _ = detect_language(first_feats, decoder, tokenizer)
+        language, _ = detect_language(
+            first_feats.astype(dec_dtype), decoder, tokenizer
+        )
 
     input_stride = N_FRAMES // enc_cfg.n_ctx  # mel frames per token: 2
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE  # 0.02 s
@@ -394,9 +412,24 @@ def transcribe(
     ts_begin = ts_begin_id if ts_begin_id >= 0 else None
     no_ts = _token_id(tokenizer, "<|notimestamps|>")
 
+    # the n-best seek streams sweep the SAME audio with different rolling
+    # prompts: windows at equal seeks share their mel, so the encode is
+    # memoized per seek (one entry — streams advance near-lockstep, and a
+    # single window's features are ~15 MB at large-v3)
+    feature_cache: dict = {}
+
+    def encode_window(seek):
+        if feature_cache.get("seek") != seek:
+            mel_segment = w.pad_or_trim(mel[:, seek:seek + N_FRAMES], N_FRAMES)
+            feature_cache["seek"] = seek
+            feature_cache["features"] = w.encode(
+                enc_params, enc_cfg, jnp.asarray(mel_segment[None]),
+                compute_dtype=enc_dtype,
+            ).astype(dec_dtype)
+        return feature_cache["features"]
+
     def decode_window(seek, prompt_tokens):
-        mel_segment = w.pad_or_trim(mel[:, seek:seek + N_FRAMES], N_FRAMES)
-        features = w.encode(enc_params, enc_cfg, jnp.asarray(mel_segment[None]))
+        features = encode_window(seek)
         result, detok = decode_window_with_fallback(
             features, decoder, tokenizer,
             beam_size=beam_size, temperatures=temperatures,
@@ -527,15 +560,22 @@ def transcribe(
                 roll_prompt(j, segs, first)
                 seeks[j] += inc
 
-    # per-hypothesis sliding windows (ref: transcribe.py:346-449)
-    for j in range(n_hyps):
-        seek = seeks[j]
-        while seek < content_frames:
-            result, detok, features = decode_window(seek, window_prompt(j))
-            segment_size = min(N_FRAMES, content_frames - seek)
-            if should_skip(result):
-                seek += segment_size
-                continue
+    # per-hypothesis sliding windows (ref: transcribe.py:346-449). Each
+    # stream's window sequence depends only on its own (seek, prompt), so
+    # streams are scheduled in GLOBAL seek order: streams at the same seek
+    # decode consecutively and `encode_window`'s one-entry memo serves all
+    # of them (per-stream results are identical to the sequential sweep).
+    import heapq
+
+    work = [(seeks[j], j) for j in range(n_hyps) if seeks[j] < content_frames]
+    heapq.heapify(work)
+    while work:
+        seek, j = heapq.heappop(work)
+        result, detok, features = decode_window(seek, window_prompt(j))
+        segment_size = min(N_FRAMES, content_frames - seek)
+        if should_skip(result):
+            seek += segment_size
+        else:
             hyp = result.hyps[j]
             segs, inc = _split_segments(
                 hyp.tokens[hyp.sample_begin:], ts_begin=ts_begin, seek=seek,
@@ -552,6 +592,8 @@ def transcribe(
             tokens_per_hyp[j].extend(t for seg in segs for t in seg["tokens"])
             roll_prompt(j, segs, result)
             seek += max(inc, 1)  # guard: a zero advance would loop forever
+        if seek < content_frames:
+            heapq.heappush(work, (seek, j))
 
     detok_final = lambda toks: tokenizer.decode(
         [t for t in toks if t != eot and (ts_begin is None or t < ts_begin)],

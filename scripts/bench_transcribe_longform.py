@@ -1,0 +1,148 @@
+"""Long-form transcription throughput on real hardware.
+
+Times `infer.transcribe.transcribe` — the fork's `transcribe()` surface
+(ref: data/whisper/transcribe.py:96-460): window seek loop, rolling
+`condition_on_previous_text` prompts, n-best seek streams — at
+whisper-large-v3 shapes over multi-minute audio, reporting the
+realtime factor (audio seconds per wall second).
+
+Random weights (throughput depends on shapes, not values), so the
+bench pins the semantics that would otherwise be weight-dependent:
+- one temperature (0.0) and thresholds None: no fallback re-decodes
+  (a random model's compression/logprob stats would retrigger them
+  unpredictably; the fallback machinery itself is exercised by
+  tests/test_transcribe_longform.py)
+- the tokenizer exposes no <|0.00|> token, so every window advances the
+  full 30 s (a random model emits arbitrary timestamp pairs, which
+  would make the seek advance — and therefore the amount of decoded
+  audio — a function of the random seed)
+- the EOT embedding row is scaled up so beams terminate at speech-like
+  lengths instead of always running the full token budget
+
+Run: python scripts/bench_transcribe_longform.py [--minutes 2]
+CPU smoke: python scripts/bench_transcribe_longform.py --cpu --tiny
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dualhyp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+SR = 16000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=2.0)
+    ap.add_argument("--beam", type=int, default=5,
+                    help="beam width AND n-best seek-stream count (the "
+                         "fork keeps every rank's stream)")
+    ap.add_argument("--max_new_tokens", type=int, default=48,
+                    help="tokens per 30 s window. A trained model emits "
+                         "~30 tokens then EOT; random weights never "
+                         "terminate reliably (even with --eos_bias), so "
+                         "the speech-like bound stands in for the "
+                         "early exit — pass 224 to time the production "
+                         "budget as a worst case (~2.6x realtime)")
+    ap.add_argument("--eos_bias", type=float, default=3.0)
+    ap.add_argument("--tiny", action="store_true", help="smoke shapes")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "pins jax_platforms)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from dualhyp_tpu.infer.transcribe import transcribe
+    from dualhyp_tpu.models import whisper as w
+    from bench_make_json_asr import BenchTok
+
+    if args.tiny:
+        enc_cfg = w.WhisperEncoderConfig(n_mels=80, n_ctx=1500, n_state=64,
+                                         n_head=4, n_layer=2)
+        dec_cfg = w.WhisperDecoderConfig(n_vocab=1024, n_ctx=448, n_state=64,
+                                         n_head=4, n_layer=2)
+    else:
+        enc_cfg = w.WHISPER_LARGE_V3
+        dec_cfg = w.WhisperDecoderConfig()  # large-v3 decoder defaults
+
+    # XLA:CPU lacks the bf16 x bf16 = f32 dot the TPU path uses
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
+    enc = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype), w.init_encoder(enc_cfg, jax.random.key(0))
+    )
+    dec = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype), w.init_decoder(dec_cfg, jax.random.key(1))
+    )
+
+    class NoTsTok(BenchTok):
+        """BenchTok minus the timestamp block: deterministic full-window
+        seek advance under random weights (see module docstring)."""
+
+        def convert_tokens_to_ids(self, token):
+            if token == "<|0.00|>":
+                return -1
+            return super().convert_tokens_to_ids(token)
+
+    tok = NoTsTok(dec_cfg.n_vocab, tiny=args.tiny)
+    if args.eos_bias:
+        dec["token_embedding"] = (
+            dec["token_embedding"].at[tok.eot].multiply(args.eos_bias)
+        )
+
+    seconds = args.minutes * 60.0
+    rng = np.random.default_rng(0)
+    audio = rng.normal(scale=0.05, size=int(seconds * SR)).astype(np.float32)
+
+    def run():
+        return transcribe(
+            audio, (enc, enc_cfg), (dec, dec_cfg), tok,
+            language="en", beam_size=args.beam,
+            temperature=0.0,
+            compression_ratio_threshold=None,
+            logprob_threshold=None,
+            no_speech_threshold=None,
+            condition_on_previous_text=True,
+            max_new_tokens=args.max_new_tokens,
+        )
+
+    print(f"compiling + warm run ({args.minutes:g} min audio, beam "
+          f"{args.beam}, {'tiny' if args.tiny else 'large-v3'})...",
+          flush=True)
+    t0 = time.perf_counter()
+    results = run()
+    t_cold = time.perf_counter() - t0
+    n_segs = len(results[0]["segments"])
+    print(f"  cold (incl. compile): {t_cold:.1f} s, "
+          f"{len(results)} hypothesis streams, {n_segs} segments",
+          flush=True)
+
+    t0 = time.perf_counter()
+    results = run()
+    t_warm = time.perf_counter() - t0
+    xrt = seconds / t_warm
+    # window decodes: the first window is decoded once and consumed by
+    # every stream; afterwards each of the beam_size n-best streams
+    # decodes its own windows (full-30s seek advance under NoTsTok)
+    n_windows = -(-int(seconds) // 30)
+    n_decodes = 1 + args.beam * max(n_windows - 1, 0)
+    print(
+        f"long-form transcribe: {seconds:.0f} s audio in {t_warm:.2f} s "
+        f"wall = {xrt:.1f}x realtime "
+        f"({t_warm / n_decodes * 1e3:.0f} ms per window decode, "
+        f"{n_decodes} decodes across {len(results)} n-best streams)"
+    )
+
+
+if __name__ == "__main__":
+    main()

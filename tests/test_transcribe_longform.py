@@ -338,13 +338,15 @@ def test_condition_on_previous_text_rolls_tokens(monkeypatch):
     hypothesis stream (ref: data/whisper/transcribe.py:48,237,357 — the
     upstream all_tokens[prompt_reset_since:] protocol the fork declares)."""
     calls = _run_conditioned(monkeypatch, condition=True)
-    # call 1: shared first window; calls 2-3: hyp0 stream; 4-5: hyp1
+    # call 1: shared first window; streams then interleave in seek order
+    # (hyp0 then hyp1 per window — the scheduler that lets equal-seek
+    # windows share one encode): calls 2-3 are window 1, calls 4-5 window 2
     assert len(calls) == 5
     assert calls[0] == []
-    assert calls[1] == [11, 21]                    # hyp0's window-1 tokens
-    assert calls[2] == [11, 21, 12, 22]            # + hyp0's window-2 tokens
-    assert calls[3] == [31, 41]                    # hyp1's OWN stream
-    assert calls[4] == [31, 41, 34, 44]
+    assert calls[1] == [11, 21]                    # hyp0's window-1 prompt
+    assert calls[2] == [31, 41]                    # hyp1's OWN stream
+    assert calls[3] == [11, 21, 12, 22]            # hyp0 + its window-1 tokens
+    assert calls[4] == [31, 41, 33, 43]
 
 
 def test_condition_off_replays_static_prompt(monkeypatch):
@@ -359,11 +361,11 @@ def test_condition_resets_after_high_temperature_fallback(monkeypatch):
     """A window decoded at temperature > 0.5 does not condition the next
     one (upstream prompt_reset_since advance after an unreliable window)."""
     calls = _run_conditioned(monkeypatch, condition=True,
-                             temps_by_call={2: 0.8})
+                             temps_by_call={2: 0.8})  # hyp0's window 1 hot
     assert calls[1] == [11, 21]
-    assert calls[2] == []                # reset: window 2 fell back hot
-    assert calls[3] == [31, 41]          # other stream unaffected
-    assert calls[4] == [31, 41, 34, 44]
+    assert calls[2] == [31, 41]          # other stream unaffected
+    assert calls[3] == []                # reset: hyp0's next window
+    assert calls[4] == [31, 41, 33, 43]
 
 
 def test_condition_includes_initial_prompt(monkeypatch):
@@ -378,4 +380,35 @@ def test_condition_includes_initial_prompt(monkeypatch):
                              initial_prompt="hi", tokenizer=PromptTok())
     assert calls[0] == [7, 8]
     assert calls[1] == [7, 8, 11, 21]
-    assert calls[2] == [7, 8, 11, 21, 12, 22]
+    assert calls[2] == [7, 8, 31, 41]              # hyp1, same window
+    assert calls[3] == [7, 8, 11, 21, 12, 22]
+
+
+def test_transcribe_bf16_checkpoint_traces():
+    """A bf16 checkpoint must TRACE through the window beam: transcribe
+    used to encode in f32 regardless of parameter dtype, and the f32
+    features upcast the cached-step scan carry (TypeError at trace time
+    in decode_step_cached). transcribe now encodes in the checkpoint's
+    dtype and casts features to the decoder's dtype. XLA:CPU cannot
+    EXECUTE the mixed bf16 dot, so off-TPU the accepted outcomes are
+    success or that one runtime gap — never a trace error."""
+    import jax.numpy as jnp
+
+    (enc, enc_cfg), (dec, dec_cfg) = _tiny_whisper()
+    bf = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), t
+    )
+    audio = np.random.default_rng(0).normal(
+        scale=0.05, size=16000 * 35
+    ).astype(np.float32)
+    try:
+        out = tr.transcribe(
+            audio, (bf(enc), enc_cfg), (bf(dec), dec_cfg), FakeTok(),
+            language="en", beam_size=2, temperature=0.0,
+            compression_ratio_threshold=None, logprob_threshold=None,
+            no_speech_threshold=None, max_new_tokens=8,
+        )
+        assert len(out) == 2
+    except Exception as e:  # XLA:CPU's missing BF16xBF16=F32 dot only
+        msg = str(e)
+        assert "UNIMPLEMENTED" in msg and "BF16" in msg, e
