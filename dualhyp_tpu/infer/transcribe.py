@@ -42,6 +42,15 @@ imports but never wires in (transcribe.py:22).
 TPU split: window encode + every decode step run on device (the batched
 device beam); the fallback logic, seek bookkeeping, and segmentation are
 host-side python, as in the reference.
+
+Scheduling (batch_streams=True, the default): each round gathers every
+active stream's (seek, rolling prompt) window, dedupes identical ones,
+encodes each distinct seek once, and decodes the whole group in ONE
+lockstep device beam with RAGGED per-stream prefixes
+(device_beam_search_batch) — beam_size streams' t=0 beams collapse into
+one batched run per round with per-stream outputs unchanged.
+batch_streams=False keeps the sequential one-window-at-a-time sweep as
+the differential baseline (tests/test_transcribe_longform.py).
 """
 
 from __future__ import annotations
@@ -127,26 +136,8 @@ class WindowResult:
     temperature: float
 
 
-def _no_speech_prob(dec_params, dec_cfg, features, prefix, sot_index,
-                    no_speech_id) -> float:
-    """P(<|nospeech|>) at the sot position (ref: decoding.py:690-703)."""
-    import jax.numpy as jnp
-
-    from dualhyp_tpu.models import whisper as w
-
-    if no_speech_id is None or no_speech_id < 0:
-        return 0.0
-    logits = np.asarray(
-        w.decode_logits(
-            dec_params, dec_cfg, jnp.asarray([prefix], jnp.int32), features
-        )[0, sot_index]
-    )
-    e = np.exp(logits - logits.max())
-    return float((e / e.sum())[no_speech_id])
-
-
-def decode_window_with_fallback(
-    features,
+def decode_windows_with_fallback(
+    entries: Sequence[Tuple[object, Sequence[int], int]],
     decoder,
     tokenizer,
     *,
@@ -159,48 +150,79 @@ def decode_window_with_fallback(
     language: str = "en",
     patience: Optional[float] = None,
     length_penalty: Optional[float] = None,
-    initial_prompt_tokens: Sequence[int] = (),
     enc_cfg=None,
     seed: int = 0,
-    seed_salt: int = 0,
-) -> Tuple[WindowResult, callable]:
-    """Temperature-escalating decode of one encoded window
-    (ref: data/whisper/transcribe.py:157-195). Returns (result, detok)."""
+) -> List[Tuple[WindowResult, callable]]:
+    """Temperature-escalating decode of a GROUP of encoded windows
+    (ref: data/whisper/transcribe.py:157-195 per window). entries:
+    (features (1, S, n_state), prompt_tokens, seed_salt) per window —
+    the long-form n-best seek streams' windows at one scheduler round.
+
+    The t=0 beam decodes ALL entries in ONE lockstep device beam with
+    RAGGED per-entry prefixes (each stream's rolling prompt,
+    device_beam_search_batch) and the silence-gate sot forwards batch
+    into one right-padded decode_logits call — per-entry results equal
+    the one-entry calls (the windows are independent; the ragged-beam
+    parity is pinned in tests/test_whisper_decoding_rules.py). Entries
+    that fail their thresholds escalate temperature INDIVIDUALLY with
+    the same per-(window, temperature) rng streams the sequential
+    scheduler used, so fallback outputs are unchanged."""
+    import jax.numpy as jnp
+
     from dualhyp_tpu.cli.make_json_asr import (
         CachedWhisperStepper, _beam_setup, _token_id,
     )
-    from dualhyp_tpu.infer.whisper_device_beam import device_beam_search
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
 
     dec_params, dec_cfg = decoder
-    prefix, beam_kwargs, eot, ts_rules = _beam_setup(
+    base_prefix, beam_kwargs, eot, ts_rules = _beam_setup(
         tokenizer, enc_cfg, beam_size=beam_size,
         max_new_tokens=max_new_tokens, language=language,
         suppress_blank=True, suppress_tokens="-1",
         without_timestamps=False, max_initial_timestamp=1.0,
         patience=patience, length_penalty=length_penalty,
     )
-    if initial_prompt_tokens:
-        # [sot_prev] + prompt tail + sot sequence
-        # (ref: decoding.py _get_initial_tokens)
-        sot_prev = _token_id(tokenizer, "<|startofprev|>")
-        tail = list(initial_prompt_tokens)[-(dec_cfg.n_ctx // 2 - 1):]
-        if sot_prev >= 0:
-            prefix = [sot_prev] + tail + prefix
-    sot_index = 0 if not initial_prompt_tokens else prefix.index(
-        _token_id(tokenizer, "<|startoftranscript|>")
-    )
+    sot_prev = _token_id(tokenizer, "<|startofprev|>")
+    sot = _token_id(tokenizer, "<|startoftranscript|>")
+    prefixes: List[List[int]] = []
+    sot_idx: List[int] = []
+    for _, prompt, _ in entries:
+        pre = list(base_prefix)
+        if prompt:
+            # [sot_prev] + prompt tail + sot sequence
+            # (ref: decoding.py _get_initial_tokens)
+            tail = list(prompt)[-(dec_cfg.n_ctx // 2 - 1):]
+            if sot_prev >= 0:
+                pre = [sot_prev] + tail + pre
+        prefixes.append(pre)
+        sot_idx.append(0 if not prompt else pre.index(sot))
+
+    feats_stack = jnp.concatenate([f for f, _, _ in entries], axis=0)
 
     # the silence gate's sot-position forward is one extra prefill + host
     # sync per window — only pay it when the threshold is active (with
     # no_speech_threshold=None the value is never consulted and segments
-    # record 0.0; the fork always computes it, ref: decoding.py:689-694)
+    # record 0.0; the fork always computes it, ref: decoding.py:689-694).
+    # All entries batch into ONE right-padded forward: right padding sits
+    # AFTER each row's sot position, which the causal mask never reads.
     no_speech_id = _token_id(tokenizer, "<|nospeech|>")
-    if no_speech_threshold is not None:
-        no_speech_prob = _no_speech_prob(
-            dec_params, dec_cfg, features, prefix, sot_index, no_speech_id
-        )
-    else:
-        no_speech_prob = 0.0
+    ns_probs = [0.0] * len(entries)
+    if no_speech_threshold is not None and no_speech_id is not None \
+            and no_speech_id >= 0:
+        t_max = max(len(p) for p in prefixes)
+        mat = np.zeros((len(entries), t_max), np.int32)
+        for u, p in enumerate(prefixes):
+            mat[u, :len(p)] = p
+        logits = np.asarray(w.decode_logits(
+            dec_params, dec_cfg, jnp.asarray(mat), feats_stack
+        ))
+        for u in range(len(entries)):
+            row = logits[u, sot_idx[u]]
+            e = np.exp(row - row.max())
+            ns_probs[u] = float((e / e.sum())[no_speech_id])
 
     ts_begin = ts_rules.timestamp_begin if ts_rules is not None else None
 
@@ -210,60 +232,89 @@ def decode_window_with_fallback(
             skip_special_tokens=True,
         )
 
-    result = None
-    for t_idx, t in enumerate(temperatures):
-        if t == 0:
-            hyps = device_beam_search(
-                dec_params, dec_cfg, features, prefix, **beam_kwargs
-            )[:beam_size]
-        else:
-            stepper = CachedWhisperStepper(
-                dec_params, dec_cfg, features, len(prefix) + max_new_tokens
-            )
-            hyps = sample_nbest(
-                stepper, prefix,
-                n_samples=beam_size, temperature=t, eos_id=eot,
-                max_new_tokens=max_new_tokens,
-                suppress_tokens=beam_kwargs["suppress_tokens"],
-                suppress_blank_ids=beam_kwargs["suppress_blank_ids"],
-                timestamp_rules=ts_rules,
-                length_penalty=length_penalty,
-                # distinct stream per (window, fallback temperature) so
-                # retries are not gumbel-correlated (the fork's generator
-                # advances between decodes)
-                rng=np.random.default_rng([seed, seed_salt, t_idx]),
-            )
-        while len(hyps) < beam_size:  # degenerate tiny-vocab edge
-            hyps.append(hyps[-1])
-        best = hyps[0]
-        text = detok(best.tokens[best.sample_begin:])
-        result = WindowResult(
-            hyps=hyps,
-            sample_begin=len(prefix),
-            avg_logprob=best.avg_logprob,
-            no_speech_prob=no_speech_prob,
-            compression_ratio=compression_ratio(text),
-            temperature=t,
+    # one lockstep ragged-prefix beam serves every entry's t=0 decode
+    batch_hyps = None
+    if any(t == 0 for t in temperatures):
+        batch_hyps = device_beam_search_batch(
+            dec_params, dec_cfg, feats_stack, prefixes, **beam_kwargs
         )
-        needs_fallback = False
-        if (
-            compression_ratio_threshold is not None
-            and result.compression_ratio > compression_ratio_threshold
-        ):
-            needs_fallback = True  # too repetitive
-        if (
-            logprob_threshold is not None
-            and result.avg_logprob < logprob_threshold
-        ):
-            needs_fallback = True  # low confidence
-        if (
-            no_speech_threshold is not None
-            and result.no_speech_prob > no_speech_threshold
-        ):
-            needs_fallback = False  # silence
-        if not needs_fallback:
-            break
-    return result, detok
+
+    out: List[Tuple[WindowResult, callable]] = []
+    for u, (features, _, seed_salt) in enumerate(entries):
+        prefix = prefixes[u]
+        result = None
+        for t_idx, t in enumerate(temperatures):
+            if t == 0:
+                hyps = batch_hyps[u][:beam_size]
+            else:
+                stepper = CachedWhisperStepper(
+                    dec_params, dec_cfg, features,
+                    len(prefix) + max_new_tokens,
+                )
+                hyps = sample_nbest(
+                    stepper, prefix,
+                    n_samples=beam_size, temperature=t, eos_id=eot,
+                    max_new_tokens=max_new_tokens,
+                    suppress_tokens=beam_kwargs["suppress_tokens"],
+                    suppress_blank_ids=beam_kwargs["suppress_blank_ids"],
+                    timestamp_rules=ts_rules,
+                    length_penalty=length_penalty,
+                    # distinct stream per (window, fallback temperature)
+                    # so retries are not gumbel-correlated (the fork's
+                    # generator advances between decodes)
+                    rng=np.random.default_rng([seed, seed_salt, t_idx]),
+                )
+            hyps = list(hyps)
+            while len(hyps) < beam_size:  # degenerate tiny-vocab edge
+                hyps.append(hyps[-1])
+            best = hyps[0]
+            text = detok(best.tokens[best.sample_begin:])
+            result = WindowResult(
+                hyps=hyps,
+                sample_begin=len(prefix),
+                avg_logprob=best.avg_logprob,
+                no_speech_prob=ns_probs[u],
+                compression_ratio=compression_ratio(text),
+                temperature=t,
+            )
+            needs_fallback = False
+            if (
+                compression_ratio_threshold is not None
+                and result.compression_ratio > compression_ratio_threshold
+            ):
+                needs_fallback = True  # too repetitive
+            if (
+                logprob_threshold is not None
+                and result.avg_logprob < logprob_threshold
+            ):
+                needs_fallback = True  # low confidence
+            if (
+                no_speech_threshold is not None
+                and result.no_speech_prob > no_speech_threshold
+            ):
+                needs_fallback = False  # silence
+            if not needs_fallback:
+                break
+        out.append((result, detok))
+    return out
+
+
+def decode_window_with_fallback(
+    features,
+    decoder,
+    tokenizer,
+    *,
+    initial_prompt_tokens: Sequence[int] = (),
+    seed_salt: int = 0,
+    **kwargs,
+) -> Tuple[WindowResult, callable]:
+    """One-window wrapper over `decode_windows_with_fallback`
+    (ref: data/whisper/transcribe.py:157-195)."""
+    feats = features if features.ndim == 3 else features[None]
+    return decode_windows_with_fallback(
+        [(feats, list(initial_prompt_tokens), seed_salt)],
+        decoder, tokenizer, **kwargs,
+    )[0]
 
 
 def _split_segments(
@@ -351,6 +402,7 @@ def transcribe(
     prepend_punctuations: str = "\"'“¿([{-",
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     seed: int = 0,
+    batch_streams: bool = True,
 ) -> List[dict]:
     """audio: float32 16 kHz waveform of any length. language=None
     detects it from the first window
@@ -428,19 +480,22 @@ def transcribe(
             ).astype(dec_dtype)
         return feature_cache["features"]
 
+    shared_decode_kwargs = dict(
+        beam_size=beam_size, temperatures=temperatures,
+        compression_ratio_threshold=compression_ratio_threshold,
+        logprob_threshold=logprob_threshold,
+        no_speech_threshold=no_speech_threshold,
+        max_new_tokens=max_new_tokens, language=language,
+        patience=patience, length_penalty=length_penalty,
+        enc_cfg=enc_cfg, seed=seed,
+    )
+
     def decode_window(seek, prompt_tokens):
         features = encode_window(seek)
-        result, detok = decode_window_with_fallback(
-            features, decoder, tokenizer,
-            beam_size=beam_size, temperatures=temperatures,
-            compression_ratio_threshold=compression_ratio_threshold,
-            logprob_threshold=logprob_threshold,
-            no_speech_threshold=no_speech_threshold,
-            max_new_tokens=max_new_tokens, language=language,
-            patience=patience, length_penalty=length_penalty,
-            initial_prompt_tokens=prompt_tokens,
-            enc_cfg=enc_cfg, seed=seed, seed_salt=seek,
-        )
+        result, detok = decode_windows_with_fallback(
+            [(features, list(prompt_tokens), seek)], decoder, tokenizer,
+            **shared_decode_kwargs,
+        )[0]
         return result, detok, features
 
     def should_skip(result):
@@ -562,38 +617,79 @@ def transcribe(
 
     # per-hypothesis sliding windows (ref: transcribe.py:346-449). Each
     # stream's window sequence depends only on its own (seek, prompt), so
-    # streams are scheduled in GLOBAL seek order: streams at the same seek
-    # decode consecutively and `encode_window`'s one-entry memo serves all
-    # of them (per-stream results are identical to the sequential sweep).
-    import heapq
+    # per-stream results are order-independent.
 
-    work = [(seeks[j], j) for j in range(n_hyps) if seeks[j] < content_frames]
-    heapq.heapify(work)
-    while work:
-        seek, j = heapq.heappop(work)
-        result, detok, features = decode_window(seek, window_prompt(j))
+    def consume(j, seek, result, detok, features):
+        """Apply one window result to stream j; returns its next seek."""
         segment_size = min(N_FRAMES, content_frames - seek)
         if should_skip(result):
-            seek += segment_size
-        else:
-            hyp = result.hyps[j]
-            segs, inc = _split_segments(
-                hyp.tokens[hyp.sample_begin:], ts_begin=ts_begin, seek=seek,
-                time_precision=time_precision, segment_size=segment_size,
-                segment_duration=segment_size * HOP_LENGTH / SAMPLE_RATE,
-                input_stride=input_stride,
-                new_segment=make_new_segment(seek, result, detok),
+            return seek + segment_size
+        hyp = result.hyps[j]
+        segs, inc = _split_segments(
+            hyp.tokens[hyp.sample_begin:], ts_begin=ts_begin, seek=seek,
+            time_precision=time_precision, segment_size=segment_size,
+            segment_duration=segment_size * HOP_LENGTH / SAMPLE_RATE,
+            input_stride=input_stride,
+            new_segment=make_new_segment(seek, result, detok),
+        )
+        last_ts_per_hyp[j] = attach_words(
+            segs, features, segment_size, result, detok, last_ts_per_hyp[j]
+        )
+        clear_degenerate(segs)
+        segments_per_hyp[j].extend(segs)
+        tokens_per_hyp[j].extend(t for seg in segs for t in seg["tokens"])
+        roll_prompt(j, segs, result)
+        return seek + max(inc, 1)  # guard: zero advance would loop forever
+
+    if batch_streams:
+        # BATCHED scheduler: each round gathers every still-active
+        # stream's (seek, rolling prompt) window, dedupes identical ones
+        # (streams with equal seek AND prompt decode identical windows —
+        # the sequential sweep's per-stream rng ignores the stream index,
+        # so its duplicate decodes were identical too), encodes each
+        # distinct seek once, and decodes the whole group in ONE lockstep
+        # ragged-prefix device beam. Per-stream outputs are unchanged;
+        # wall time drops from (streams x windows) beam runs to one
+        # batched run per round (BENCH_NOTES round 4j's named lever).
+        while True:
+            groups: dict = {}
+            for j in range(n_hyps):
+                if seeks[j] < content_frames:
+                    key = (seeks[j], tuple(window_prompt(j)))
+                    groups.setdefault(key, []).append(j)
+            if not groups:
+                break
+            keys = sorted(groups)  # seek-ascending: the encode memo hits
+            entries = [
+                (encode_window(seek), list(prompt), seek)
+                for seek, prompt in keys
+            ]
+            outs = decode_windows_with_fallback(
+                entries, decoder, tokenizer, **shared_decode_kwargs
             )
-            last_ts_per_hyp[j] = attach_words(
-                segs, features, segment_size, result, detok, last_ts_per_hyp[j]
-            )
-            clear_degenerate(segs)
-            segments_per_hyp[j].extend(segs)
-            tokens_per_hyp[j].extend(t for seg in segs for t in seg["tokens"])
-            roll_prompt(j, segs, result)
-            seek += max(inc, 1)  # guard: a zero advance would loop forever
-        if seek < content_frames:
-            heapq.heappush(work, (seek, j))
+            for key, entry, (result, detok) in zip(keys, entries, outs):
+                for j in groups[key]:
+                    seeks[j] = consume(
+                        j, key[0], result, detok, entry[0]
+                    )
+    else:
+        # sequential reference scheduler: one stream-window at a time in
+        # GLOBAL seek order (streams at the same seek decode
+        # consecutively so the encode memo serves them); kept as the
+        # differential baseline for the batched path.
+        import heapq
+
+        work = [
+            (seeks[j], j) for j in range(n_hyps)
+            if seeks[j] < content_frames
+        ]
+        heapq.heapify(work)
+        while work:
+            seek, j = heapq.heappop(work)
+            result, detok, features = decode_window(seek, window_prompt(j))
+            seek = consume(j, seek, result, detok, features)
+            if seek < content_frames:
+                heapq.heappush(work, (seek, j))
 
     detok_final = lambda toks: tokenizer.decode(
         [t for t in toks if t != eot and (ts_begin is None or t < ts_begin)],

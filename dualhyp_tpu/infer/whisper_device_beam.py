@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +118,8 @@ def _beam_chunk(
     blank_mask,     # (V,) f32 additive
     ts_static_mask, # (V,) f32 additive (<|notimestamps|> suppression)
     pos0,           # traced: decoder position of this chunk's first step
+    offsets,        # None, or (R,) int32 per-row prefix-start columns
+                    # (ragged per-utterance prompts, right-aligned)
     *,
     dec_cfg,
     n_utt,
@@ -205,6 +207,7 @@ def _beam_chunk(
         logits, cols = w.decode_step_cached(
             dec_params, dec_cfg, last_tokens, pos, cache, cross,
             anc_onehot=onehot, unroll=unroll, self_kv_scales=kv_scales,
+            pos_offset=offsets,
         )
         upd = {}
         for key in ("k", "v"):
@@ -352,7 +355,7 @@ def _beam_chunk(
 
 
 @partial(jax.jit, static_argnames=("dec_cfg",), donate_argnums=(3,))
-def _prefill(dec_params, cross, prefix_arr, cache, *, dec_cfg):
+def _prefill(dec_params, cross, prefix_arr, cache, offsets=None, *, dec_cfg):
     """Walk the shared sot sequence (positions 0..len(prefix_arr)-1) in
     one jitted scan; the first chunk step consumes the LAST prefix token,
     so this stops one short of it.
@@ -362,16 +365,26 @@ def _prefill(dec_params, cross, prefix_arr, cache, *, dec_cfg):
     first parents-gather, so prefilling all beam rows would scan the full
     (rows x t_buf) cache through the loop carry for identical values —
     at large-v3 beam 50 x 16 utterances that double-buffered stack was
-    the 23 GB OOM that capped decode_batch at 8."""
+    the 23 GB OOM that capped decode_batch at 8.
+
+    RAGGED mode (offsets is an (n_utt,) int32 array): prefix_arr is
+    (P, n_utt) — per-utterance prompts RIGHT-ALIGNED into P shared
+    columns, utterance u's real tokens occupying columns
+    [offsets[u], P). All utterances walk the columns in lockstep;
+    decode_step_cached(pos_offset=...) gives each row its own logical
+    position and masks its pre-start columns, so a row is a (masked)
+    no-op until the column reaches its first real token."""
     from dualhyp_tpu.models import whisper as w
 
     rows = cache["k"].shape[1]
+    ragged = offsets is not None
 
     def body(cache, inp):
         t, tok = inp
+        tok_vec = tok if ragged else jnp.full((rows,), tok, jnp.int32)
         _, cache = w.decode_step_cached(
-            dec_params, dec_cfg, jnp.full((rows,), tok, jnp.int32), t,
-            cache, cross,
+            dec_params, dec_cfg, tok_vec, t, cache, cross,
+            pos_offset=offsets,
         )
         return cache, None
 
@@ -425,7 +438,7 @@ def device_beam_search_batch(
     dec_params,
     dec_cfg,
     features,
-    prefix: List[int],
+    prefix: Union[List[int], Sequence[Sequence[int]]],
     *,
     beam_size: int,
     eos_id: int,
@@ -472,9 +485,12 @@ def device_beam_search_batch(
     sync measured 8.1 vs 9.2 ms/step; the device chunk's all-done early
     exit means no post-finish waste either way).
 
-    features: (U, S, n_state) encoder outputs (shared prefix — one
-    DecodingOptions per run, like the reference's batched DecodingTask,
-    ref: data/whisper/decoding.py:568-580, 719-747).
+    features: (U, S, n_state) encoder outputs. prefix: one shared
+    List[int] (one DecodingOptions per run, like the reference's batched
+    DecodingTask, ref: data/whisper/decoding.py:568-580, 719-747) or a
+    per-utterance List[List[int]] of RAGGED prefixes (right-aligned into
+    a shared column buffer; per-utterance results identical to separate
+    runs — the long-form n-best streams batch their windows this way).
     cache_dtype: KV cache dtype; defaults to the decoder params' dtype.
     Returns one List[BeamHypothesis] per utterance, each sorted by
     `ranking_score` (sum-logprob / length**length_penalty)."""
@@ -484,7 +500,40 @@ def device_beam_search_batch(
     rows = n_utt * beam_size
     if chunk_steps is None:
         chunk_steps = 16 if n_utt > 1 else max_new_tokens
-    sample_begin = len(prefix)
+    # RAGGED prefixes: `prefix` may be one shared List[int] (the batched
+    # make_json_asr path — one DecodingOptions per run like the
+    # reference) or a per-utterance List[List[int]] (the long-form
+    # n-best seek streams, whose rolling prompts differ per stream).
+    # Per-utterance prefixes are RIGHT-ALIGNED into a shared
+    # sample_begin = max(len) column buffer: utterance u's tokens occupy
+    # columns [sample_begin - len_u, sample_begin), every row carries a
+    # position offset (its logical position = column - offset), and
+    # decode_step_cached masks the pre-start columns. Columns stay
+    # lockstep, so the append-only cache protocol is untouched.
+    per_utt = bool(prefix) and isinstance(prefix[0], (list, tuple, np.ndarray))
+    if per_utt:
+        prefixes = [list(map(int, p)) for p in prefix]
+        assert len(prefixes) == n_utt, (len(prefixes), n_utt)
+        assert all(prefixes), "empty per-utterance prefix"
+        if all(p == prefixes[0] for p in prefixes):
+            prefix = prefixes[0]  # identical: the tuned shared path
+            per_utt = False
+    if per_utt:
+        utt_sb = [len(p) for p in prefixes]
+        sample_begin = max(utt_sb)
+        off_np = np.asarray(
+            [sample_begin - n for n in utt_sb], np.int32
+        )
+        utt_off = jnp.asarray(off_np)
+        row_off = jnp.asarray(np.repeat(off_np, beam_size))
+        pmat = np.zeros((n_utt, sample_begin), np.int32)
+        for u, p in enumerate(prefixes):
+            pmat[u, sample_begin - len(p):] = p
+    else:
+        prefixes = None
+        sample_begin = len(prefix)
+        utt_sb = [sample_begin] * n_utt
+        row_off = None
     max_candidates = int(round(beam_size * (patience or 1.0)))
     assert max_candidates > 0, f"invalid beam_size/patience: {beam_size}/{patience}"
     n_vocab = dec_cfg.n_vocab
@@ -545,10 +594,17 @@ def device_beam_search_batch(
         # non-append-only step path), then quantizes the small result if
         # the beam cache is int8 — the prefix is quantized exactly once
         small = w.init_self_cache(dec_cfg, n_utt, t_cap, dtype=cache_dtype)
-        small = _prefill(
-            dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32), small,
-            dec_cfg=dec_cfg,
-        )
+        if per_utt:
+            small = _prefill(
+                dec_params, cross,
+                jnp.asarray(pmat[:, :-1].T, jnp.int32), small, utt_off,
+                dec_cfg=dec_cfg,
+            )
+        else:
+            small = _prefill(
+                dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32),
+                small, dec_cfg=dec_cfg,
+            )
         if self_kv_quant:
             small = w.quantize_self_cache(small)
         # scatter utterance u's prefix KV into its beam row 0; the other
@@ -558,7 +614,10 @@ def device_beam_search_batch(
         }
 
     tokens0 = np.zeros((rows, t_cap), np.int32)
-    tokens0[:, :sample_begin] = prefix
+    if per_utt:
+        tokens0[:, :sample_begin] = np.repeat(pmat, beam_size, axis=0)
+    else:
+        tokens0[:, :sample_begin] = prefix
     state = (
         jnp.asarray(tokens0),
         # only row 0 of each utterance is live at the first selection
@@ -592,10 +651,17 @@ def device_beam_search_batch(
     # live hypotheses are cons cells: node = (parent_node, tok), rooted
     # at None; cons_to_list walks the chain (cheap — only finished or
     # surviving hypotheses ever materialise)
-    root = None
-    for t in prefix:
-        root = (root, int(t))
-    live: List[List[tuple]] = [[(root, 0.0)] for _ in range(n_utt)]
+    def _root(toks):
+        node = None
+        for t in toks:
+            node = (node, int(t))
+        return node
+
+    roots = (
+        [_root(p) for p in prefixes] if per_utt
+        else [_root(prefix)] * n_utt
+    )
+    live: List[List[tuple]] = [[(roots[u], 0.0)] for u in range(n_utt)]
     finished: List[dict] = [{} for _ in range(n_utt)]
     utt_done = [False] * n_utt
     # device-slot -> original-utterance map; None marks a padding slot
@@ -607,14 +673,14 @@ def device_beam_search_batch(
         state, _, _, ys = _beam_chunk(
             dec_params, cross, state, suppress_mask, blank_mask,
             ts_static_mask, jnp.int32(sample_begin - 1 + pos_base),
-            n_steps=n, **chunk_kwargs,
+            row_off, n_steps=n, **chunk_kwargs,
         )
         return ys
 
     def grow_and_compact():
         # called only between chunks, with every dispatched chunk
         # replayed (utt_done is current) and more budget still to decode
-        nonlocal state, cross, amap, cap, chunk_kwargs
+        nonlocal state, cross, amap, cap, chunk_kwargs, row_off
         tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc = state
         # drop the old state tuple NOW: it holds the pre-growth cache
         # dict, which would otherwise keep every old tensor alive until
@@ -637,6 +703,8 @@ def device_beam_search_batch(
                   + jnp.arange(beam_size)[None, :]).reshape(-1)
             tokens, scores, anc = tokens[ri], scores[ri], anc[ri]
             lt, pt, has, stamp = lt[ri], pt[ri], has[ri], stamp[ri]
+            if row_off is not None:
+                row_off = row_off[ri]
             # pop per key so each old tensor dies right after its take
             cache = dict(cache)
             for k in list(cache):
@@ -752,13 +820,13 @@ def device_beam_search_batch(
     out: List[List[BeamHypothesis]] = []
     for u in range(n_utt):
         results = [
-            BeamHypothesis(list(seq), score, sample_begin)
+            BeamHypothesis(list(seq), score, utt_sb[u])
             for seq, score in finished[u].items()
         ]
         if len(results) < beam_size:
             for node, sc in sorted(live[u], key=lambda x: -x[1]):
                 results.append(
-                    BeamHypothesis(cons_to_list(node), sc, sample_begin)
+                    BeamHypothesis(cons_to_list(node), sc, utt_sb[u])
                 )
                 if len(results) >= beam_size:
                     break

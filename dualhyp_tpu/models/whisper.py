@@ -577,9 +577,25 @@ def _logits_einsum(sub, a, b):
 def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                        cache: dict, cross_kv, row_gather=None,
                        anc_onehot=None, unroll: int = 1,
-                       self_kv_scales=None):
+                       self_kv_scales=None, pos_offset=None):
     """One decode step. tokens: (B,) int32 current tokens at position `pos`
     (scalar — beams advance in lockstep). Returns (logits (B, V), cache).
+
+    pos_offset: optional (B,) int32 enabling RAGGED per-row prefixes in a
+    lockstep batch (the long-form n-best streams decode windows with
+    different rolling prompts in ONE batched beam, BENCH_NOTES round 4j's
+    named lever). Rows stay column-lockstep — the cache write index is
+    still the shared `pos` — but row b's LOGICAL position is
+    `pos - pos_offset[b]` (its prefix is right-aligned into the shared
+    buffer: columns [pos_offset[b], P) hold its real tokens). Per row:
+    the positional embedding is looked up at the logical position and
+    attention masks out columns < pos_offset[b]. Column `pos` is always
+    kept valid so a pre-start row (a ragged prefill walking columns
+    before the row's first real token) softmaxes over one finite logit
+    instead of NaN-ing — its outputs land only in its own masked-out
+    columns. With pos_offset == zeros this is exactly the shared-prefix
+    path (same values; the PE lookup is a take instead of a
+    dynamic_slice).
 
     row_gather: optional (B,) int32 — re-parent the self-attention cache
     rows (returned cache row i = input row row_gather[i], with this
@@ -616,9 +632,17 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     h = cfg.n_head
     hd = s // h
     x = jnp.take(params["token_embedding"], tokens[:, None], axis=0)
-    x = x + jax.lax.dynamic_slice_in_dim(
-        params["positional_embedding"], pos, 1, axis=0
-    )
+    if pos_offset is None:
+        x = x + jax.lax.dynamic_slice_in_dim(
+            params["positional_embedding"], pos, 1, axis=0
+        )
+    else:
+        # per-row logical position (clamped: pre-start prefill rows read
+        # position 0 — their outputs are masked out of every real read)
+        logical = jnp.maximum(pos - pos_offset, 0)
+        x = x + jnp.take(
+            params["positional_embedding"], logical, axis=0
+        )[:, None, :]
     # 2-tuple: (k, v) at the compute dtype. 4-tuple: int8-quantized
     # (k_q, k_scale, v_q, v_scale) from precompute_cross_kv(quantize=
     # "int8") — the layer scan streams the int8 tensors (half the HBM
@@ -649,6 +673,13 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     kv_len = pos + 1
     max_len = cache["k"].shape[2]
     valid = jnp.arange(max_len)[None, :] < kv_len  # (1, max_len)
+    if pos_offset is not None:
+        # ragged rows: columns before the row's prefix start are junk;
+        # the current column stays valid so no row is fully masked
+        valid = valid & (
+            (jnp.arange(max_len)[None, :] >= pos_offset[:, None])
+            | (jnp.arange(max_len)[None, :] == pos)
+        )  # (B, max_len)
 
     def split(t, n):
         return t.reshape(t.shape[0], n, h, hd).transpose(0, 2, 1, 3)

@@ -290,26 +290,31 @@ def test_find_alignment_monotonic_times(rng):
 # ---------------------------------------------------------------------------
 
 def _fake_fallback(calls, temps_by_call):
-    """Stand-in decode_window_with_fallback: records the prompt each window
-    receives and returns deterministic per-call hypotheses, so the rolling
-    all_tokens[prompt_reset_since:] protocol is observable exactly."""
+    """Stand-in decode_windows_with_fallback: records the prompt each
+    window ENTRY receives and returns deterministic per-entry hypotheses,
+    so the rolling all_tokens[prompt_reset_since:] protocol — and the
+    batched scheduler's entry grouping/dedup — are observable exactly."""
     from dualhyp_tpu.infer.beam_search import BeamHypothesis
 
-    def fake(features, decoder, tokenizer, *, initial_prompt_tokens=(),
-             temperatures=(0.0,), **kw):
-        k = len(calls) + 1
-        calls.append(list(initial_prompt_tokens))
-        prefix = [60, 61, 62]
-        hyps = [
-            BeamHypothesis(prefix + [10 + k, 20 + k], -1.0, len(prefix)),
-            BeamHypothesis(prefix + [30 + k, 40 + k], -2.0, len(prefix)),
-        ]
-        result = tr.WindowResult(
-            hyps=hyps, sample_begin=len(prefix), avg_logprob=-0.1,
-            no_speech_prob=0.0, compression_ratio=1.0,
-            temperature=temps_by_call.get(k, 0.0),
-        )
-        return result, lambda toks: " ".join(f"w{t}" for t in toks)
+    def fake(entries, decoder, tokenizer, *, temperatures=(0.0,), **kw):
+        out = []
+        for _, prompt, _ in entries:
+            k = len(calls) + 1
+            calls.append(list(prompt))
+            prefix = [60, 61, 62]
+            hyps = [
+                BeamHypothesis(prefix + [10 + k, 20 + k], -1.0, len(prefix)),
+                BeamHypothesis(prefix + [30 + k, 40 + k], -2.0, len(prefix)),
+            ]
+            result = tr.WindowResult(
+                hyps=hyps, sample_begin=len(prefix), avg_logprob=-0.1,
+                no_speech_prob=0.0, compression_ratio=1.0,
+                temperature=temps_by_call.get(k, 0.0),
+            )
+            out.append(
+                (result, lambda toks: " ".join(f"w{t}" for t in toks))
+            )
+        return out
 
     return fake
 
@@ -319,7 +324,7 @@ def _run_conditioned(monkeypatch, *, condition, temps_by_call=None,
     encoder, decoder = _tiny_whisper()
     calls = []
     monkeypatch.setattr(
-        tr, "decode_window_with_fallback",
+        tr, "decode_windows_with_fallback",
         _fake_fallback(calls, temps_by_call or {}),
     )
     audio = np.zeros(75 * 16000, np.float32)  # 3 windows of content
@@ -338,9 +343,9 @@ def test_condition_on_previous_text_rolls_tokens(monkeypatch):
     hypothesis stream (ref: data/whisper/transcribe.py:48,237,357 — the
     upstream all_tokens[prompt_reset_since:] protocol the fork declares)."""
     calls = _run_conditioned(monkeypatch, condition=True)
-    # call 1: shared first window; streams then interleave in seek order
-    # (hyp0 then hyp1 per window — the scheduler that lets equal-seek
-    # windows share one encode): calls 2-3 are window 1, calls 4-5 window 2
+    # entry 1: shared first window; each later scheduler round batches
+    # the streams' windows as entries ordered by (seek, prompt):
+    # entries 2-3 are window 1 (hyp0's prompt sorts first), 4-5 window 2
     assert len(calls) == 5
     assert calls[0] == []
     assert calls[1] == [11, 21]                    # hyp0's window-1 prompt
@@ -352,9 +357,12 @@ def test_condition_on_previous_text_rolls_tokens(monkeypatch):
 def test_condition_off_replays_static_prompt(monkeypatch):
     """Flag off == the fork's EXECUTED behavior (its refactor never extends
     all_tokens, transcribe.py:204-209): the initial prompt replays into
-    every window unchanged."""
+    every window unchanged. With identical (seek, prompt) the batched
+    scheduler DEDUPES the streams' windows into one decode per round
+    (the sequential sweep's duplicate decodes were identical anyway —
+    its per-window rng ignores the stream index): 3 windows, 3 calls."""
     calls = _run_conditioned(monkeypatch, condition=False)
-    assert calls == [[]] * 5
+    assert calls == [[]] * 3
 
 
 def test_condition_resets_after_high_temperature_fallback(monkeypatch):
@@ -412,3 +420,35 @@ def test_transcribe_bf16_checkpoint_traces():
     except Exception as e:  # XLA:CPU's missing BF16xBF16=F32 dot only
         msg = str(e)
         assert "UNIMPLEMENTED" in msg and "BF16" in msg, e
+
+
+def test_batched_scheduler_matches_sequential(rng):
+    """The batched round scheduler (one ragged-prefix lockstep beam per
+    round, batch_streams=True default) returns exactly the sequential
+    one-window-at-a-time sweep's output — segments, texts, seeks, rolled
+    prompts — with condition_on_previous_text making every stream's
+    prompt (and so the ragged prefixes) distinct."""
+    encoder, decoder = _tiny_whisper()
+    audio = rng.normal(size=(75 * 16000,)).astype(np.float32) * 0.05
+    kw = dict(
+        language="en", beam_size=3, temperature=0.0, max_new_tokens=6,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None, condition_on_previous_text=True,
+    )
+    seq = tr.transcribe(
+        audio, encoder, decoder, FakeTok(), batch_streams=False, **kw
+    )
+    bat = tr.transcribe(
+        audio, encoder, decoder, FakeTok(), batch_streams=True, **kw
+    )
+    assert len(bat) == len(seq) == 3
+    for b, s in zip(bat, seq):
+        assert b["text"] == s["text"]
+        assert len(b["segments"]) == len(s["segments"])
+        for bs, ss in zip(b["segments"], s["segments"]):
+            assert bs["tokens"] == ss["tokens"]
+            assert bs["seek"] == ss["seek"]
+            assert bs["start"] == ss["start"] and bs["end"] == ss["end"]
+            np.testing.assert_allclose(
+                bs["avg_logprob"], ss["avg_logprob"], rtol=1e-5, atol=1e-6
+            )

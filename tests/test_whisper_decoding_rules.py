@@ -577,3 +577,70 @@ def test_beam_param_fuzz_identical(rng):
                     [h.score for h in got[u]],
                     [h.score for h in ref[u]], rtol=1e-5, atol=1e-6,
                 )
+
+
+def test_ragged_prefix_batch_matches_per_utterance(rng):
+    """Per-utterance RAGGED prefixes (the long-form n-best streams'
+    rolling prompts) batched into one lockstep beam return exactly the
+    per-utterance single runs: right-aligned columns + per-row position
+    offsets reproduce each stream's logical positions and masks. Covers
+    differing lengths, same-length-different-content, timestamp rules,
+    bucket growth, and the identical-prefix collapse to the shared
+    path."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.beam_search import TimestampRules
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    eos = dec_cfg.n_vocab - 1
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    dec["token_embedding"] = dec["token_embedding"].at[eos].multiply(3.0)
+
+    prefix_sets = {
+        "ragged": [[90, 91], [85, 86, 87, 90, 91], [90, 92, 91], [88, 91]],
+        # same lengths, different content: still per-utterance (content
+        # equality, not length equality, gates the shared-path collapse)
+        "content": [[90, 91], [85, 91], [90, 91], [88, 91]],
+        "identical": [[90, 91]] * 4,
+    }
+    configs = {
+        "plain": dict(beam_size=3, eos_id=eos, max_new_tokens=12,
+                      suppress_tokens=[0, 1]),
+        # timestamps: tb=64 < eot like the real vocab ordering is not
+        # required by the rules; use tb=70 so text ids stay 2..69
+        "ts": dict(beam_size=3, eos_id=eos, max_new_tokens=12,
+                   timestamp_rules=TimestampRules(
+                       timestamp_begin=70, eot=eos,
+                       max_initial_timestamp_index=10,
+                   ),
+                   suppress_blank_ids=[2, 3]),
+        "grow": dict(beam_size=3, eos_id=eos, max_new_tokens=12,
+                     suppress_tokens=[0, 1], t_bucket=3, chunk_steps=2),
+    }
+    feats = jnp.asarray(rng.normal(size=(4, 16, 64)).astype(np.float32))
+    for cname, kw in configs.items():
+        for pname, prefixes in prefix_sets.items():
+            got = device_beam_search_batch(
+                dec, dec_cfg, feats, prefixes, **kw
+            )
+            for u, p in enumerate(prefixes):
+                ref = device_beam_search_batch(
+                    dec, dec_cfg, feats[u:u + 1], list(p), **kw
+                )[0]
+                assert [h.tokens for h in got[u]] == [
+                    h.tokens for h in ref
+                ], (cname, pname, u)
+                np.testing.assert_allclose(
+                    [h.score for h in got[u]], [h.score for h in ref],
+                    rtol=1e-5, atol=1e-6, err_msg=f"{cname}/{pname}/{u}",
+                )
+                assert [h.sample_begin for h in got[u]] == [
+                    len(p)
+                ] * len(ref), (cname, pname, u)
