@@ -55,6 +55,13 @@ def main():
                          "early exit — pass 224 to time the production "
                          "budget as a worst case (~2.6x realtime)")
     ap.add_argument("--eos_bias", type=float, default=3.0)
+    ap.add_argument("--scheduler", choices=["batched", "sequential"],
+                    default="batched",
+                    help="batched = one ragged-prefix lockstep beam per "
+                         "scheduler round over all n-best streams (the "
+                         "default, batch_streams=True); sequential = the "
+                         "one-window-at-a-time reference sweep, the A/B "
+                         "baseline")
     ap.add_argument("--tiny", action="store_true", help="smoke shapes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
@@ -114,6 +121,7 @@ def main():
             no_speech_threshold=None,
             condition_on_previous_text=True,
             max_new_tokens=args.max_new_tokens,
+            batch_streams=args.scheduler == "batched",
         )
 
     print(f"compiling + warm run ({args.minutes:g} min audio, beam "
@@ -139,8 +147,9 @@ def main():
     print(
         f"long-form transcribe: {seconds:.0f} s audio in {t_warm:.2f} s "
         f"wall = {xrt:.1f}x realtime "
-        f"({t_warm / n_decodes * 1e3:.0f} ms per window decode, "
-        f"{n_decodes} decodes across {len(results)} n-best streams)"
+        f"({t_warm / n_decodes * 1e3:.0f} ms per stream-window, "
+        f"{n_decodes} stream-windows across {len(results)} n-best "
+        f"streams, {args.scheduler} scheduler)"
     )
 
 
