@@ -247,14 +247,21 @@ def decode_windows_with_fallback(
             if t == 0:
                 hyps = batch_hyps[u][:beam_size]
             else:
+                # same n_ctx length cap the beam applies (ref:
+                # data/whisper/decoding.py:746): long rolling prompts
+                # plus the full budget must not walk past the
+                # positional-embedding table
+                new_cap = min(
+                    max_new_tokens, dec_cfg.n_ctx - len(prefix) + 1
+                )
                 stepper = CachedWhisperStepper(
                     dec_params, dec_cfg, features,
-                    len(prefix) + max_new_tokens,
+                    len(prefix) + new_cap,
                 )
                 hyps = sample_nbest(
                     stepper, prefix,
                     n_samples=beam_size, temperature=t, eos_id=eot,
-                    max_new_tokens=max_new_tokens,
+                    max_new_tokens=new_cap,
                     suppress_tokens=beam_kwargs["suppress_tokens"],
                     suppress_blank_ids=beam_kwargs["suppress_blank_ids"],
                     timestamp_rules=ts_rules,

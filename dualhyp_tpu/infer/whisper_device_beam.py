@@ -534,6 +534,17 @@ def device_beam_search_batch(
         sample_begin = len(prefix)
         utt_sb = [sample_begin] * n_utt
         row_off = None
+    # Reference main-loop cap: decoding stops once the total length
+    # exceeds n_ctx (ref: data/whisper/decoding.py:746) — the forward at
+    # length n_ctx (reading position n_ctx - 1) is the last to run.
+    # Without this, a long rolling prompt plus the full 224-token budget
+    # walks `pos` past the positional-embedding table (the long-form
+    # 448-token windows hit NaN fills at pos == n_ctx and starved every
+    # beam). Ragged groups cap at the LONGEST prefix — rows advance in
+    # lockstep columns, so the shared buffer ends where the longest
+    # row's budget does.
+    assert sample_begin <= dec_cfg.n_ctx, (sample_begin, dec_cfg.n_ctx)
+    max_new_tokens = min(max_new_tokens, dec_cfg.n_ctx - sample_begin + 1)
     max_candidates = int(round(beam_size * (patience or 1.0)))
     assert max_candidates > 0, f"invalid beam_size/patience: {beam_size}/{patience}"
     n_vocab = dec_cfg.n_vocab
@@ -763,8 +774,10 @@ def device_beam_search_batch(
                 nlu = len(lu)
                 fin_u = finished[u]
                 new_live: List[tuple] = []
+                dropped = 0
                 for score, parent, tok in zip(sc_l, par_l, tok_l):
                     if parent >= nlu:
+                        dropped += 1
                         continue
                     if tok == eos_id:
                         if len(fin_u) < max_candidates:
@@ -775,6 +788,27 @@ def device_beam_search_batch(
                         new_live.append(((lu[parent][0], tok), score))
                         if len(new_live) == beam_size:
                             break
+                # STARVATION guard: a beam can empty with nothing finished
+                # when every candidate of a step is -inf (degenerate
+                # rule-mask regimes — e.g. an untrained model driven into
+                # a state whose allowed-token set is empty). The reference
+                # finalizer pads from the still-live beams in exactly this
+                # case (ref: data/whisper/decoding.py:389-408 finalize
+                # appends EOT to unfinished sequences), so keep the
+                # pre-step beams for our finalizer instead of returning
+                # zero hypotheses.
+                if not new_live and not fin_u:
+                    if os.environ.get("DUALHYP_BEAM_DEBUG"):
+                        print(
+                            f"[beam-debug] starved: utt {u} step {s} "
+                            f"finite={int(finite[s, slot].sum())} "
+                            f"parent-dropped={dropped} nlu={nlu} "
+                            f"top-scores={arr[s, 0, slot, :4].tolist()} "
+                            f"toks={toks_all[s, slot, :4].tolist()}",
+                            flush=True,
+                        )
+                    utt_done[u] = True
+                    continue
                 live[u] = new_live
                 if len(fin_u) >= max_candidates or not new_live:
                     utt_done[u] = True

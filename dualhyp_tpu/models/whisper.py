@@ -638,16 +638,22 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         )
     else:
         # per-row logical position (clamped: pre-start prefill rows read
-        # position 0 — their outputs are masked out of every real read)
+        # position 0 — their outputs are masked out of every real read).
+        # mode="clip" matches the shared path's dynamic_slice semantics:
+        # jnp.take's default out-of-bounds mode FILLS WITH NaN, which
+        # poisoned every row's logits the step `pos` reached n_ctx
+        # (callers now also cap the step count at n_ctx, ref:
+        # data/whisper/decoding.py:746)
         logical = jnp.maximum(pos - pos_offset, 0)
         x = x + jnp.take(
-            params["positional_embedding"], logical, axis=0
+            params["positional_embedding"], logical, axis=0, mode="clip"
         )[:, None, :]
     # 2-tuple: (k, v) at the compute dtype. 4-tuple: int8-quantized
     # (k_q, k_scale, v_q, v_scale) from precompute_cross_kv(quantize=
     # "int8") — the layer scan streams the int8 tensors (half the HBM
-    # traffic of the dominant per-step stream) and the body dequantizes
-    # the 30 MB per-layer slice right before the cross dots.
+    # traffic of the dominant per-step stream) and the cross dots consume
+    # them directly: the K scale folds into the query, the V scale into
+    # the attention output, so nothing full-width is ever rewritten.
     cross_quant = len(cross_kv) == 4
     # int8 self cache (init_self_cache(quantize="int8"), anc mode only):
     # int8 VALUES ride the one-hot ancestor einsum exactly in the
@@ -693,12 +699,10 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             i = 5
         if cross_quant:
             xk_q, xk_s, xv_q, xv_s = scanned[i:i + 4]
-            xk = (xk_q.astype(jnp.float32)
-                  * xk_s[..., None]).astype(x.dtype)
-            xv = (xv_q.astype(jnp.float32)
-                  * xv_s[..., None]).astype(x.dtype)
+            xk, xv = xk_q, xv_q  # int8; converted AT the dots below
         else:
             xk, xv = scanned[i:i + 2]
+            xk_s = xv_s = None
         n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
         scale = hd ** -0.25
         # K is PRE-SCALED by hd**-0.25 at creation, so the cache holds
@@ -822,23 +826,60 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         # 30 MB/layer slice materialisation dominates either way)
         kx = xk.reshape(xk.shape[0], h, hd, xk.shape[-1])
         vx = xv.reshape(xv.shape[0], h, hd, xv.shape[-1])
+        ksc = vsc = None
+        if cross_quant:
+            # int8 K/V ride the dots through a PURE int8->compute-dtype
+            # convert (which fuses into the dot's operand read, streaming
+            # the int8 bytes): the per-(utterance, channel) K scale is a
+            # per-d diagonal inside the d-contraction, so it applies to
+            # EITHER operand — fold it into the tiny (b, h, 1, hd) query
+            # — and the V scale is constant along the contracted frame
+            # axis, so it factors out of the output. No dequantized
+            # (B, n_state, S) tensor is materialised (the previous
+            # in-body `(q.f32 * scale).astype` re-wrote full-width
+            # f32+bf16 copies the dots then re-read — 3x the traffic
+            # int8 saves, round-4i campaign).
+            kx = kx.astype(x.dtype)   # ints <= 127 are exact
+            vx = vx.astype(x.dtype)
+            ksc = xk_s.reshape(xk_s.shape[0], h, 1, hd)
+            vsc = xv_s.reshape(xv_s.shape[0], h, 1, hd)
+
+        def fold_q(q, ksc_b):
+            """q * hd**-0.25, with the K dequant scale folded in."""
+            if ksc_b is None:
+                return q * scale
+            return (q.astype(jnp.float32) * scale * ksc_b).astype(x.dtype)
+
+        def fold_att(att, vsc_b):
+            """V dequant scale applied to the (tiny) attention output."""
+            if vsc_b is None:
+                return att
+            return (att.astype(jnp.float32) * vsc_b).astype(hcur.dtype)
+
         if kx.shape[0] == 1 and b != 1:
-            logits = _logits_einsum("bhtd,hds->bhts", qx * scale, kx[0])
+            logits = _logits_einsum(
+                "bhtd,hds->bhts", fold_q(qx, None if ksc is None else ksc[0]),
+                kx[0])
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("bhts,hds->bhtd", w, vx[0])
+            att = fold_att(einsum("bhts,hds->bhtd", w, vx[0]),
+                           None if vsc is None else vsc[0])
         elif kx.shape[0] != b and b % kx.shape[0] == 0:
             # grouped memory: U utterances x (b // U) beam rows each share
             # one utterance's cross K/V (multi-utterance batched beam)
             u = kx.shape[0]
             rows = b // u
             qg = qx.reshape(u, rows, h, 1, hd)
-            logits = _logits_einsum("ubhtd,uhds->ubhts", qg * scale, kx)
+            logits = _logits_einsum(
+                "ubhtd,uhds->ubhts",
+                fold_q(qg, None if ksc is None else ksc[:, None]), kx)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("ubhts,uhds->ubhtd", w, vx).reshape(b, h, 1, hd)
+            att = fold_att(einsum("ubhts,uhds->ubhtd", w, vx),
+                           None if vsc is None else vsc[:, None]
+                           ).reshape(b, h, 1, hd)
         else:
-            logits = _logits_einsum("bhtd,bhds->bhts", qx * scale, kx)
+            logits = _logits_einsum("bhtd,bhds->bhts", fold_q(qx, ksc), kx)
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
-            att = einsum("bhts,bhds->bhtd", w, vx)
+            att = fold_att(einsum("bhts,bhds->bhtd", w, vx), vsc)
         att = att.transpose(0, 2, 1, 3).reshape(b, 1, s)
         hcur = hcur + _linear(leaf["cross"]["out"], att)
 

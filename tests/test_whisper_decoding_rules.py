@@ -579,6 +579,79 @@ def test_beam_param_fuzz_identical(rng):
                 )
 
 
+def test_starved_beam_returns_live_hypotheses(rng):
+    """A beam whose every candidate goes non-finite (here: ALL tokens
+    suppressed, so the first selection sees only -inf/NaN) must not
+    return an empty hypothesis list — the finalizer pads from the last
+    live beams, the way the reference's finalize() appends EOT to
+    still-unfinished sequences (ref: data/whisper/decoding.py:389-408).
+    Regression: the long-form 224-token-budget bench crashed on
+    `hyps[-1]` of an empty list when a window's beam starved."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    feats = jnp.asarray(rng.normal(size=(2, 16, 64)).astype(np.float32))
+    out = device_beam_search_batch(
+        dec, dec_cfg, feats, [90, 91], beam_size=4,
+        eos_id=dec_cfg.n_vocab - 1, max_new_tokens=8,
+        suppress_tokens=list(range(dec_cfg.n_vocab)),
+    )
+    for u in range(2):
+        assert out[u], "starved beam returned no hypotheses"
+        assert out[u][0].tokens[:2] == [90, 91]
+
+
+def test_ragged_budget_capped_at_n_ctx(rng):
+    """When prefix length + token budget crosses n_ctx, decoding stops
+    at the reference's main-loop cap (total length n_ctx + 1, ref:
+    data/whisper/decoding.py:746) with FINITE scores throughout, and the
+    ragged batch still matches per-utterance runs. Regression: the
+    ragged path's positional-embedding jnp.take NaN-filled at
+    pos == n_ctx (jnp.take's default out-of-bounds mode), poisoning
+    every beam of the long-form 448-token windows at the 224 budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    feats = jnp.asarray(rng.normal(size=(2, 16, 64)).astype(np.float32))
+    pre = 30
+    prefixes = [
+        rng.integers(2, 90, size=pre).tolist(),
+        rng.integers(2, 90, size=pre).tolist(),
+    ]
+    # eos suppressed: beams must run to the n_ctx cap, not stop early
+    kw = dict(beam_size=4, eos_id=95, max_new_tokens=64,
+              suppress_tokens=[0, 1, 95])
+    out = device_beam_search_batch(dec, dec_cfg, feats, prefixes, **kw)
+    cap = dec_cfg.n_ctx - pre + 1
+    for u in range(2):
+        assert out[u], "capped beam returned no hypotheses"
+        for h in out[u]:
+            assert np.isfinite(h.score), "NaN leaked past the n_ctx cap"
+            assert len(h.tokens) == pre + cap
+        solo = device_beam_search_batch(
+            dec, dec_cfg, feats[u:u + 1], [prefixes[u]], **kw
+        )
+        assert [h.tokens for h in out[u]] == [h.tokens for h in solo[0]]
+
+
 def test_ragged_prefix_batch_matches_per_utterance(rng):
     """Per-utterance RAGGED prefixes (the long-form n-best streams'
     rolling prompts) batched into one lockstep beam return exactly the
