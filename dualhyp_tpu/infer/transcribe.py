@@ -152,6 +152,8 @@ def decode_windows_with_fallback(
     length_penalty: Optional[float] = None,
     enc_cfg=None,
     seed: int = 0,
+    cross_kv_quant=None,
+    self_kv_quant=None,
 ) -> List[Tuple[WindowResult, callable]]:
     """Temperature-escalating decode of a GROUP of encoded windows
     (ref: data/whisper/transcribe.py:157-195 per window). entries:
@@ -236,7 +238,9 @@ def decode_windows_with_fallback(
     batch_hyps = None
     if any(t == 0 for t in temperatures):
         batch_hyps = device_beam_search_batch(
-            dec_params, dec_cfg, feats_stack, prefixes, **beam_kwargs
+            dec_params, dec_cfg, feats_stack, prefixes,
+            cross_kv_quant=cross_kv_quant, self_kv_quant=self_kv_quant,
+            **beam_kwargs
         )
 
     out: List[Tuple[WindowResult, callable]] = []
@@ -410,6 +414,8 @@ def transcribe(
     append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
     seed: int = 0,
     batch_streams: bool = True,
+    cross_kv_quant=None,
+    self_kv_quant=None,
 ) -> List[dict]:
     """audio: float32 16 kHz waveform of any length. language=None
     detects it from the first window
@@ -495,6 +501,10 @@ def transcribe(
         max_new_tokens=max_new_tokens, language=language,
         patience=patience, length_penalty=length_penalty,
         enc_cfg=enc_cfg, seed=seed,
+        # int8 KV caches for the window beams (opt-in like the offline
+        # CLIs: outputs may shift within quantization rounding; the
+        # round-4k beam A/B has both as latency WINS at batched widths)
+        cross_kv_quant=cross_kv_quant, self_kv_quant=self_kv_quant,
     )
 
     def decode_window(seek, prompt_tokens):

@@ -62,6 +62,8 @@ def main():
                          "default, batch_streams=True); sequential = the "
                          "one-window-at-a-time reference sweep, the A/B "
                          "baseline")
+    ap.add_argument("--cross_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
     ap.add_argument("--tiny", action="store_true", help="smoke shapes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
@@ -122,6 +124,8 @@ def main():
             condition_on_previous_text=True,
             max_new_tokens=args.max_new_tokens,
             batch_streams=args.scheduler == "batched",
+            cross_kv_quant=args.cross_kv_quant,
+            self_kv_quant=args.self_kv_quant,
         )
 
     print(f"compiling + warm run ({args.minutes:g} min audio, beam "
