@@ -50,6 +50,14 @@ def build_parser():
     )
     parser.add_argument("--word_timestamps", action="store_true")
     parser.add_argument("--max_new_tokens", type=int, default=224)
+    parser.add_argument("--cross_kv_quant", default=None, choices=("int8",),
+                        help="int8 cross-attention K/V for the window "
+                             "beams (opt-in: outputs may shift within "
+                             "quantization rounding; −15%% end-to-end on "
+                             "the offline bench)")
+    parser.add_argument("--self_kv_quant", default=None, choices=("int8",),
+                        help="int8 self-attention KV cache (same opt-in "
+                             "caveat)")
     return parser
 
 
@@ -86,6 +94,8 @@ def main(argv=None):
             max_new_tokens=args.max_new_tokens,
             patience=args.patience, length_penalty=args.length_penalty,
             word_timestamps=args.word_timestamps,
+            cross_kv_quant=args.cross_kv_quant,
+            self_kv_quant=args.self_kv_quant,
         )
         out_path = out_dir / (Path(path).stem + ".json")
         with open(out_path, "w", encoding="utf-8") as fp:
