@@ -44,6 +44,11 @@ def build_parser():
                              "batch-1 decode, token-exact in practice; int4 "
                              "= GPTQ-style group-wise, ~4x smaller weights, "
                              "lossy — validate WER before serving")
+    parser.add_argument("--kv_quant", choices=[None, "int8"], default=None,
+                        help="int8 KV cache with folded-out scales — "
+                             "halves the decode cache stream at wide "
+                             "batches (opt-in: outputs may shift within "
+                             "quantization rounding)")
     parser.add_argument("--speculative", nargs="?", const="lookup",
                         choices=["lookup", "anchored"], default=None,
                         help="speculative decoding (greedy only; token-"
@@ -90,7 +95,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                   max_new_tokens=150, temperature=0.2, top_k=1,
                   compute_dtype=jnp.bfloat16, collect_latency=False,
                   mesh=None, speculative=False, draft_len=8,
-                  scheduler="lockstep"):
+                  scheduler="lockstep", kv_quant=None):
     """Batched greedy correction over a dataset. Returns (records, metrics).
 
     mesh: optional device mesh — the decode batch shards over data x fsdp
@@ -122,6 +127,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
             compute_dtype=compute_dtype, collect_latency=collect_latency,
             draft_len=draft_len, mesh=mesh,
             draft_source="anchored" if speculative == "anchored" else "lookup",
+            kv_quant=kv_quant,
         )
 
     batch_spec = None
@@ -185,6 +191,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                 eos_id=eos_id,
                 draft_len=draft_len,
                 compute_dtype=compute_dtype,
+                kv_quant=kv_quant,
             )
         elif speculative:
             tokens, total_lengths = generate_lookup(
@@ -196,6 +203,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                 eos_id=eos_id,
                 draft_len=draft_len,
                 compute_dtype=compute_dtype,
+                kv_quant=kv_quant,
             )
         else:
             tokens, total_lengths = generate(
@@ -208,6 +216,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
                 top_k=top_k,
                 eos_id=eos_id,
                 compute_dtype=compute_dtype,
+                kv_quant=kv_quant,
             )
         tokens = np.asarray(jax.block_until_ready(tokens))
         total_lengths = np.asarray(total_lengths)
@@ -238,7 +247,7 @@ def run_inference(params, model_cfg, tokenizer, dataset, *, decode_batch=8,
 def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
                               decode_batch, max_new_tokens, compute_dtype,
                               collect_latency, draft_len, mesh=None,
-                              draft_source="lookup"):
+                              draft_source="lookup", kv_quant=None):
     """Continuous-batching evaluator: same records/metrics as the lockstep
     path, but finished sequences hand their slot to the next prompt
     immediately (per-request latency, no straggler wait). mesh: the slot
@@ -255,7 +264,7 @@ def _run_inference_continuous(params, model_cfg, tokenizer, dataset, *,
         params, model_cfg, slots=decode_batch,
         max_new_tokens=max_new_tokens, draft_len=draft_len,
         eos_id=eos_id, compute_dtype=compute_dtype, mesh=mesh,
-        draft_source=draft_source,
+        draft_source=draft_source, kv_quant=kv_quant,
     )
 
     def hyp_ids(ex):
@@ -393,6 +402,7 @@ def main(argv=None):
         speculative=args.speculative,
         draft_len=args.draft_len,
         scheduler=args.scheduler,
+        kv_quant=args.kv_quant,
     )
     predict_dir = Path(args.model_path).parent / "predictions"
     predict_dir.mkdir(parents=True, exist_ok=True)

@@ -47,6 +47,7 @@ def sample_token(logits, *, temperature: float, top_k: Optional[int], rng):
         "top_k",
         "eos_id",
         "compute_dtype",
+        "kv_quant",
     ),
 )
 def generate(
@@ -61,6 +62,7 @@ def generate(
     eos_id: Optional[int] = None,
     rng=None,
     compute_dtype=jnp.bfloat16,
+    kv_quant: Optional[str] = None,
 ):
     """prompt_ids: (B, T) right-padded int32; prompt_lengths: (B,).
 
@@ -79,7 +81,8 @@ def generate(
     if rng is None:
         rng = jax.random.key(0)
 
-    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype)
+    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype,
+                           quantize=kv_quant)
     logits, cache = gpt.prefill(
         params, cfg, prompt_ids, prompt_lengths, cache, compute_dtype=compute_dtype
     )
@@ -144,6 +147,7 @@ def generate(
         "ngram",
         "compute_dtype",
         "return_steps",
+        "kv_quant",
     ),
 )
 def generate_lookup(
@@ -158,6 +162,7 @@ def generate_lookup(
     ngram: int = 3,
     compute_dtype=jnp.bfloat16,
     return_steps: bool = False,
+    kv_quant: Optional[str] = None,
 ):
     """Greedy decoding with prompt-lookup speculative drafting.
 
@@ -191,7 +196,8 @@ def generate_lookup(
         f"{t + max_new_tokens} exceeds block_size {cfg.block_size}"
     )
 
-    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype)
+    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype,
+                           quantize=kv_quant)
     logits, cache = gpt.prefill(
         params, cfg, prompt_ids, prompt_lengths, cache, compute_dtype=compute_dtype
     )
@@ -382,6 +388,7 @@ def anchored_step(params, cfg: GPTConfig, state, span_start, span_len, *,
         "ngram",
         "compute_dtype",
         "return_steps",
+        "kv_quant",
     ),
 )
 def generate_anchored(
@@ -398,6 +405,7 @@ def generate_anchored(
     ngram: int = 3,
     compute_dtype=jnp.bfloat16,
     return_steps: bool = False,
+    kv_quant: Optional[str] = None,
 ):
     """`generate_lookup` with hypothesis-anchored monotonic-pointer
     drafting. span_start/span_len (B,): the best hypothesis's token span
@@ -410,7 +418,8 @@ def generate_anchored(
     max_seq = t + max_new_tokens + k_win
     assert t + max_new_tokens <= cfg.block_size
 
-    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype)
+    cache = gpt.init_cache(cfg, b, max_seq, dtype=compute_dtype,
+                           quantize=kv_quant)
     logits, cache = gpt.prefill(
         params, cfg, prompt_ids, prompt_lengths, cache,
         compute_dtype=compute_dtype,

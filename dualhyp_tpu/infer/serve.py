@@ -60,6 +60,7 @@ class ContinuousBatcher:
         compute_dtype=jnp.bfloat16,
         mesh=None,
         draft_source: str = "lookup",
+        kv_quant: Optional[str] = None,
     ):
         """mesh: optional device mesh — params follow their
         NamedShardings (TP/FSDP for >single-chip models) and the slot
@@ -72,7 +73,12 @@ class ContinuousBatcher:
         with a monotonic pointer (infer/decode.anchored_step, +39%
         tokens/step on the correction regime) and degrades per slot to
         suffix lookup when no span was submitted. Both are
-        token-identical to greedy."""
+        token-identical to greedy.
+
+        kv_quant="int8": int8 slot-pool KV cache with folded-out scales
+        (gpt.init_cache) — halves the decode chunk's cache stream at
+        wide slot pools. Opt-in: outputs may shift within quantization
+        rounding."""
         assert draft_source in ("lookup", "anchored"), draft_source
         self.anchored = draft_source == "anchored"
         self.params = params
@@ -84,6 +90,7 @@ class ContinuousBatcher:
         self.chunk_steps = chunk_steps
         self.eos_id = eos_id
         self.dtype = compute_dtype
+        self.kv_quant = kv_quant
         self.mesh = mesh
         self.prompt_budget = cfg.block_size - 1
         self.buf = cfg.block_size + draft_len + 1
@@ -171,6 +178,7 @@ class ContinuousBatcher:
         if key in self._refill_fns:
             return self._refill_fns[key]
         cfg, dtype, buf = self.cfg, self.dtype, self.buf
+        kv_quant = self.kv_quant
         eos = self.eos_id
 
         anchored = self.anchored
@@ -178,7 +186,8 @@ class ContinuousBatcher:
         def refill(params, state, budget, slot_ids, pids, plens, new_budget,
                    span_start, span_len):
             tokens, lengths, emitted, cache, done, last, steps = state[:7]
-            small = gpt.init_cache(cfg, r, buf, dtype=dtype)
+            small = gpt.init_cache(cfg, r, buf, dtype=dtype,
+                                   quantize=kv_quant)
             logits, small = gpt.prefill(
                 params, cfg, pids, plens, small, compute_dtype=dtype
             )
@@ -223,7 +232,8 @@ class ContinuousBatcher:
     # ---- host driver ----
     def _empty_state(self):
         s, buf = self.slots, self.buf
-        cache = gpt.init_cache(self.cfg, s, buf, dtype=self.dtype)
+        cache = gpt.init_cache(self.cfg, s, buf, dtype=self.dtype,
+                               quantize=self.kv_quant)
         state = (
             jnp.zeros((s, buf), jnp.int32),
             jnp.ones((s,), jnp.int32),

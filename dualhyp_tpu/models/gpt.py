@@ -685,7 +685,26 @@ def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
     if cache_kv is None:
         y = attn_ops.causal_attention(q, k, v)
     else:
-        ck, cv = cache_kv
+        # 2-tuple (k, v): float cache. 4-tuple (k, v, k_scale, v_scale):
+        # int8 cache (init_cache(quantize="int8")) — K/V are quantized
+        # over D (ops/quant.q8_rows) at the write, the int8 bytes stream
+        # through the attention dots via a pure convert, and the
+        # per-slot scales fold into the logits / probabilities
+        # (ops/attention._dequant_cache) — the whisper-beam zero-copy
+        # protocol on the GER decode cache. Rounding beyond the
+        # reference's bf16 (which itself exceeds the weights-only bnb
+        # surface, ref: ger/utils.py:40-92); opt-in at the decode APIs.
+        quant = len(cache_kv) == 4
+        if quant:
+            ck, cv, ksc, vsc = cache_kv
+            from dualhyp_tpu.ops.quant import q8_rows
+
+            k_q, k_sc = q8_rows(k)   # (B, G, T, D) -> scales (B, G, T)
+            v_q, v_sc = q8_rows(v)
+        else:
+            ck, cv = cache_kv
+            ksc = vsc = None
+            k_q, v_q = k, v
         if positions is not None:
             # scatter this step's k/v into per-sequence slots
             def write(c, new):
@@ -694,18 +713,29 @@ def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
                         c_b, new_b.astype(c_b.dtype), pos_b, axis=1
                     )
                 return jax.vmap(upd)(c, new, positions)
-            ck = write(ck, k)
-            cv = write(cv, v)
+            ck = write(ck, k_q)
+            cv = write(cv, v_q)
+            if quant:
+                ksc = write(ksc, k_sc)
+                vsc = write(vsc, v_sc)
             if t == 1:
-                y = attn_ops.decode_attention(q, ck, cv, kv_length)
+                y = attn_ops.decode_attention(
+                    q, ck, cv, kv_length, k_scale=ksc, v_scale=vsc)
             else:
-                y = attn_ops.chunk_decode_attention(q, ck, cv, positions)
+                y = attn_ops.chunk_decode_attention(
+                    q, ck, cv, positions, k_scale=ksc, v_scale=vsc)
         else:
-            # prefill: write the whole prompt at slot 0 and run causal attn
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, 0, 0))
+            # prefill: write the whole prompt at slot 0 and run causal
+            # attn from the EXACT pre-quantization k/v (decode steps
+            # then read the rounded cache — same protocol as the whisper
+            # beam's exact prefill + quantize_self_cache)
+            ck = jax.lax.dynamic_update_slice(ck, k_q.astype(ck.dtype), (0, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_q.astype(cv.dtype), (0, 0, 0, 0))
+            if quant:
+                ksc = jax.lax.dynamic_update_slice(ksc, k_sc, (0, 0, 0))
+                vsc = jax.lax.dynamic_update_slice(vsc, v_sc, (0, 0, 0))
             y = attn_ops.causal_attention(q, k, v)
-        new_cache = (ck, cv)
+        new_cache = (ck, cv, ksc, vsc) if quant else (ck, cv)
 
     if cfg.use_adapter and "adapter_wte" in leaves["attn"]:
         y = y + _adapter_attention(cfg, leaves["attn"], q, adapter_gate)
@@ -813,14 +843,45 @@ def forward(
 # KV-cache decode path
 # ---------------------------------------------------------------------------
 
-def init_cache(cfg: GPTConfig, batch_size: int, max_seq: int, dtype=jnp.bfloat16):
+def init_cache(cfg: GPTConfig, batch_size: int, max_seq: int, dtype=jnp.bfloat16,
+               quantize=None):
     """Fixed-size per-layer KV cache stacked over depth: (L, B, G, S, D).
 
     Stores only the `n_query_groups` KV heads (the reference expands to all
     query heads before caching, ref: ger/model.py:132-151 — storing groups
-    cuts cache HBM by q_per_kv x)."""
+    cuts cache HBM by q_per_kv x).
+
+    quantize="int8": int8 K/V with per-(layer, row, group, slot) f32
+    scales ("k_scale"/"v_scale", (L, B, G, S)) — halves the decode
+    steps' cache stream (the whisper-beam zero-copy protocol: scales
+    fold out of both attention contractions, ops/attention). Outputs
+    may shift within quantization rounding; opt-in."""
     shape = (cfg.n_layer, batch_size, cfg.n_query_groups, max_seq, cfg.head_size)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quantize is None:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quantize != "int8":
+        raise ValueError(f"unsupported KV-cache quantization: {quantize}")
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+    }
+
+
+def _cache_xs(cache: dict) -> tuple:
+    """Per-layer scan xs for the cache dict (float: (k, v); int8:
+    (k, v, k_scale, v_scale)) — _block's cache_kv tuple order."""
+    if "k_scale" in cache:
+        return (cache["k"], cache["v"], cache["k_scale"], cache["v_scale"])
+    return (cache["k"], cache["v"])
+
+
+def _cache_dict(new_kv: tuple) -> dict:
+    out = {"k": new_kv[0], "v": new_kv[1]}
+    if len(new_kv) == 4:
+        out["k_scale"], out["v_scale"] = new_kv[2], new_kv[3]
+    return out
 
 
 def prefill(
@@ -843,14 +904,14 @@ def prefill(
     layer_ids = jnp.arange(cfg.n_layer)
 
     def body(carry, scanned):
-        leaves, lid, ck, cv = scanned
+        leaves, lid = scanned[0], scanned[1]
         out, new_cache = _block(
-            cfg, leaves, carry, cos, sin, lid, cache_kv=(ck, cv)
+            cfg, leaves, carry, cos, sin, lid, cache_kv=scanned[2:]
         )
         return out, new_cache
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], layer_ids, cache["k"], cache["v"])
+    x, new_kv = jax.lax.scan(
+        body, x, (params["blocks"], layer_ids) + _cache_xs(cache)
     )
     x = _norm(cfg, params["ln_f"], x)
     # gather hidden state at the last valid prompt token per sequence
@@ -858,7 +919,7 @@ def prefill(
         x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     logits = _head(cfg, params, last).astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, _cache_dict(new_kv)
 
 
 def decode_step(
@@ -879,7 +940,7 @@ def decode_step(
     layer_ids = jnp.arange(cfg.n_layer)
 
     def body(carry, scanned):
-        leaves, lid, ck, cv = scanned
+        leaves, lid = scanned[0], scanned[1]
         out, new_cache = _block(
             cfg,
             leaves,
@@ -887,18 +948,18 @@ def decode_step(
             cos,
             sin,
             lid,
-            cache_kv=(ck, cv),
+            cache_kv=scanned[2:],
             positions=positions,
             kv_length=kv_length,
         )
         return out, new_cache
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], layer_ids, cache["k"], cache["v"])
+    x, new_kv = jax.lax.scan(
+        body, x, (params["blocks"], layer_ids) + _cache_xs(cache)
     )
     x = _norm(cfg, params["ln_f"], x)
     logits = _head(cfg, params, x[:, 0]).astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, _cache_dict(new_kv)
 
 
 def verify_step(
@@ -929,18 +990,19 @@ def verify_step(
     layer_ids = jnp.arange(cfg.n_layer)
 
     def body(carry, scanned):
-        leaves, lid, ck, cv = scanned
+        leaves, lid = scanned[0], scanned[1]
         out, new_cache = _block(
-            cfg, leaves, carry, cos, sin, lid, cache_kv=(ck, cv), positions=start
+            cfg, leaves, carry, cos, sin, lid, cache_kv=scanned[2:],
+            positions=start
         )
         return out, new_cache
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["blocks"], layer_ids, cache["k"], cache["v"])
+    x, new_kv = jax.lax.scan(
+        body, x, (params["blocks"], layer_ids) + _cache_xs(cache)
     )
     x = _norm(cfg, params["ln_f"], x)
     logits = _head(cfg, params, x).astype(jnp.float32)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, _cache_dict(new_kv)
 
 
 # ---------------------------------------------------------------------------

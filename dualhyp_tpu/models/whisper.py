@@ -518,15 +518,12 @@ def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
 
 
 def _q8(t, axis=-1):
-    """Symmetric round-to-nearest int8 quantization along `axis`:
-    (int-valued f32 in [-127, 127], f32 scales with a 1e-12 floor).
-    The ONE quantizer for cross-KV, prefill self-KV, and in-step self-KV
-    columns — the latter two MUST round identically (prefix columns are
-    quantized at prefill, step columns inside the decode step)."""
-    t = t.astype(jnp.float32)
-    sc = jnp.maximum(jnp.max(jnp.abs(t), axis=axis) / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(t / jnp.expand_dims(sc, axis)), -127, 127)
-    return q, sc
+    """Symmetric round-to-nearest int8 quantization along `axis` — the
+    repo-wide shared quantizer (ops/quant.q8_rows): cross-KV, prefill
+    self-KV and in-step self-KV columns all round identically."""
+    from dualhyp_tpu.ops.quant import q8_rows
+
+    return q8_rows(t, axis=axis)
 
 
 def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,

@@ -77,7 +77,28 @@ def causal_attention(q, k, v, scale: float | None = None):
     return _causal_attention_xla(q, k, v, scale)
 
 
-def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = None):
+def _dequant_cache(q, k_cache, v_cache, k_scale, v_scale):
+    """int8 KV cache handling shared by the decode paths.
+
+    k_scale/v_scale: (B, G, S) per-slot dequant scales (from
+    ops/quant.q8_rows over D). The int8 values ride the dots through a
+    PURE int8 -> query-dtype convert (values <= 127 are exact in bf16;
+    the convert fuses into the dot's operand read, so HBM streams the
+    int8 bytes — the same zero-copy protocol as the whisper beam's
+    self-KV cache, models/whisper.py decode_step_cached). The K scale is
+    constant along the contracted D axis, so it multiplies the LOGITS
+    per slot; the V scale folds into the probabilities. Returns
+    (k, v, logit_fold, prob_fold) where the folds are applied by the
+    caller ((B, G, 1, 1, S)-shaped f32 multipliers or None)."""
+    if k_scale is None:
+        return k_cache, v_cache, None, None
+    kf = k_scale[:, :, None, None, :].astype(jnp.float32)
+    vf = v_scale[:, :, None, None, :].astype(jnp.float32)
+    return k_cache.astype(q.dtype), v_cache.astype(q.dtype), kf, vf
+
+
+def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = None,
+                           k_scale=None, v_scale=None):
     """Multi-token decode step (speculative verification).
 
     q: (B, Hq, K, D) — queries for K consecutive tokens at positions
@@ -85,6 +106,8 @@ def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = Non
     start: (B,) int32. Query i attends cache slots <= start[b] + i (its
     own slot included — the K tokens' KVs are scattered in before the
     call). Reduces to `decode_attention` semantics at K=1.
+    k_scale/v_scale: per-slot (B, G, S) scales of an int8 cache
+    (see `_dequant_cache`).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -92,6 +115,8 @@ def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = Non
     g = k_cache.shape[1]
     s = k_cache.shape[2]
     qg = q.reshape(b, g, hq // g, kq, d)
+    k_cache, v_cache, kf, vf = _dequant_cache(
+        q, k_cache, v_cache, k_scale, v_scale)
     # bf16 operands + f32 accumulation: bit-identical to the f32 upcast
     # (bf16 is exact in f32) at one MXU pass instead of the 3-pass f32
     # emulation (2.35x, scripts/bench_beam_ops.py). No astype on the
@@ -101,19 +126,27 @@ def chunk_decode_attention(q, k_cache, v_cache, start, scale: float | None = Non
         "bgqtd,bgsd->bgqts", qg, k_cache,
         preferred_element_type=jnp.float32,
     ) * scale
+    if kf is not None:
+        logits = logits * kf
     limit = start[:, None] + jnp.arange(kq)[None, :]  # (B, K)
     valid = jnp.arange(s)[None, None, :] <= limit[:, :, None]  # (B, K, S)
     logits = jnp.where(valid[:, None, None, :, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if vf is not None:
+        probs = probs * vf
+    probs = probs.astype(q.dtype)
     out = einsum("bgqts,bgsd->bgqtd", probs, v_cache)
     return out.reshape(b, hq, kq, d)
 
 
-def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None):
+def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None,
+                     k_scale=None, v_scale=None):
     """One decode step against a fixed-size cache.
 
     q: (B, Hq, 1, D); k_cache, v_cache: (B, G, S, D); kv_length: (B,) int —
     number of valid cache slots per sequence (positions >= kv_length masked).
+    k_scale/v_scale: per-slot (B, G, S) scales of an int8 cache
+    (see `_dequant_cache`).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -121,12 +154,19 @@ def decode_attention(q, k_cache, v_cache, kv_length, scale: float | None = None)
     g = k_cache.shape[1]
     s = k_cache.shape[2]
     qg = q.reshape(b, g, hq // g, 1, d)
+    k_cache, v_cache, kf, vf = _dequant_cache(
+        q, k_cache, v_cache, k_scale, v_scale)
     logits = einsum(
         "bgqtd,bgsd->bgqts", qg, k_cache,
         preferred_element_type=jnp.float32,
     ) * scale
+    if kf is not None:
+        logits = logits * kf
     valid = jnp.arange(s)[None, :] < kv_length[:, None]  # (B, S)
     logits = jnp.where(valid[:, None, None, None, :], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if vf is not None:
+        probs = probs * vf
+    probs = probs.astype(q.dtype)
     out = einsum("bgqts,bgsd->bgqtd", probs, v_cache)
     return out.reshape(b, hq, 1, d)

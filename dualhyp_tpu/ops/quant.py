@@ -55,6 +55,19 @@ def qmatmul(x, q, scale):
     return out.astype(x.dtype)
 
 
+def q8_rows(t, axis=-1):
+    """Symmetric round-to-nearest int8 activation/cache quantization
+    along `axis`: returns (int-valued f32 in [-127, 127], f32 scales
+    with a 1e-12 floor). The ONE quantizer for every KV-cache int8 path
+    (whisper cross/self KV, the GPT decode cache) — prefix columns
+    quantized at prefill and step columns quantized in-step MUST round
+    identically."""
+    t = t.astype(jnp.float32)
+    sc = jnp.maximum(jnp.max(jnp.abs(t), axis=axis) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(t / jnp.expand_dims(sc, axis)), -127, 127)
+    return q, sc
+
+
 Q4_KEY = "weight_q4"
 SCALE4_KEY = "weight_scale4"
 INT4_GROUP = 128  # in-dim group size for the int4 scales

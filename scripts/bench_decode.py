@@ -6,6 +6,7 @@ batch. Reports per-utterance p50 at several batch sizes (prompt 512 tokens,
 150 new — the eval protocol's max_new).
 """
 
+import argparse
 import sys
 import time
 
@@ -22,9 +23,19 @@ from dualhyp_tpu.registry import config_from_name
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", default=None, choices=("int8", "int4"),
+                    help="weight quantization")
+    ap.add_argument("--kv_quant", default=None, choices=("int8",),
+                    help="int8 KV cache (folded-out scales)")
+    args = ap.parse_args()
     cfg = config_from_name("tiny-llama-1.1b-chat")
     params = gpt.init(cfg, jax.random.key(0))
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if args.quantize:
+        from dualhyp_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params, mode=args.quantize)
     rng = np.random.default_rng(0)
     prompt_len, max_new = 512, 150
     for batch in (1, 8, 16):
@@ -34,6 +45,7 @@ def main():
         tokens, total = generate(
             params, cfg, jnp.asarray(ids), lengths,
             max_new_tokens=max_new, temperature=0.2, top_k=1,
+            kv_quant=args.kv_quant,
         )
         jax.block_until_ready(tokens)
         times = []
@@ -42,6 +54,7 @@ def main():
             tokens, total = generate(
                 params, cfg, jnp.asarray(ids), lengths,
                 max_new_tokens=max_new, temperature=0.2, top_k=1,
+                kv_quant=args.kv_quant,
             )
             jax.block_until_ready(tokens)
             times.append(time.perf_counter() - t0)

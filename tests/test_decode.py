@@ -292,3 +292,101 @@ def test_extract_response():
     full = "PROMPT### Response:\nhello world\nextra line"
     prompt = "PROMPT### Response:\n"
     assert ev.extract_response(full, prompt) == "hello world"
+
+
+def test_decode_attention_int8_matches_dequant():
+    """int8-cache attention with folded-out scales (ops/attention
+    `_dequant_cache`: K scale multiplies the logits, V scale the
+    probabilities) equals attention over the explicitly dequantized
+    cache — the fold is the same math applied on the other side of the
+    contraction."""
+    from dualhyp_tpu.ops import attention as attn_ops
+    from dualhyp_tpu.ops.quant import q8_rows
+
+    rng = np.random.default_rng(0)
+    b, g, hq, s, d = 2, 2, 4, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, hq, 1, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, g, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, g, s, d)).astype(np.float32))
+    kq, ksc = q8_rows(k)
+    vq, vsc = q8_rows(v)
+    k_dq = jnp.asarray(np.asarray(kq) * np.asarray(ksc)[..., None])
+    v_dq = jnp.asarray(np.asarray(vq) * np.asarray(vsc)[..., None])
+    kv_length = jnp.asarray([10, 16], jnp.int32)
+    got = attn_ops.decode_attention(
+        q, kq.astype(jnp.int8), vq.astype(jnp.int8), kv_length,
+        k_scale=ksc, v_scale=vsc,
+    )
+    want = attn_ops.decode_attention(q, k_dq, v_dq, kv_length)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    qc = jnp.asarray(rng.normal(size=(b, hq, 3, d)).astype(np.float32))
+    start = jnp.asarray([7, 13], jnp.int32)
+    got_c = attn_ops.chunk_decode_attention(
+        qc, kq.astype(jnp.int8), vq.astype(jnp.int8), start,
+        k_scale=ksc, v_scale=vsc,
+    )
+    want_c = attn_ops.chunk_decode_attention(qc, k_dq, v_dq, start)
+    np.testing.assert_allclose(
+        np.asarray(got_c), np.asarray(want_c), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_generate_int8_kv_matches_bf16_tiny():
+    """generate(kv_quant="int8") returns the exact bf16-cache greedy
+    stream at tiny scale (quantization noise << the random model's
+    logit gaps — the same argument as the whisper KV-quant tests) and
+    EOS/ragged-batch handling is unchanged."""
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(3))
+    ids = np.zeros((2, 5), np.int32)
+    ids[0] = [5, 11, 2, 9, 4]
+    ids[1, :3] = [7, 1, 3]
+    lengths = jnp.asarray([5, 3], jnp.int32)
+    kw = dict(max_new_tokens=8, temperature=0.2, top_k=1,
+              compute_dtype=jnp.float32)
+    ref_t, ref_l = generate(params, cfg, jnp.asarray(ids), lengths, **kw)
+    got_t, got_l = generate(params, cfg, jnp.asarray(ids), lengths,
+                            kv_quant="int8", **kw)
+    assert np.array_equal(np.asarray(ref_l), np.asarray(got_l))
+    for b in range(2):
+        n = int(ref_l[b])
+        assert np.array_equal(
+            np.asarray(ref_t)[b, :n], np.asarray(got_t)[b, :n]
+        )
+
+
+def test_generate_lookup_int8_matches_generate_int8():
+    """The speculative paths' token-identity invariant holds under the
+    int8 cache: chunked verify-step writes quantize each token's K/V row
+    independently (per-(B, G, slot) scales over D), so step-by-step and
+    chunked decoding write IDENTICAL cache bytes."""
+    from dualhyp_tpu.infer.decode import generate_anchored
+
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(4))
+    ids = np.zeros((2, 8), np.int32)
+    ids[0] = [5, 11, 2, 9, 4, 5, 11, 2]
+    ids[1, :6] = [7, 1, 3, 7, 1, 3]
+    lengths = jnp.asarray([8, 6], jnp.int32)
+    kw = dict(max_new_tokens=8, compute_dtype=jnp.float32,
+              kv_quant="int8")
+    ref_t, ref_l = generate(params, cfg, jnp.asarray(ids), lengths,
+                            temperature=0.2, top_k=1, **kw)
+    got_t, got_l = generate_lookup(
+        params, cfg, jnp.asarray(ids), lengths, **kw
+    )
+    anc_t, anc_l = generate_anchored(
+        params, cfg, jnp.asarray(ids), lengths,
+        jnp.asarray([0, 0], jnp.int32), jnp.asarray([4, 3], jnp.int32),
+        **kw
+    )
+    for got, gl in ((got_t, got_l), (anc_t, anc_l)):
+        assert np.array_equal(np.asarray(ref_l), np.asarray(gl))
+        for b in range(2):
+            n = int(ref_l[b])
+            assert np.array_equal(
+                np.asarray(ref_t)[b, :n], np.asarray(got)[b, :n]
+            )

@@ -167,3 +167,41 @@ def test_serve_anchored_matches_generate():
     assert len(records) == len(requests)
     for rec in records:
         assert rec["tokens"] == want[rec["id"]], rec["id"]
+
+
+def test_serve_int8_kv_matches_generate_int8():
+    """kv_quant="int8" on the slot pool: per-request outputs are
+    token-identical to generate(kv_quant="int8") — the chunked
+    verify-step writes quantize each token's K/V row independently, so
+    slot scatter/refill and the speculative chunks read the same cache
+    bytes the lockstep path writes."""
+    cfg = helpers.tiny_llama_config()
+    params = gpt.init(cfg, jax.random.key(5))
+    rng = np.random.default_rng(1)
+    max_new = 8
+
+    requests = []
+    for i in range(7):  # > 3 slots: refill exercised
+        n = int(rng.integers(3, 12))
+        requests.append(
+            (f"r{i}", rng.integers(1, cfg.vocab_size, n).tolist())
+        )
+
+    want = {}
+    for rid, prompt in requests:
+        tok, ln = generate(
+            params, cfg, jnp.asarray([prompt], jnp.int32),
+            jnp.asarray([len(prompt)], jnp.int32),
+            max_new_tokens=max_new, temperature=0.2, top_k=1,
+            compute_dtype=jnp.float32, kv_quant="int8",
+        )
+        want[rid] = list(np.asarray(tok)[0][: int(ln[0])])
+
+    batcher = ContinuousBatcher(
+        params, cfg, slots=3, max_new_tokens=max_new, draft_len=4,
+        chunk_steps=2, compute_dtype=jnp.float32, kv_quant="int8",
+    )
+    records = batcher.serve(requests)
+    assert len(records) == len(requests)
+    for rec in records:
+        assert rec["tokens"] == want[rec["id"]], rec["id"]
