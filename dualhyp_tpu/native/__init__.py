@@ -1,9 +1,9 @@
 """Native (C++) host ops with transparent python fallbacks.
 
-Builds native/hostops.cc on first use (g++, cached under the package dir)
-and binds it via ctypes. Every entry point falls back to the pure-python
-implementation when the toolchain or library is unavailable, so the
-framework never hard-depends on the extension.
+Builds the package-local hostops.cc on first use (g++, cached under the
+package dir) and binds it via ctypes. Every entry point falls back to the
+pure-python implementation when the toolchain or library is unavailable,
+so the framework never hard-depends on the extension.
 """
 
 from __future__ import annotations
@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-_SRC = Path(__file__).parent.parent.parent / "native" / "hostops.cc"
+_SRC = Path(__file__).parent / "hostops.cc"
 _LIB_PATH = Path(__file__).parent / "_hostops.so"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -26,8 +26,14 @@ _build_failed = False
 
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    if _LIB_PATH.is_file() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+    if _LIB_PATH.is_file() and (
+        not _SRC.is_file()  # wheel without sources: use the shipped .so
+        or _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime
+    ):
         return ctypes.CDLL(str(_LIB_PATH))
+    if not _SRC.is_file():
+        _build_failed = True
+        return None
     try:
         subprocess.run(
             [

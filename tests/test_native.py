@@ -6,7 +6,7 @@ from dualhyp_tpu.infer import evaluate as ev
 
 
 def test_native_builds():
-    assert native.available(), "g++ build of native/hostops.cc failed"
+    assert native.available(), "g++ build of dualhyp_tpu/native/hostops.cc failed"
 
 
 def test_native_edit_distance_matches_python(rng):
