@@ -64,6 +64,12 @@ def main():
                          "baseline")
     ap.add_argument("--cross_kv_quant", default=None, choices=("int8",))
     ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--quantize", default=None, choices=("int8", "int4"),
+                    help="int8/int4 decoder WEIGHTS (make_json_asr's "
+                         "quantize option). Long-form rounds run ~25 "
+                         "beam rows, the weight-stream-bound regime "
+                         "where int8 weights pay (unlike the U=8 "
+                         "beam-50, which measured neutral)")
     ap.add_argument("--tiny", action="store_true", help="smoke shapes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
@@ -108,6 +114,14 @@ def main():
         dec["token_embedding"] = (
             dec["token_embedding"].at[tok.eot].multiply(args.eos_bias)
         )
+
+    if args.quantize:
+        # quantize AFTER the eos_bias embedding edit so the biased row
+        # is what gets rounded (the embedding table itself stays full
+        # precision — quantize_tree touches matmul weights only)
+        from dualhyp_tpu.ops import quant
+
+        dec = quant.quantize_tree(dec, args.quantize)
 
     seconds = args.minutes * 60.0
     rng = np.random.default_rng(0)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--n_state", type=int, default=1280)
     ap.add_argument("--dec_layers", type=int, default=32)
+    ap.add_argument("--cross_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -79,6 +81,8 @@ def main():
             max_new_tokens=args.steps,
             suppress_tokens=suppress, suppress_blank_ids=[220, sot - 1],
             timestamp_rules=rules, cache_dtype=dtype,
+            cross_kv_quant=args.cross_kv_quant,
+            self_kv_quant=args.self_kv_quant,
         )
 
     print("compiling...", flush=True)
