@@ -53,11 +53,24 @@ def build_parser():
     parser.add_argument("--cross_kv_quant", default=None, choices=("int8",),
                         help="int8 cross-attention K/V for the window "
                              "beams (opt-in: outputs may shift within "
-                             "quantization rounding; −15%% end-to-end on "
-                             "the offline bench)")
+                             "quantization rounding). With --self_kv_quant "
+                             "this is the recommended long-form perf flag "
+                             "pair: 7.0x vs 5.4x realtime at the 224 "
+                             "budget under FIXED decode work (eos_bias 0 "
+                             "ladder, round 4m)")
     parser.add_argument("--self_kv_quant", default=None, choices=("int8",),
                         help="int8 self-attention KV cache (same opt-in "
                              "caveat)")
+    parser.add_argument("--quantize", default=None, choices=("int8", "int4"),
+                        help="int8/int4 decoder WEIGHTS (ref: ger/utils.py:"
+                             "40-92 applied to this pipeline). NOT "
+                             "recommended for long-form: at fixed decode "
+                             "work the 224-budget rounds run ~25 beam rows "
+                             "and int8 weights measured 4.2x vs 5.4x base "
+                             "realtime (the dequant overhead outweighs the "
+                             "HBM saving at that row count; the earlier "
+                             "'win' was beam-termination noise). Opt-in: "
+                             "outputs may shift within rounding")
     return parser
 
 
@@ -69,6 +82,11 @@ def main(argv=None):
     from dualhyp_tpu.infer.transcribe import transcribe
 
     encoder, decoder, tokenizer = load_whisper(args.whisper_checkpoint)
+    if args.quantize:
+        from dualhyp_tpu.ops import quant
+
+        decoder = (quant.quantize_tree(decoder[0], args.quantize),
+                   decoder[1])
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -66,10 +66,19 @@ def main():
     ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
     ap.add_argument("--quantize", default=None, choices=("int8", "int4"),
                     help="int8/int4 decoder WEIGHTS (make_json_asr's "
-                         "quantize option). Long-form rounds run ~25 "
-                         "beam rows, the weight-stream-bound regime "
-                         "where int8 weights pay (unlike the U=8 "
-                         "beam-50, which measured neutral)")
+                         "quantize option). Round-4m fixed-work verdict: "
+                         "int8 weights LOSE here (4.2x vs 5.4x base at "
+                         "eos_bias 0 / 224 budget) — ~25 beam rows is "
+                         "already enough arithmetic that the dequant "
+                         "overhead dominates; the apparent win in "
+                         "free-termination runs was beam-termination "
+                         "noise. The winning flags are the KV pair "
+                         "(--cross_kv_quant/--self_kv_quant: 7.0x)")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="warm repetitions; the MIN is the headline (the "
+                         "tunnel RTT swings 24-300+ ms between periods and "
+                         "a 224-budget run crosses host ~70 times, so "
+                         "single warm runs have measured 2x apart)")
     ap.add_argument("--tiny", action="store_true", help="smoke shapes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
@@ -153,10 +162,35 @@ def main():
           f"{len(results)} hypothesis streams, {n_segs} segments",
           flush=True)
 
+    # tunnel RTT probe: a 224-budget run syncs host<->device ~70 times,
+    # so the per-period RTT must be on the record for the realtime
+    # factor to be comparable across measurement sessions
+    x = jnp.zeros(()) + 1.0
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
-    results = run()
-    t_warm = time.perf_counter() - t0
+    for _ in range(10):
+        float(jnp.asarray(x) + 1.0)
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+    print(f"  tunnel sync RTT: {rtt_ms:.1f} ms", flush=True)
+
+    times = []
+    for _ in range(max(args.reps, 1)):
+        t0 = time.perf_counter()
+        results = run()
+        times.append(time.perf_counter() - t0)
+    t_warm = min(times)
+    if len(times) > 1:
+        print("  warm reps: " + ", ".join(f"{t:.2f}s" for t in times),
+              flush=True)
     xrt = seconds / t_warm
+    # Decoded-token count: quantization noise shifts logits, which under
+    # --eos_bias moves WHERE beams terminate — configs that look slower
+    # may simply have decoded more tokens (random-weight artifact, not a
+    # systems regression). Print it so A/Bs are interpretable.
+    n_tok = sum(len(s.get("tokens", ())) for r in results
+                for s in r["segments"])
+    print(f"  decoded tokens across streams: {n_tok} "
+          f"({n_tok / max(len(results), 1):.0f}/stream)", flush=True)
     # window decodes: the first window is decoded once and consumed by
     # every stream; afterwards each of the beam_size n-best streams
     # decodes its own windows (full-30s seek advance under NoTsTok)
