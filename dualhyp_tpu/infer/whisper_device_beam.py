@@ -176,10 +176,9 @@ def _beam_chunk(
             (jnp.arange(t_buf) == pos)[None, :], row_in_u[:, None], anc
         )
         self_quant = "k_scale" in cache
-        oh_dtype = (
-            dec_params["token_embedding"].dtype if self_quant
-            else cache["k"].dtype
-        )
+        # int8 one-hot for the int8 cache: the history selection runs as
+        # an s8 x s8 -> s32 MXU dot inside decode_step_cached
+        oh_dtype = jnp.int8 if self_quant else cache["k"].dtype
         onehot = jax.nn.one_hot(
             anc_step.reshape(n_utt, beam, t_buf), beam, axis=2,
             dtype=oh_dtype,

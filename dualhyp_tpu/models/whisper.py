@@ -721,30 +721,37 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             # (cache is read-only here); inject this step's K/V into its
             # column with the same dtype cast the DUS write applies
             u, rg = anc_onehot.shape[:2]
-            if self_quant:
-                # int8 values <= 127 are EXACT in the compute dtype, so
-                # the one-hot selection below returns the stored ints;
-                # scales were ancestor-selected by the caller (they are
-                # layer-independent) and this step's column is
-                # quantized here so attention sees round-trip values
-                kq = ck_layer.astype(x.dtype)
-                vq = cv_layer.astype(x.dtype)
-
-                k_new_i, ksc_new = _q8(k_new)
-                v_new_i, vsc_new = _q8(v_new)
-                kg = kq.reshape(u, rg, max_len, s)
-                vg = vq.reshape(u, rg, max_len, s)
-            else:
-                kg = ck_layer.reshape(u, rg, max_len, s)
-                vg = cv_layer.reshape(u, rg, max_len, s)
-            k_att = einsum("urst,ustd->urtd", anc_onehot, kg).reshape(
-                b, max_len, s)
-            v_att = einsum("urst,ustd->urtd", anc_onehot, vg).reshape(
-                b, max_len, s)
             colm = (jnp.arange(max_len) == pos)[None, :, None]
             if self_quant:
-                k_att = jnp.where(colm, k_new_i.astype(k_att.dtype), k_att)
-                v_att = jnp.where(colm, v_new_i.astype(v_att.dtype), v_att)
+                # the selected history stays INT8 end to end: an int8
+                # one-hot rides an s8 x s8 -> s32 MXU dot (one-hot rows
+                # have exactly one nonzero, so every value is the stored
+                # int, exact), the s32 -> s8 narrowing fuses into the
+                # dot epilogue, and the column injection + the (u,t)->
+                # (b,t) layout copy move HALF the bytes of the previous
+                # bf16 formulation (the round-4 profile showed the bf16
+                # selection output + its layout copy + the where-rewrite
+                # at ~5 ms of the 30 ms step). The dequant convert
+                # happens AT the attention dots' operand read — the same
+                # fused-convert pattern as the int8 cross-KV dots.
+                # Scales were ancestor-selected by the caller (they are
+                # layer-independent); this step's column is quantized
+                # here so attention sees round-trip values.
+                k_new_i, ksc_new = _q8(k_new)
+                v_new_i, vsc_new = _q8(v_new)
+                kg = ck_layer.reshape(u, rg, max_len, s)
+                vg = cv_layer.reshape(u, rg, max_len, s)
+                oh8 = anc_onehot.astype(jnp.int8)
+                k_att = jnp.einsum(
+                    "urst,ustd->urtd", oh8, kg,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.int8).reshape(b, max_len, s)
+                v_att = jnp.einsum(
+                    "urst,ustd->urtd", oh8, vg,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.int8).reshape(b, max_len, s)
+                k_att = jnp.where(colm, k_new_i.astype(jnp.int8), k_att)
+                v_att = jnp.where(colm, v_new_i.astype(jnp.int8), v_att)
                 colv = (jnp.arange(max_len) == pos)[None, :]
                 ksc_att = jnp.where(colv, ksc_new, ksc_att)
                 vsc_att = jnp.where(colv, vsc_new, vsc_att)
@@ -753,7 +760,17 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                     v_new_i[:, 0].astype(jnp.int8),
                     ksc_new[:, 0], vsc_new[:, 0],
                 )
+                # ints <= 127 are exact in the compute dtype; the
+                # convert fuses into the dots' operand reads below
+                k_att = k_att.astype(x.dtype)
+                v_att = v_att.astype(x.dtype)
             else:
+                kg = ck_layer.reshape(u, rg, max_len, s)
+                vg = cv_layer.reshape(u, rg, max_len, s)
+                k_att = einsum("urst,ustd->urtd", anc_onehot, kg).reshape(
+                    b, max_len, s)
+                v_att = einsum("urst,ustd->urtd", anc_onehot, vg).reshape(
+                    b, max_len, s)
                 k_att = jnp.where(colm, k_new.astype(k_att.dtype), k_att)
                 v_att = jnp.where(colm, v_new.astype(v_att.dtype), v_att)
                 out_kv = (k_new[:, 0].astype(ck_layer.dtype),

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--n_state", type=int, default=1280)
     ap.add_argument("--dec_layers", type=int, default=32)
     ap.add_argument("--out", default="/tmp/wbeam_chunk_hlo.txt")
+    ap.add_argument("--cross_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--self_kv_quant", default=None, choices=("int8",))
+    ap.add_argument("--chunk_steps", type=int, default=16)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -52,8 +55,12 @@ def main():
     feats = jnp.asarray(
         rng.normal(size=(n_utt, 1500, args.n_state)), dtype
     )
-    cross = w.precompute_cross_kv(dec, dec_cfg, feats)
-    cache = w.init_self_cache(dec_cfg, rows, t_buf, dtype=dtype)
+    cross = w.precompute_cross_kv(
+        dec, dec_cfg, feats, quantize=args.cross_kv_quant
+    )
+    cache = w.init_self_cache(
+        dec_cfg, rows, t_buf, dtype=dtype, quantize=args.self_kv_quant
+    )
     state = (
         jnp.zeros((rows, t_buf), jnp.int32),
         jnp.zeros((rows,), jnp.float32),
@@ -69,11 +76,13 @@ def main():
     zeros_v = jnp.zeros((n_vocab,), jnp.float32)
     lowered = wdb._beam_chunk.lower(
         dec, cross, state, zeros_v, zeros_v, zeros_v, jnp.int32(2),
+        None,
         dec_cfg=dec_cfg, n_utt=n_utt, beam=beam, k_top=beam + 1,
         sel_k=2 * beam, sample_begin=sample_begin, eos=50257,
         max_cand=beam, use_ts=True, tb=n_vocab - 1500, eot=50257,
         max_init_idx=50, use_suppress=True, use_blank=True,
-        use_ts_static=True, n_steps=16,
+        use_ts_static=True, n_steps=args.chunk_steps,
+        early_exit=n_utt == 1, unroll=wdb._layer_unroll(),
     )
     txt = lowered.compile().as_text()
     Path(args.out).write_text(txt)
