@@ -121,9 +121,9 @@ def _apply_timestamp_rules(
         last_was_ts = len(seq) >= 1 and seq[-1] >= tb
         penultimate_was_ts = len(seq) < 2 or seq[-2] >= tb
         if last_was_ts:
-            if penultimate_was_ts:  # has to be non-timestamp
+            if penultimate_was_ts:  # a <ts><ts> pair closed a segment: text next
                 logits[k, tb:] = -np.inf
-            else:  # cannot be normal text tokens
+            else:  # mid-pair: only the closing timestamp (or EOT) may follow
                 logits[k, : rules.eot] = -np.inf
         timestamps = [t for t in seq if t >= tb]
         if timestamps:

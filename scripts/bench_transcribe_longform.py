@@ -79,11 +79,24 @@ def main():
                          "tunnel RTT swings 24-300+ ms between periods and "
                          "a 224-budget run crosses host ~70 times, so "
                          "single warm runs have measured 2x apart)")
+    ap.add_argument("--ab", default=None, metavar="K=V[,K=V...]",
+                    help="A/B mode: run the flag-specified config (A) and "
+                         "a variant (B) overriding the given keys (e.g. "
+                         "--ab self_kv_quant=int8,cross_kv_quant=int8) in "
+                         "one process. FORCES fixed work (--eos_bias 0: "
+                         "free-termination A/Bs on random weights are "
+                         "confounded by where near-tie beams hit EOT — "
+                         "the round-4m lesson) and REFUSES the comparison "
+                         "if decoded-token counts differ >1%")
     ap.add_argument("--tiny", action="store_true", help="smoke shapes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "pins jax_platforms)")
     args = ap.parse_args()
+    if args.ab is not None and args.eos_bias != 0.0:
+        print("A/B mode: forcing --eos_bias 0 (fixed work; free "
+              "termination is for absolute xRT claims only)")
+        args.eos_bias = 0.0
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -124,85 +137,120 @@ def main():
             dec["token_embedding"].at[tok.eot].multiply(args.eos_bias)
         )
 
-    if args.quantize:
-        # quantize AFTER the eos_bias embedding edit so the biased row
-        # is what gets rounded (the embedding table itself stays full
-        # precision — quantize_tree touches matmul weights only)
-        from dualhyp_tpu.ops import quant
-
-        dec = quant.quantize_tree(dec, args.quantize)
-
     seconds = args.minutes * 60.0
     rng = np.random.default_rng(0)
     audio = rng.normal(scale=0.05, size=int(seconds * SR)).astype(np.float32)
 
-    def run():
-        return transcribe(
-            audio, (enc, enc_cfg), (dec, dec_cfg), tok,
-            language="en", beam_size=args.beam,
-            temperature=0.0,
-            compression_ratio_threshold=None,
-            logprob_threshold=None,
-            no_speech_threshold=None,
-            condition_on_previous_text=True,
-            max_new_tokens=args.max_new_tokens,
-            batch_streams=args.scheduler == "batched",
-            cross_kv_quant=args.cross_kv_quant,
-            self_kv_quant=args.self_kv_quant,
-        )
+    def measure(label, scheduler, cross_kv_quant, self_kv_quant, quantize):
+        dec_run = dec
+        if quantize:
+            # quantize AFTER the eos_bias embedding edit so the biased
+            # row is what gets rounded (the embedding table itself stays
+            # full precision — quantize_tree touches matmul weights only)
+            from dualhyp_tpu.ops import quant
 
-    print(f"compiling + warm run ({args.minutes:g} min audio, beam "
-          f"{args.beam}, {'tiny' if args.tiny else 'large-v3'})...",
-          flush=True)
-    t0 = time.perf_counter()
-    results = run()
-    t_cold = time.perf_counter() - t0
-    n_segs = len(results[0]["segments"])
-    print(f"  cold (incl. compile): {t_cold:.1f} s, "
-          f"{len(results)} hypothesis streams, {n_segs} segments",
-          flush=True)
+            dec_run = quant.quantize_tree(dec, quantize)
 
-    # tunnel RTT probe: a 224-budget run syncs host<->device ~70 times,
-    # so the per-period RTT must be on the record for the realtime
-    # factor to be comparable across measurement sessions
-    x = jnp.zeros(()) + 1.0
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        float(jnp.asarray(x) + 1.0)
-    rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
-    print(f"  tunnel sync RTT: {rtt_ms:.1f} ms", flush=True)
+        def run():
+            return transcribe(
+                audio, (enc, enc_cfg), (dec_run, dec_cfg), tok,
+                language="en", beam_size=args.beam,
+                temperature=0.0,
+                compression_ratio_threshold=None,
+                logprob_threshold=None,
+                no_speech_threshold=None,
+                condition_on_previous_text=True,
+                max_new_tokens=args.max_new_tokens,
+                batch_streams=scheduler == "batched",
+                cross_kv_quant=cross_kv_quant,
+                self_kv_quant=self_kv_quant,
+            )
 
-    times = []
-    for _ in range(max(args.reps, 1)):
+        print(f"[{label}] compiling + warm run ({args.minutes:g} min "
+              f"audio, beam {args.beam}, "
+              f"{'tiny' if args.tiny else 'large-v3'})...", flush=True)
         t0 = time.perf_counter()
         results = run()
-        times.append(time.perf_counter() - t0)
-    t_warm = min(times)
-    if len(times) > 1:
-        print("  warm reps: " + ", ".join(f"{t:.2f}s" for t in times),
+        t_cold = time.perf_counter() - t0
+        n_segs = len(results[0]["segments"])
+        print(f"  cold (incl. compile): {t_cold:.1f} s, "
+              f"{len(results)} hypothesis streams, {n_segs} segments",
               flush=True)
-    xrt = seconds / t_warm
-    # Decoded-token count: quantization noise shifts logits, which under
-    # --eos_bias moves WHERE beams terminate — configs that look slower
-    # may simply have decoded more tokens (random-weight artifact, not a
-    # systems regression). Print it so A/Bs are interpretable.
-    n_tok = sum(len(s.get("tokens", ())) for r in results
-                for s in r["segments"])
-    print(f"  decoded tokens across streams: {n_tok} "
-          f"({n_tok / max(len(results), 1):.0f}/stream)", flush=True)
-    # window decodes: the first window is decoded once and consumed by
-    # every stream; afterwards each of the beam_size n-best streams
-    # decodes its own windows (full-30s seek advance under NoTsTok)
-    n_windows = -(-int(seconds) // 30)
-    n_decodes = 1 + args.beam * max(n_windows - 1, 0)
-    print(
-        f"long-form transcribe: {seconds:.0f} s audio in {t_warm:.2f} s "
-        f"wall = {xrt:.1f}x realtime "
-        f"({t_warm / n_decodes * 1e3:.0f} ms per stream-window, "
-        f"{n_decodes} stream-windows across {len(results)} n-best "
-        f"streams, {args.scheduler} scheduler)"
-    )
+
+        # tunnel RTT probe: a 224-budget run syncs host<->device ~70
+        # times, so the per-period RTT must be on the record for the
+        # realtime factor to be comparable across measurement sessions
+        x = jnp.zeros(()) + 1.0
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            float(jnp.asarray(x) + 1.0)
+        rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
+        print(f"  tunnel sync RTT: {rtt_ms:.1f} ms", flush=True)
+
+        times = []
+        for _ in range(max(args.reps, 1)):
+            t0 = time.perf_counter()
+            results = run()
+            times.append(time.perf_counter() - t0)
+        t_warm = min(times)
+        if len(times) > 1:
+            print("  warm reps: " + ", ".join(f"{t:.2f}s" for t in times),
+                  flush=True)
+        xrt = seconds / t_warm
+        # Decoded-token count: quantization noise shifts logits, which
+        # under --eos_bias moves WHERE beams terminate — configs that
+        # look slower may simply have decoded more tokens (random-weight
+        # artifact, not a systems regression). Print it so A/Bs are
+        # interpretable.
+        n_tok = sum(len(s.get("tokens", ())) for r in results
+                    for s in r["segments"])
+        print(f"  decoded tokens across streams: {n_tok} "
+              f"({n_tok / max(len(results), 1):.0f}/stream)", flush=True)
+        # window decodes: the first window is decoded once and consumed
+        # by every stream; afterwards each of the beam_size n-best
+        # streams decodes its own windows (full-30s advance, NoTsTok)
+        n_windows = -(-int(seconds) // 30)
+        n_decodes = 1 + args.beam * max(n_windows - 1, 0)
+        print(
+            f"[{label}] long-form transcribe: {seconds:.0f} s audio in "
+            f"{t_warm:.2f} s wall = {xrt:.1f}x realtime "
+            f"({t_warm / n_decodes * 1e3:.0f} ms per stream-window, "
+            f"{n_decodes} stream-windows across {len(results)} n-best "
+            f"streams, {scheduler} scheduler)", flush=True,
+        )
+        return t_warm, xrt, n_tok
+
+    base = dict(scheduler=args.scheduler,
+                cross_kv_quant=args.cross_kv_quant,
+                self_kv_quant=args.self_kv_quant,
+                quantize=args.quantize)
+    if args.ab is None:
+        measure("A", **base)
+        return
+
+    # A/B mode: fixed work enforced above (eos_bias 0); B overrides keys
+    variant = dict(base)
+    for kv in args.ab.split(","):
+        k, _, v = kv.partition("=")
+        k = k.strip()
+        if k not in variant:
+            ap.error(f"--ab key {k!r} not one of {sorted(variant)} "
+                     "(work-changing knobs like max_new_tokens must be "
+                     "held fixed across an A/B)")
+        variant[k] = None if v in ("", "none", "None") else v.strip()
+    t_a, xrt_a, tok_a = measure("A " + str(base), **base)
+    t_b, xrt_b, tok_b = measure("B " + str(variant), **variant)
+    drift = abs(tok_a - tok_b) / max(tok_a, 1)
+    if drift > 0.01:
+        print(f"A/B REFUSED: decoded-token counts differ {drift:.1%} "
+              f"({tok_a} vs {tok_b}) — the configs did different work, "
+              "so the wall-clock ratio is not a systems comparison "
+              "(round-4m confound). Investigate termination first.")
+        sys.exit(2)
+    print(f"A/B verdict (fixed work, {tok_a} vs {tok_b} tokens): "
+          f"A {xrt_a:.1f}x vs B {xrt_b:.1f}x realtime "
+          f"({(t_a / t_b - 1) * 100:+.1f}% wall for B)")
 
 
 if __name__ == "__main__":
