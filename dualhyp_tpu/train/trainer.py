@@ -99,6 +99,15 @@ class TrainConfig:
     remat: bool | str = False
     reference_loss_norm: bool = True  # mean-over-all-tokens training quirk
     mode: str = "lora"  # lora | adapter | adapter_v2 | full
+    # AdamW first-moment storage dtype ("" = param dtype, exact torch
+    # parity). "bfloat16" shaves 4 B/param off the optimizer's HBM sweep
+    # — the full-finetune MoE step's ~15 ms optimizer is ~87% of the
+    # f32 28 B/param roofline (BENCH_NOTES round 4g trace), so bytes are
+    # the only lever. OPT-IN: m rounds to bf16 each step (optax applies
+    # the cast after the moment update), updates shift within bf16
+    # rounding of the momentum — not bit-parity with the reference's
+    # torch AdamW (ref: finetune/ger.py:132).
+    mu_dtype: str = ""
     pipeline_stages: int = 1       # >1: GPipe PP over the block stack
     pipeline_microbatches: int = 2  # microbatches in flight per PP step
     pipeline_data: int = 1         # data extent of the (data, pipe) mesh
@@ -113,6 +122,7 @@ class TrainConfig:
 def make_optimizer(cfg: TrainConfig):
     """AdamW with injected per-step LR (torch defaults: betas .9/.999,
     eps 1e-8; decay on every trainable param, ref: finetune/ger.py:132)."""
+    mu_dtype = cfg.mu_dtype or None
     return optax.inject_hyperparams(
         lambda learning_rate: optax.adamw(
             learning_rate,
@@ -120,6 +130,7 @@ def make_optimizer(cfg: TrainConfig):
             b2=0.999,
             eps=1e-8,
             weight_decay=cfg.weight_decay,
+            mu_dtype=mu_dtype,
         )
     )(learning_rate=cfg.learning_rate)
 

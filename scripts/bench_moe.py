@@ -27,7 +27,7 @@ MB, SEQ = 4, 1024
 
 
 def build_trainer(impl: str, n_expert: int = 8, n_layer: int = 4,
-                  intermediate: int = 3584, remat=True):
+                  intermediate: int = 3584, remat=True, mu_dtype=""):
     """The bench configuration as a warm Trainer + batch (also reused by
     scripts/profile_moe.py so the traced step is the benched step)."""
     if impl in ("sparse", "megablox"):
@@ -46,7 +46,8 @@ def build_trainer(impl: str, n_expert: int = 8, n_layer: int = 4,
     params = gpt.init(cfg, jax.random.key(0))
     tcfg = TrainConfig(batch_size=MB, micro_batch_size=MB,
                        compute_dtype="bfloat16", frozen_dtype="bfloat16",
-                       mode="full", lm_head_chunk_size=128, remat=remat)
+                       mode="full", lm_head_chunk_size=128, remat=remat,
+                       mu_dtype=mu_dtype)
     trainer = Trainer(cfg, tcfg, params)
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, (MB, SEQ)).astype(np.int32)
@@ -59,9 +60,9 @@ def build_trainer(impl: str, n_expert: int = 8, n_layer: int = 4,
 
 
 def run(impl: str, n_expert: int = 8, n_layer: int = 4,
-        intermediate: int = 3584, remat=True) -> float:
+        intermediate: int = 3584, remat=True, mu_dtype="") -> float:
     trainer, batch = build_trainer(impl, n_expert, n_layer, intermediate,
-                                   remat)
+                                   remat, mu_dtype=mu_dtype)
     t0 = time.perf_counter()
     for _ in range(8):
         trainer.train_step(batch, max_iters=100, warmup_steps=5,
@@ -123,6 +124,12 @@ def main():
         # calls (gradients bit-identical to remat=True; models/gpt.py)
         m2 = run("megablox", remat="moe")
         print(f"megablox gmm, remat='moe' vs dense: x{d/m2:.2f}")
+        # bf16 first moment: the optimizer sweep is HBM-bound (~87% of
+        # the f32 28 B/param roofline, round-4g trace) — mu_dtype is the
+        # byte lever. Opt-in (updates shift within bf16 momentum
+        # rounding); the dense baseline stays f32-exact.
+        m3 = run("megablox", remat="moe", mu_dtype="bfloat16")
+        print(f"megablox gmm, remat='moe', mu=bf16 vs dense: x{d/m3:.2f}")
     except Exception as exc:
         print(f"megablox path unavailable: {type(exc).__name__}: {exc}")
 

@@ -88,6 +88,10 @@ def main():
                          "confounded by where near-tie beams hit EOT — "
                          "the round-4m lesson) and REFUSES the comparison "
                          "if decoded-token counts differ >1%")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a jax.profiler trace of one warm run "
+                         "and print the device-plane op aggregation "
+                         "(the round-5 long-form wall hunt)")
     ap.add_argument("--tiny", action="store_true", help="smoke shapes")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
@@ -194,6 +198,16 @@ def main():
             results = run()
             times.append(time.perf_counter() - t0)
         t_warm = min(times)
+        if args.trace:
+            import tempfile
+
+            trace_dir = tempfile.mkdtemp(prefix="dualhyp_longform_trace_")
+            with jax.profiler.trace(trace_dir):
+                run()
+            print("trace:", trace_dir, flush=True)
+            from profile_train_trace import analyze
+
+            analyze(trace_dir, steps=1)
         if len(times) > 1:
             print("  warm reps: " + ", ".join(f"{t:.2f}s" for t in times),
                   flush=True)

@@ -63,6 +63,14 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--beam", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--sweep", action="store_true",
+                    help="decision curve: snapshot the model at several "
+                         "training depths between random (near-tie) and "
+                         "memorized (peaked), and report top-1-kept / "
+                         "WER-delta of full-int8 KV against the measured "
+                         "top-1 logit margin at each point — the "
+                         "boundary behind the 'recommended when peaked' "
+                         "guidance instead of two endpoint anecdotes")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -130,11 +138,24 @@ def main():
         updates, s = opt.update(g, s, p)
         return optax.apply_updates(p, updates), s, loss
 
+    # sweep mode snapshots the params ladder between random and
+    # memorized; the default keeps only the end point
+    snap_at = sorted({
+        0, args.steps // 16, args.steps // 8, args.steps // 4,
+        args.steps // 2, args.steps,
+    }) if args.sweep else [args.steps]
+    snapshots = []
+    if 0 in snap_at:
+        snapshots.append((0, jax.tree_util.tree_map(jnp.copy, params)))
+
     print("training the probe model to memorization...", flush=True)
+    loss = None
     for i in range(args.steps):
         params, opt_state, loss = step(params, opt_state)
         if i % 200 == 0:
             print(f"  step {i}: loss {float(loss):.4f}", flush=True)
+        if (i + 1) in snap_at:
+            snapshots.append((i + 1, jax.tree_util.tree_map(jnp.copy, params)))
     final_loss = float(loss)
     print(f"trained: final loss {final_loss:.4f}", flush=True)
     if final_loss > 0.05:
@@ -148,21 +169,26 @@ def main():
     # a Mosaic bf16-lhs/fp32-precision lowering bug at probe shapes on
     # the axon compile server) and are cast for the beam.
     decode_dtype = jnp.float32 if args.cpu else jnp.bfloat16
-    dec = jax.tree_util.tree_map(
-        lambda x: x.astype(decode_dtype), params["dec"]
-    )
-    feats = jax.jit(lambda p, m: w.encode(p, enc_cfg, m))(params["enc"], mels)
-    feats = jax.block_until_ready(feats).astype(decode_dtype)
+
+    def prepare(p):
+        dec_p = jax.tree_util.tree_map(
+            lambda x: x.astype(decode_dtype), p["dec"]
+        )
+        f = jax.jit(lambda pe, m: w.encode(pe, enc_cfg, m))(p["enc"], mels)
+        return dec_p, jax.block_until_ready(f).astype(decode_dtype)
+
+    dec, feats = prepare(params)
 
     suppress = list(range(20)) + [sot, sot + 1, sot + 2]
     budget = max_len - len(prefix) + 4
 
-    def decode_all(dec_params, cross_kv_quant=None, self_kv_quant=None):
+    def decode_all(dec_params, feats_in, cross_kv_quant=None,
+                   self_kv_quant=None):
         """Top-1 beam transcript per utterance, batched in groups of 8."""
         out = []
         for lo in range(0, args.utterances, 8):
             groups = device_beam_search_batch(
-                dec_params, dec_cfg, feats[lo : lo + 8], prefix,
+                dec_params, dec_cfg, feats_in[lo : lo + 8], prefix,
                 beam_size=args.beam, eos_id=eot, max_new_tokens=budget,
                 suppress_tokens=suppress, suppress_blank_ids=[eot],
                 timestamp_rules=None, cache_dtype=decode_dtype,
@@ -172,6 +198,40 @@ def main():
                 best = max(hyps, key=lambda h: h.score / max(h.n_sampled, 1))
                 out.append(best.tokens[best.sample_begin:])
         return out
+
+    @jax.jit
+    def margin_of(p):
+        """Mean teacher-forced top-1 log-prob margin over transcript
+        positions — the peakedness axis of the decision curve. Random
+        weights sit near 0 (near-tie); a memorized model is O(1+)."""
+        f = w.encode(p["enc"], enc_cfg, mels)
+        logits = w.decode_logits(p["dec"], dec_cfg, toks[:, :-1], f)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        top2, _ = jax.lax.top_k(lp, 2)
+        marg = top2[..., 0] - top2[..., 1]
+        return (marg * tgt_mask).sum() / tgt_mask.sum()
+
+    if args.sweep:
+        print(f"\nint8-KV decision curve ({args.utterances} utterances, "
+              f"beam {args.beam}, {decode_dtype.__name__} compute):")
+        print(f"  {'step':>6} {'loss':>8} {'margin':>8} "
+              f"{'top1-kept':>10} {'WER(base)':>10} {'WER(int8)':>10}")
+        for step_i, p in snapshots:
+            dec_s, feats_s = prepare(p)
+            m = float(margin_of(p))
+            base_o = [text(o) for o in decode_all(dec_s, feats_s)]
+            q_o = [text(o) for o in decode_all(dec_s, feats_s,
+                                               "int8", "int8")]
+            kept = sum(h == b for h, b in zip(q_o, base_o))
+            l = float(loss_fn(p))
+            print(f"  {step_i:>6} {l:>8.4f} {m:>8.3f} "
+                  f"{kept:>7}/{args.utterances} "
+                  f"{word_error_rate(base_o, refs):>10.4f} "
+                  f"{word_error_rate(q_o, refs):>10.4f}", flush=True)
+        print("\ncurve read: int8 KV is safe where top1-kept ~= N and the "
+              "WER columns match; the boundary margin is where they "
+              "diverge (BENCH_NOTES round 5).")
+        return
 
     variants = [
         ("base", dec, None, None),
@@ -186,7 +246,7 @@ def main():
           f"{decode_dtype.__name__} compute:", flush=True)
     rows = []
     for name, p, ckq, skq in variants:
-        outs = decode_all(p, cross_kv_quant=ckq, self_kv_quant=skq)
+        outs = decode_all(p, feats, cross_kv_quant=ckq, self_kv_quant=skq)
         hyps_text = [text(o) for o in outs]
         wer = word_error_rate(hyps_text, refs)
         exact = sum(h == r for h, r in zip(hyps_text, refs))

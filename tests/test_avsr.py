@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +55,7 @@ def test_mlp_head_layer_norm_path(rng):
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_avsr_encode_fuses_ragged_streams(rng):
     cfg_v = RavenEncoderConfig(idim=12, attention_dim=16, attention_heads=2,
                                linear_units=24, num_blocks=1)

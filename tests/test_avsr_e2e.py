@@ -109,6 +109,7 @@ def _convert_all(model, enc_cfg, dec_cfg):
 
 
 @requires_auto_avsr
+@pytest.mark.slow
 def test_avsr_fused_memory_matches_vendored(av_ref, rng):
     """Frontends + encoders + fusion produce the same memory as the vendored
     E2E encode path."""

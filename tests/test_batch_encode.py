@@ -140,6 +140,7 @@ CFGS = {
 
 
 @pytest.mark.parametrize("name", sorted(CFGS))
+@pytest.mark.slow
 def test_encode_padded_masked_equals_unpadded(name):
     """encode() on a right-zero-padded masked batch == per-utterance
     unpadded encode at every real position."""
@@ -164,6 +165,7 @@ def test_encode_padded_masked_equals_unpadded(name):
             err_msg=f"{name} utt {i}")
 
 
+@pytest.mark.slow
 def test_conv1d_frontend_prefix_exact_and_out_len():
     """Zero right-padding the waveform leaves the unpadded output frames
     exact, and the closed-form samples // 640 frame count (which
@@ -184,6 +186,7 @@ def test_conv1d_frontend_prefix_exact_and_out_len():
 
 
 @requires_espnet
+@pytest.mark.slow
 def test_conv3d_frontend_prefix_exact():
     """Zero right-padding in time leaves real frames exact (time is mixed
     only by the first conv3d, whose zero-tail windows equal the unpadded
@@ -212,6 +215,7 @@ def test_conv3d_frontend_prefix_exact():
 
 
 @requires_espnet
+@pytest.mark.slow
 def test_encode_ctc_batch_matches_per_utterance():
     """The VSR CLI helper (pad + jit + slice) reproduces the former eager
     per-utterance loop's memory and CTC log-probs."""
@@ -256,6 +260,7 @@ def test_encode_ctc_batch_matches_per_utterance():
 
 
 @requires_espnet
+@pytest.mark.slow
 def test_encode_ctc_batch_av_matches_per_utterance():
     """The AVSR CLI helper reproduces the former per-utterance
     frontends -> encoders -> fusion -> CTC loop."""

@@ -69,6 +69,7 @@ def corpus_files(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_finetune_and_inference_ger_cli(tiny_checkpoint, corpus_files, tmp_path,
                                         monkeypatch):
     monkeypatch.chdir(tmp_path)
@@ -123,6 +124,7 @@ def test_finetune_and_inference_ger_cli(tiny_checkpoint, corpus_files, tmp_path,
     assert spec_rows[-1]["WER"] == rows[-1]["WER"]
 
 
+@pytest.mark.slow
 def test_finetune_ger_cli_adapter_mode(tiny_checkpoint, corpus_files, tmp_path,
                                        monkeypatch):
     """--mode adapter must train ADAPTER leaves, not LoRA: the saved PEFT
@@ -158,6 +160,7 @@ def test_finetune_ger_cli_adapter_mode(tiny_checkpoint, corpus_files, tmp_path,
     assert not any("lora_A" in k for k in keys)
 
 
+@pytest.mark.slow
 def test_finetune_and_inference_relprompt_cli(tiny_checkpoint, corpus_files,
                                               tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
@@ -213,6 +216,7 @@ def test_generate_cli(tiny_checkpoint, capsys):
     assert "tok/s" in out
 
 
+@pytest.mark.slow
 def test_finetune_ger_cli_resume_and_prefetch(tiny_checkpoint, corpus_files,
                                               tmp_path, monkeypatch):
     """--data_prefetch trains through the producer-thread pipeline, writes

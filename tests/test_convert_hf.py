@@ -56,6 +56,7 @@ def test_interleave_roundtrip(rng):
     np.testing.assert_array_equal(v, v2)
 
 
+@pytest.mark.slow
 def test_converted_llama_matches_transformers_logits(tiny_hf_llama):
     hf_model = tiny_hf_llama
     hf_state = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}

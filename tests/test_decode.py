@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,7 @@ def _greedy_reference(params, cfg, prompt, max_new, eos_id=None):
     return seq
 
 
+@pytest.mark.slow
 def test_generate_matches_forward_greedy():
     cfg = helpers.tiny_llama_config()
     params = gpt.init(cfg, jax.random.key(3))
@@ -110,6 +112,7 @@ def test_verify_step_matches_sequential_decode():
     )
 
 
+@pytest.mark.slow
 def test_generate_lookup_matches_generate_greedy():
     """Prompt-lookup speculative decode is token-identical to greedy
     generate() — across seeds, ragged batches, EOS, and draft lengths."""
@@ -156,6 +159,7 @@ def test_generate_lookup_matches_generate_greedy():
                     )
 
 
+@pytest.mark.slow
 def test_generate_anchored_matches_generate_greedy():
     """Hypothesis-anchored speculative decode is token-identical to greedy
     generate() — across ragged batches, EOS, draft lengths, and with

@@ -20,6 +20,7 @@ def corpus(tmp_path_factory):
     return str(path)
 
 
+@pytest.mark.slow
 def test_e2e_train_then_infer(corpus):
     tok = WordTokenizer()
     cfg = helpers.tiny_llama_config(

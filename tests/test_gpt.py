@@ -135,6 +135,7 @@ def test_batched_decode_with_ragged_lengths():
     np.testing.assert_allclose(np.asarray(logits[1]), want2, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_mlp_remat_matches_no_remat(rng):
     """remat='mlp' must be numerically identical (values and grads)."""
     from tests import helpers

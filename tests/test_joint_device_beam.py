@@ -151,6 +151,7 @@ def test_device_beam_attention_only_matches_host(rng, decoder):
 
 
 @requires_espnet
+@pytest.mark.slow
 def test_device_beam_with_lm_matches_host(rng, decoder, lm):
     from dualhyp_tpu.models import espnet_lm
 
@@ -325,6 +326,7 @@ def test_device_beam_ctc_impls_agree(rng, decoder, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_ctc_lazy_psi_and_selected_history(rng):
     """Scan-free psi == the scoring-time psi, and the K=1 selected-token
     history == the corresponding column of the full (R, K, T, 2) one."""
@@ -412,6 +414,7 @@ def test_ctc_lazy_psi_peaky_no_underflow(rng):
 
 
 @requires_espnet
+@pytest.mark.slow
 def test_joint_beam_param_fuzz_identical(rng, decoder, monkeypatch):
     """Deterministic fuzz over the joint beam's parameter interactions —
     batch width x chunking x pad multiple x input form (host lists vs

@@ -252,6 +252,7 @@ def test_lora_kernel_forward_and_grad_parity(rng):
     np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lora_fused_model_forward_matches_xla(rng):
     """Whole-model forward + grads: DUALHYP_LORA_IMPL fused vs xla."""
     import os

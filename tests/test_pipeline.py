@@ -27,6 +27,7 @@ def test_pipeline_logits_match_forward(stages, n_micro):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grads_match_forward():
     cfg = helpers.tiny_llama_config(
         n_layer=4, lora_r=4, lora_alpha=8, lora_query=True, lora_key=True,
@@ -65,6 +66,7 @@ def test_pipeline_grads_match_forward():
         )
 
 
+@pytest.mark.slow
 def test_pipeline_composes_with_data_axis():
     """pipe x data mesh: logits and grads still equal the single-device
     forward (microbatch rows shard over `data`)."""
@@ -101,6 +103,7 @@ def test_pipeline_composes_with_data_axis():
         )
 
 
+@pytest.mark.slow
 def test_pipeline_dropout_threads_through_stages():
     """With lora_dropout on (the reference recipe trains at 0.05,
     ref: finetune/ger.py:54): deterministic in the rng, varies across
@@ -141,6 +144,7 @@ def test_pipeline_dropout_threads_through_stages():
     np.testing.assert_allclose(h_off, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_trainer_pipeline_with_dropout_and_data_axis():
     """The reference recipe (lora_dropout=0.05) trains under pp x dp:
     losses finite, decreasing-ish, deterministic given the rng."""

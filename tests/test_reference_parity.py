@@ -340,6 +340,7 @@ def test_lora_logits_and_training_loss_parity(refmods, rng):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_lora_gradient_parity(refmods, rng):
     import torch
 

@@ -58,6 +58,7 @@ ARCH_VARIANTS = [
 
 
 @pytest.mark.parametrize("variant", range(len(ARCH_VARIANTS)))
+@pytest.mark.slow
 def test_architecture_fuzz_decode_equivalence(variant):
     """forward == prefill+decode across GQA/MQA, partial rotary, residual
     styles, norm/MLP classes, embedding scaling."""

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,6 +92,7 @@ def test_mask_metrics_binary_noise_detection():
     np.testing.assert_allclose(m["recall"], 2 / 3)
 
 
+@pytest.mark.slow
 def test_relprompt_trainer_step_and_validate(rng):
     cfg = _relprompt_cfg()
     params = relprompt.init_relprompt_params(cfg.replace(n_extra_tokens=0), jax.random.key(0))

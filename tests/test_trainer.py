@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,6 +128,7 @@ def test_full_finetune_mode_trains_everything(rng):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_train_state_resume_is_exact(rng, tmp_path):
     """save_train_state/load_train_state: a resumed run produces the SAME
     losses as an uninterrupted one (optimizer moments + LR clock restored
@@ -162,6 +164,7 @@ def test_train_state_resume_is_exact(rng, tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_chunk_matches_sequential_steps():
     """N steps in one dispatch == N train_step calls (losses + final
     weights), with the same per-step key derivation."""
@@ -207,3 +210,36 @@ def test_train_chunk_matches_sequential_steps():
                     jax.tree_util.tree_leaves(chk.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_mu_dtype_bf16_trains_and_halves_moment_storage():
+    """TrainConfig.mu_dtype="bfloat16": AdamW's first moment is stored
+    bf16 (the optimizer HBM-sweep byte lever, BENCH_NOTES round 5);
+    losses stay finite and close to the f32-moment run (momentum rounds
+    per step, so steps drift within bf16 tolerance, not explode)."""
+    rng = np.random.default_rng(0)
+    cfg = _lora_cfg()
+    params = gpt.init(cfg, jax.random.key(0))
+    batch = _batch(rng, 2, 16, cfg.vocab_size)
+
+    def losses(mu_dtype):
+        tcfg = TrainConfig(batch_size=2, micro_batch_size=2,
+                           compute_dtype="float32", mu_dtype=mu_dtype)
+        tr = Trainer(cfg, tcfg, jax.tree_util.tree_map(jnp.copy, params))
+        out = [
+            float(tr.train_step(batch, max_iters=10, warmup_steps=1,
+                                rng=jax.random.key(i))[0])
+            for i in range(3)
+        ]
+        return out, tr
+
+    want, tr32 = losses("")
+    got, tr16 = losses("bfloat16")
+    assert all(np.isfinite(got)), got
+    np.testing.assert_allclose(got, want, rtol=1e-2)
+    mu16 = jax.tree_util.tree_leaves(tr16.opt_state)
+    assert any(l.dtype == jnp.bfloat16 for l in mu16
+               if hasattr(l, "dtype")), "no bf16 moment leaves"
+    mu32 = jax.tree_util.tree_leaves(tr32.opt_state)
+    assert not any(l.dtype == jnp.bfloat16 for l in mu32
+                   if hasattr(l, "dtype"))

@@ -63,6 +63,7 @@ def _write_wav(path):
     ("--quantize", "int8", "--cross_kv_quant", "int8",
      "--self_kv_quant", "int8"),
 ], ids=["fp", "int8"])
+@pytest.mark.slow
 def test_transcribe_cli_writes_nbest_json(tmp_path, monkeypatch, extra):
     from dualhyp_tpu.cli import make_json_asr, transcribe as cli
 

@@ -174,6 +174,7 @@ def test_sample_nbest_accounting_and_eos():
 # long-form transcribe end-to-end (tiny random whisper)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_transcribe_longform_returns_nbest_streams(rng):
     encoder, decoder = _tiny_whisper()
     audio = rng.normal(size=(SAMPLES_45S := 45 * 16000,)).astype(np.float32) * 0.05
@@ -197,6 +198,7 @@ def test_transcribe_longform_returns_nbest_streams(rng):
     ) or all(len(h["segments"]) >= 1 for h in out)
 
 
+@pytest.mark.slow
 def test_transcribe_temperature_fallback_engages(rng):
     """An unreachable compression-ratio threshold forces the fallback chain
     to its last temperature (ref: data/whisper/transcribe.py:157-195)."""
@@ -392,6 +394,7 @@ def test_condition_includes_initial_prompt(monkeypatch):
     assert calls[3] == [7, 8, 11, 21, 12, 22]
 
 
+@pytest.mark.slow
 def test_transcribe_bf16_checkpoint_traces():
     """A bf16 checkpoint must TRACE through the window beam: transcribe
     used to encode in f32 regardless of parameter dtype, and the f32
@@ -422,6 +425,7 @@ def test_transcribe_bf16_checkpoint_traces():
         assert "UNIMPLEMENTED" in msg and "BF16" in msg, e
 
 
+@pytest.mark.slow
 def test_batched_scheduler_matches_sequential(rng):
     """The batched round scheduler (one ragged-prefix lockstep beam per
     round, batch_streams=True default) returns exactly the sequential

@@ -80,6 +80,7 @@ def test_encoder_matches_transformers(rng):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_encoder_truncated_positions(rng):
     """Unpadded input: positional embedding truncates to the frame count
     (the reference's local patch, ref: model.py:167-169)."""

@@ -115,6 +115,7 @@ def test_nbest_texts_dedupe_and_pad():
     assert len(set(texts[:2])) == 2  # deduped before padding
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward(rng):
     """decode_step_cached over positions == full decode_logits rows."""
     import jax

@@ -255,6 +255,7 @@ def test_suppress_list_matches_decoding_task(vendored):
     )
 
 
+@pytest.mark.slow
 def test_row_top_k_matches_lax_top_k(rng):
     """Two-stage chunk-max top-k == lax.top_k on random and on
     duplicate-heavy inputs (values AND indices)."""
@@ -282,6 +283,7 @@ def test_row_top_k_matches_lax_top_k(rng):
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
+@pytest.mark.slow
 def test_batched_beam_chunk_boundaries_identical(rng):
     """The speculative chunk-pipelined driver crosses chunk boundaries
     without changing results: a multi-utterance run split into many
@@ -321,6 +323,7 @@ def test_batched_beam_chunk_boundaries_identical(rng):
             )
 
 
+@pytest.mark.slow
 def test_bucket_growth_and_compaction_identical(rng):
     """The bucketed self-cache (t_bucket growth ladder + finished-
     utterance compaction at growth boundaries) returns exactly the
@@ -411,6 +414,7 @@ def test_bucket_growth_matches_vendored_decoding_task(vendored, rng):
 
 
 @requires_vendored
+@pytest.mark.slow
 def test_cross_kv_int8_quantization(vendored, rng):
     """cross_kv_quant="int8": per-channel dequant error is bounded by
     half a quantization step, step logits stay close to exact, and the
@@ -470,6 +474,7 @@ def test_cross_kv_int8_quantization(vendored, rng):
 
 
 @requires_vendored
+@pytest.mark.slow
 def test_self_kv_int8_quantization(vendored, rng):
     """self_kv_quant="int8" (int8 self-attention KV cache with
     folded-out scales) runs the batched device beam end-to-end —
@@ -500,6 +505,7 @@ def test_self_kv_int8_quantization(vendored, rng):
             assert r[0].tokens == q[0].tokens, extra
 
 
+@pytest.mark.slow
 def test_beam_param_fuzz_identical(rng):
     """Deterministic fuzz over the beam's trickiest parameter
     interactions — bucket ladder x chunking x batch width x int8 KV
@@ -610,6 +616,7 @@ def test_starved_beam_returns_live_hypotheses(rng):
         assert out[u][0].tokens[:2] == [90, 91]
 
 
+@pytest.mark.slow
 def test_ragged_budget_capped_at_n_ctx(rng):
     """When prefix length + token budget crosses n_ctx, decoding stops
     at the reference's main-loop cap (total length n_ctx + 1, ref:
@@ -652,6 +659,7 @@ def test_ragged_budget_capped_at_n_ctx(rng):
         assert [h.tokens for h in out[u]] == [h.tokens for h in solo[0]]
 
 
+@pytest.mark.slow
 def test_ragged_prefix_batch_matches_per_utterance(rng):
     """Per-utterance RAGGED prefixes (the long-form n-best streams'
     rolling prompts) batched into one lockstep beam return exactly the
