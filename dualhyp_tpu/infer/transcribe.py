@@ -493,6 +493,32 @@ def transcribe(
             ).astype(dec_dtype)
         return feature_cache["features"]
 
+    def encode_windows(seeks):
+        """Encode a round's distinct seeks in ONE batched call (padded
+        to a power of two so the compiled batch variants stay a small
+        ladder). The batched scheduler's rounds carry up to beam_size
+        distinct seeks once the n-best streams diverge; encoding them
+        one batch-1 call at a time leaves the MXU mostly idle at
+        large-v3 width (27 ms/utt at batch 8 vs ~55 ms at batch 1,
+        scripts/bench_whisper_encode.py). Returns {seek: (1, S, d)}."""
+        seeks = sorted(set(seeks))
+        if len(seeks) == 1:
+            return {seeks[0]: encode_window(seeks[0])}
+        mels = np.stack([
+            w.pad_or_trim(mel[:, s:s + N_FRAMES], N_FRAMES) for s in seeks
+        ])
+        n = 1
+        while n < len(seeks):
+            n *= 2
+        if n > len(seeks):
+            mels = np.concatenate(
+                [mels, np.repeat(mels[-1:], n - len(seeks), axis=0)]
+            )
+        feats = w.encode(
+            enc_params, enc_cfg, jnp.asarray(mels), compute_dtype=enc_dtype
+        ).astype(dec_dtype)
+        return {s: feats[i:i + 1] for i, s in enumerate(seeks)}
+
     shared_decode_kwargs = dict(
         beam_size=beam_size, temperatures=temperatures,
         compression_ratio_threshold=compression_ratio_threshold,
@@ -676,9 +702,10 @@ def transcribe(
                     groups.setdefault(key, []).append(j)
             if not groups:
                 break
-            keys = sorted(groups)  # seek-ascending: the encode memo hits
+            keys = sorted(groups)  # seek-ascending, deterministic order
+            feats_by_seek = encode_windows([seek for seek, _ in keys])
             entries = [
-                (encode_window(seek), list(prompt), seek)
+                (feats_by_seek[seek], list(prompt), seek)
                 for seek, prompt in keys
             ]
             outs = decode_windows_with_fallback(

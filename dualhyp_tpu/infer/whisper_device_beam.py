@@ -75,6 +75,18 @@ def _layer_unroll() -> int:
     return int(os.environ.get("DUALHYP_WHISPER_LAYER_UNROLL", "1"))
 
 
+def _sel_flat() -> bool:
+    """Ancestor-selection formulation (DUALHYP_BEAM_SEL): `flat` = one
+    block-diagonal (B, B, T) one-hot over all rows, `grouped` = the
+    (U, R, R, T) per-utterance einsum. See decode_step_cached — flat
+    trades 8x the (cheap, int8 MXU) selection MACs for zero relayout
+    copies of the cache slice. Bit-exact either way (both pass the full
+    decoding-rules parity suite). DEFAULT flat since round 5: 95.6 vs
+    116.5 ms/utt batched int8 U=8 and 22.49 vs 27.41 ms/step same-run
+    (scripts/bench_whisper_beam.py)."""
+    return os.environ.get("DUALHYP_BEAM_SEL", "flat") == "flat"
+
+
 def _row_top_k(x, k, chunk=128):
     """Exact top-k over a wide vocab via chunk-max prefiltering: the
     true top-k lie in at most k chunks (every top-k element is >= the
@@ -106,7 +118,7 @@ def _row_top_k(x, k, chunk=128):
         "dec_cfg", "n_utt", "beam", "k_top", "sel_k", "n_steps",
         "sample_begin", "eos", "max_cand", "use_ts", "tb", "eot",
         "max_init_idx", "use_suppress", "use_blank", "use_ts_static",
-        "early_exit", "unroll",
+        "early_exit", "unroll", "flat_sel",
     ),
     donate_argnums=(2,),
 )
@@ -139,6 +151,7 @@ def _beam_chunk(
     use_ts_static,
     early_exit=False,
     unroll=1,
+    flat_sel=False,
 ):
     """`n_steps` lockstep beam steps with DEVICE-side candidate selection
     (the reference BeamSearchDecoder.update rule), ONE host transfer per
@@ -179,10 +192,25 @@ def _beam_chunk(
         # int8 one-hot for the int8 cache: the history selection runs as
         # an s8 x s8 -> s32 MXU dot inside decode_step_cached
         oh_dtype = jnp.int8 if self_quant else cache["k"].dtype
-        onehot = jax.nn.one_hot(
-            anc_step.reshape(n_utt, beam, t_buf), beam, axis=2,
-            dtype=oh_dtype,
-        )
+        from dualhyp_tpu.ops.linalg import einsum as _einsum
+
+        if flat_sel:
+            # FLAT block-diagonal selector (B, B, T) over global row
+            # slots: row r's ancestor at step t is its utterance's slot
+            # base + the within-group index, every off-group entry an
+            # exact zero. The selection dot then consumes the cache
+            # slice with NO (u, beam) row split — the split forces a
+            # (8, 128)-tile relayout copy per layer per step whenever
+            # beam % 8 != 0 (see decode_step_cached).
+            onehot = jax.nn.one_hot(
+                u_of_row[:, None] * beam + anc_step, rows, axis=1,
+                dtype=oh_dtype,
+            )
+        else:
+            onehot = jax.nn.one_hot(
+                anc_step.reshape(n_utt, beam, t_buf), beam, axis=2,
+                dtype=oh_dtype,
+            )
         kv_scales = None
         if self_quant:
             # ancestor-select the per-column scales ONCE per step for
@@ -192,17 +220,21 @@ def _beam_chunk(
             # lesson says lowers to a DMA loop. f32 one-hot + HIGHEST
             # keeps the selection exact.
             oh32 = onehot.astype(jnp.float32)
-            from dualhyp_tpu.ops.linalg import einsum as _einsum
-
-            kv_scales = tuple(
-                _einsum(
-                    "urst,lust->lurt", oh32,
-                    cache[key].reshape(
-                        dec_cfg.n_layer, n_utt, beam, t_buf
-                    ),
-                ).reshape(dec_cfg.n_layer, rows, t_buf)
-                for key in ("k_scale", "v_scale")
-            )
+            if flat_sel:
+                kv_scales = tuple(
+                    _einsum("bst,lst->lbt", oh32, cache[key])
+                    for key in ("k_scale", "v_scale")
+                )
+            else:
+                kv_scales = tuple(
+                    _einsum(
+                        "urst,lust->lurt", oh32,
+                        cache[key].reshape(
+                            dec_cfg.n_layer, n_utt, beam, t_buf
+                        ),
+                    ).reshape(dec_cfg.n_layer, rows, t_buf)
+                    for key in ("k_scale", "v_scale")
+                )
         logits, cols = w.decode_step_cached(
             dec_params, dec_cfg, last_tokens, pos, cache, cross,
             anc_onehot=onehot, unroll=unroll, self_kv_scales=kv_scales,
@@ -651,10 +683,11 @@ def device_beam_search_batch(
         max_init_idx=max_init_idx, use_suppress=use_suppress,
         use_blank=use_blank, use_ts_static=use_ts_static,
         early_exit=n_utt == 1,
-        # read once here and passed as a STATIC jit arg: an env read
+        # read once here and passed as STATIC jit args: an env read
         # inside the traced body would not key the jit cache, so
         # toggling it mid-process would silently reuse the stale trace
         unroll=_layer_unroll(),
+        flat_sel=_sel_flat(),
     )
 
     # host-side mirrors, rebuilt by replaying the device rule

@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict
 
 import jax
@@ -261,7 +262,22 @@ def _conv1d(leaf, x, stride):
 
 
 def encode(params: dict, cfg: WhisperEncoderConfig, mel, compute_dtype=jnp.float32):
-    """mel: (B, n_mels, T_frames) -> (B, ceil(T/2), n_state) features."""
+    """mel: (B, n_mels, T_frames) -> (B, ceil(T/2), n_state) features.
+
+    Dispatches through a module-level jit so eager callers (the
+    long-form window loop encodes one window at a time) don't re-lower
+    the layer scan every call — the same ~100+ ms/call Python-lowering
+    tax the round-5 host trace found on precompute_cross_kv. The jit
+    cache is keyed on the attention backend (DUALHYP_WHISPER_ATTN is
+    read at trace time inside _mha), so toggling the env var mid-process
+    still retraces instead of silently reusing the other backend."""
+    return _encode_jit(params, cfg, mel, compute_dtype=compute_dtype,
+                       _attn_impl=_flash_encoder_enabled())
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "_attn_impl"))
+def _encode_jit(params: dict, cfg: WhisperEncoderConfig, mel,
+                compute_dtype=jnp.float32, _attn_impl=False):
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(_conv1d(params["conv1"], x, 1), approximate=False)
     x = jax.nn.gelu(_conv1d(params["conv2"], x, 2), approximate=False)
@@ -363,12 +379,15 @@ def _mha_qkv(leaf, q_in, kv_in, n_head, causal=False):
     return _linear(leaf["out"], out.transpose(0, 2, 1, 3).reshape(b, tq, s))
 
 
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def decode_logits(params: dict, cfg: WhisperDecoderConfig, tokens, audio_features,
                   compute_dtype=jnp.float32):
     """Full (non-cached) decoder forward: tokens (B, T) + encoder features
     (B, S, n_state) -> logits (B, T, n_vocab). Position offset is 0 (no
     kv-cache path yet; beam search re-runs the growing prefix, which XLA
-    handles well at whisper sizes)."""
+    handles well at whisper sizes). Module-level jit: eager callers (the
+    no-speech gate, silence/fallback paths) otherwise re-lower the layer
+    scan every call (see precompute_cross_kv)."""
     b, t = tokens.shape
     x = jnp.take(params["token_embedding"], tokens, axis=0).astype(compute_dtype)
     x = x + params["positional_embedding"][:t].astype(compute_dtype)
@@ -463,9 +482,16 @@ def decode_logits_with_cross_qk(params: dict, cfg: WhisperDecoderConfig,
 # cross-attn KV; the reference caches per-module via forward hooks,
 # ref: model.py:186-199 install_kv_cache_hooks) ----
 
+@partial(jax.jit, static_argnames=("cfg", "quantize"))
 def precompute_cross_kv(params: dict, cfg: WhisperDecoderConfig,
                         audio_features, quantize=None):
     """Cross-attention K/V from encoder output, once per utterance.
+
+    Module-level jit, NOT a bare lax.scan: the eager scan rebuilt its
+    jaxpr from a fresh closure on every call, so the pjit C++ cache
+    missed and each beam-search call re-ran ~170 ms of Python lowering
+    before any device work — 53% of the single-utterance beam wall in
+    the round-5 host trace (scripts/profile_whisper_beam.py --utts 1).
     Returns (k, v) each (L, B, n_state, S) — S-MINOR, so the decode
     step's cross dots consume the per-layer slice with the contraction
     dims already placed (hd sublane / S lane after the free major-axis
@@ -719,10 +745,57 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         if anc_onehot is not None:
             # append-only: select each row's ancestor history on the MXU
             # (cache is read-only here); inject this step's K/V into its
-            # column with the same dtype cast the DUS write applies
-            u, rg = anc_onehot.shape[:2]
+            # column with the same dtype cast the DUS write applies.
+            #
+            # TWO one-hot shapes:
+            #   grouped (U, R, R, T): per-utterance groups — the einsum
+            #     splits the row axis into (u, r), which breaks the
+            #     cache slice's (8, 128) tiling when beam % 8 != 0 (the
+            #     round-5 HLO shows 4 relayout copies + 2 where-rewrites
+            #     per layer per step, ~6 ms of the 25.8 ms device step)
+            #   flat (B, B, T): block-diagonal over ALL rows — off-block
+            #     entries are exact zeros, the cache slice feeds the dot
+            #     in its native (s, t, d) layout with NO row split, and
+            #     the output lands directly in the attention dot's
+            #     (b, t, d) shape. 8x the selection MACs (contraction
+            #     widens beam -> rows), which the int8 MXU absorbs for
+            #     less than the copies cost. Bit-exact vs grouped: a
+            #     one-hot row has exactly one nonzero either way.
+            flat_sel = anc_onehot.ndim == 3
             colm = (jnp.arange(max_len) == pos)[None, :, None]
-            if self_quant:
+            if flat_sel:
+                if self_quant:
+                    k_new_i, ksc_new = _q8(k_new)
+                    v_new_i, vsc_new = _q8(v_new)
+                    oh8 = anc_onehot  # already int8 (caller-built)
+                    k_att = jnp.einsum(
+                        "bst,std->btd", oh8, ck_layer,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.int8)
+                    v_att = jnp.einsum(
+                        "bst,std->btd", oh8, cv_layer,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.int8)
+                    k_att = jnp.where(colm, k_new_i.astype(jnp.int8), k_att)
+                    v_att = jnp.where(colm, v_new_i.astype(jnp.int8), v_att)
+                    colv = (jnp.arange(max_len) == pos)[None, :]
+                    ksc_att = jnp.where(colv, ksc_new, ksc_att)
+                    vsc_att = jnp.where(colv, vsc_new, vsc_att)
+                    out_kv = (
+                        k_new_i[:, 0].astype(jnp.int8),
+                        v_new_i[:, 0].astype(jnp.int8),
+                        ksc_new[:, 0], vsc_new[:, 0],
+                    )
+                    k_att = k_att.astype(x.dtype)
+                    v_att = v_att.astype(x.dtype)
+                else:
+                    k_att = einsum("bst,std->btd", anc_onehot, ck_layer)
+                    v_att = einsum("bst,std->btd", anc_onehot, cv_layer)
+                    k_att = jnp.where(colm, k_new.astype(k_att.dtype), k_att)
+                    v_att = jnp.where(colm, v_new.astype(v_att.dtype), v_att)
+                    out_kv = (k_new[:, 0].astype(ck_layer.dtype),
+                              v_new[:, 0].astype(cv_layer.dtype))
+            elif self_quant:
                 # the selected history stays INT8 end to end: an int8
                 # one-hot rides an s8 x s8 -> s32 MXU dot (one-hot rows
                 # have exactly one nonzero, so every value is the stored
@@ -737,6 +810,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                 # Scales were ancestor-selected by the caller (they are
                 # layer-independent); this step's column is quantized
                 # here so attention sees round-trip values.
+                u, rg = anc_onehot.shape[:2]
                 k_new_i, ksc_new = _q8(k_new)
                 v_new_i, vsc_new = _q8(v_new)
                 kg = ck_layer.reshape(u, rg, max_len, s)
@@ -765,6 +839,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                 k_att = k_att.astype(x.dtype)
                 v_att = v_att.astype(x.dtype)
             else:
+                u, rg = anc_onehot.shape[:2]
                 kg = ck_layer.reshape(u, rg, max_len, s)
                 vg = cv_layer.reshape(u, rg, max_len, s)
                 k_att = einsum("urst,ustd->urtd", anc_onehot, kg).reshape(
