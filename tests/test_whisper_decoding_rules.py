@@ -725,3 +725,43 @@ def test_ragged_prefix_batch_matches_per_utterance(rng):
                 assert [h.sample_begin for h in got[u]] == [
                     len(p)
                 ] * len(ref), (cname, pname, u)
+
+
+def test_flat_and_grouped_selection_identical(rng, monkeypatch):
+    """DUALHYP_BEAM_SEL=flat (block-diagonal (B,B,T) ancestor one-hot,
+    the round-5 default) returns token-identical beams to `grouped` in
+    both the float and the int8-self-KV cache paths — the flat
+    contraction's off-block entries are exact zeros, so the selected
+    history is the same tensor."""
+    import jax
+
+    from dualhyp_tpu.infer.whisper_device_beam import (
+        device_beam_search_batch,
+    )
+    from dualhyp_tpu.models import whisper as w
+
+    dec_cfg = w.WhisperDecoderConfig(
+        n_vocab=96, n_ctx=64, n_state=64, n_head=4, n_layer=2
+    )
+    eos = dec_cfg.n_vocab - 1
+    dec = w.init_decoder(dec_cfg, jax.random.key(0))
+    dec["token_embedding"] = dec["token_embedding"].at[eos].multiply(4.0)
+    feats = jax.numpy.asarray(
+        rng.normal(size=(3, 16, dec_cfg.n_state)), jax.numpy.float32
+    )
+    kw = dict(beam_size=3, eos_id=eos, max_new_tokens=12,
+              suppress_tokens=[0, 1])
+
+    def run(sel, **extra):
+        monkeypatch.setenv("DUALHYP_BEAM_SEL", sel)
+        return device_beam_search_batch(dec, dec_cfg, feats, [2, 3],
+                                        **extra, **kw)
+
+    for extra in ({}, dict(self_kv_quant="int8"),
+                  dict(self_kv_quant="int8", t_bucket=4)):
+        a = run("grouped", **extra)
+        b = run("flat", **extra)
+        for ha, hb in zip(a, b):
+            assert [h.tokens for h in ha] == [h.tokens for h in hb], extra
+            for x, y in zip(ha, hb):
+                np.testing.assert_allclose(x.score, y.score, rtol=1e-6)
