@@ -401,29 +401,36 @@ def _prefill(dec_params, cross, prefix_arr, cache, offsets=None, *, dec_cfg):
     RAGGED mode (offsets is an (n_utt,) int32 array): prefix_arr is
     (P, n_utt) — per-utterance prompts RIGHT-ALIGNED into P shared
     columns, utterance u's real tokens occupying columns
-    [offsets[u], P). All utterances walk the columns in lockstep;
-    decode_step_cached(pos_offset=...) gives each row its own logical
-    position and masks its pre-start columns, so a row is a (masked)
-    no-op until the column reaches its first real token."""
+    [offsets[u], P); each row's logical position is clip(col - offset)
+    and its pre-start columns are masked (self-column always valid).
+
+    PARALLEL since round 5: one causal teacher-forced forward over all
+    P columns (models/whisper.prefill_cache) instead of P sequential
+    decode steps — the per-column walk re-streamed the full decoder
+    weights P times and was 43% of the long-form device time at
+    224-token rolling prompts. Same masks, PE lookup and einsum
+    numerics as the sequential path (which used decode_step_cached's
+    head-split branch)."""
     from dualhyp_tpu.models import whisper as w
 
     rows = cache["k"].shape[1]
-    ragged = offsets is not None
-
-    def body(cache, inp):
-        t, tok = inp
-        tok_vec = tok if ragged else jnp.full((rows,), tok, jnp.int32)
-        _, cache = w.decode_step_cached(
-            dec_params, dec_cfg, tok_vec, t, cache, cross,
-            pos_offset=offsets,
+    if prefix_arr.ndim == 1:
+        tokens = jnp.broadcast_to(
+            prefix_arr[None], (rows, prefix_arr.shape[0])
         )
-        return cache, None
-
-    n = prefix_arr.shape[0]
-    cache, _ = jax.lax.scan(
-        body, cache, (jnp.arange(n), prefix_arr)
+    else:
+        tokens = prefix_arr.T  # (P, U) -> (U, P)
+    ks, vs = w.prefill_cache(
+        dec_params, dec_cfg, tokens, cross, pos_offset=offsets
     )
-    return cache
+    return {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0)
+        ),
+    }
 
 
 def device_beam_search(

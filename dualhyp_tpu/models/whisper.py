@@ -999,6 +999,111 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     return logits[:, 0].astype(jnp.float32), cols
 
 
+def prefill_cache(params: dict, cfg: WhisperDecoderConfig, tokens,
+                  cross_kv, pos_offset=None):
+    """PARALLEL prefill: one causal teacher-forced forward over all P
+    prefix columns, emitting every layer's (K*hd**-0.25, V) cache
+    columns at once — (L, B, P, n_state) each.
+
+    Replaces P sequential `decode_step_cached` walks: the round-5
+    long-form trace showed the per-column prefill at 4.73 s of the
+    10.9 s device time (43%) for ~224-token rolling prompts — each of
+    the P columns re-streamed the full decoder weights (~1.5 GB at
+    large-v3). One parallel pass streams them once; the P x P attention
+    is small at prompt lengths.
+
+    Semantics == the sequential walk (same masks, same PE lookup, same
+    _logits_einsum numerics): column t attends to columns [offset, t]
+    plus always itself (the pre-start guard), and its logical position
+    is clip(t - offset, 0). Cross attention consumes the SAME
+    precompute_cross_kv tensors, including the int8 zero-copy fold.
+    tokens: (B, P); pos_offset: optional (B,) ragged prefix starts."""
+    b, p = tokens.shape
+    s = cfg.n_state
+    h = cfg.n_head
+    hd = s // h
+    scale = hd ** -0.25
+    x = jnp.take(params["token_embedding"], tokens, axis=0)
+    cols = jnp.arange(p)
+    if pos_offset is None:
+        x = x + params["positional_embedding"][:p]
+        att_mask = (cols[None] <= cols[:, None])[None]       # (1, q, k)
+    else:
+        logical = jnp.maximum(cols[None] - pos_offset[:, None], 0)
+        x = x + jnp.take(
+            params["positional_embedding"], logical, axis=0, mode="clip"
+        )
+        att_mask = (
+            (cols[None] <= cols[:, None])[None]
+            & ((cols[None, None] >= pos_offset[:, None, None])
+               | (cols[None] == cols[:, None])[None])
+        )                                                     # (B, q, k)
+    cross_quant = len(cross_kv) == 4
+    if cross_quant:
+        cross_k, cross_k_scale, cross_v, cross_v_scale = cross_kv
+    else:
+        cross_k, cross_v = cross_kv
+        cross_k_scale = cross_v_scale = None
+
+    def body(hcur, scanned):
+        if cross_quant:
+            leaf, xk, xk_s, xv, xv_s = scanned
+        else:
+            leaf, xk, xv = scanned
+            xk_s = xv_s = None
+        n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
+        k_full = _linear(leaf["attn"]["key"], n) * scale      # pre-scaled
+        v_full = _linear(leaf["attn"]["value"], n)
+        q = _linear(leaf["attn"]["query"], n) * scale
+        qh = q.reshape(b, p, h, hd).transpose(0, 2, 1, 3)
+        kh = k_full.reshape(b, p, h, hd).transpose(0, 2, 1, 3)
+        vh = v_full.reshape(b, p, h, hd).transpose(0, 2, 1, 3)
+        logits = _logits_einsum("bhtd,bhsd->bhts", qh, kh)
+        logits = jnp.where(att_mask[:, None], logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+        att = einsum("bhts,bhsd->bhtd", w, vh)
+        hcur = hcur + _linear(
+            leaf["attn"]["out"], att.transpose(0, 2, 1, 3).reshape(b, p, s)
+        )
+
+        n = layer_norm(hcur, leaf["cross_ln"]["scale"], leaf["cross_ln"]["bias"])
+        qx = _linear(leaf["cross"]["query"], n).reshape(
+            b, p, h, hd).transpose(0, 2, 1, 3)
+        kx = xk.reshape(xk.shape[0], h, hd, xk.shape[-1])
+        vx = xv.reshape(xv.shape[0], h, hd, xv.shape[-1])
+        if cross_quant:
+            kx = kx.astype(x.dtype)
+            vx = vx.astype(x.dtype)
+            ksc = xk_s.reshape(xk_s.shape[0], h, 1, hd)
+            vsc = xv_s.reshape(xv_s.shape[0], h, 1, hd)
+            qx = (qx.astype(jnp.float32) * scale * ksc).astype(x.dtype)
+        else:
+            qx = qx * scale
+        logits = _logits_einsum("bhtd,bhds->bhts", qx, kx)
+        w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+        att = einsum("bhts,bhds->bhtd", w, vx)
+        if cross_quant:
+            att = (att.astype(jnp.float32) * vsc).astype(hcur.dtype)
+        hcur = hcur + _linear(
+            leaf["cross"]["out"], att.transpose(0, 2, 1, 3).reshape(b, p, s)
+        )
+
+        n = layer_norm(hcur, leaf["mlp_ln"]["scale"], leaf["mlp_ln"]["bias"])
+        hcur = hcur + _linear(
+            leaf["mlp"]["fc2"],
+            jax.nn.gelu(_linear(leaf["mlp"]["fc1"], n), approximate=False),
+        )
+        return hcur, (k_full, v_full)
+
+    if cross_quant:
+        xs = (params["blocks"], cross_k, cross_k_scale, cross_v,
+              cross_v_scale)
+    else:
+        xs = (params["blocks"], cross_k, cross_v)
+    _, (ks, vs) = jax.lax.scan(body, x, xs)
+    return ks, vs
+
+
 def convert_hf_whisper_decoder(hf: Dict[str, np.ndarray],
                                cfg: WhisperDecoderConfig) -> dict:
     def get(name):
