@@ -132,6 +132,10 @@ def _beam_chunk(
     pos0,           # traced: decoder position of this chunk's first step
     offsets,        # None, or (R,) int32 per-row prefix-start columns
                     # (ragged per-utterance prompts, right-aligned)
+    prefix_kv,      # None, or per-utterance shared prompt K/V (S-minor;
+                    # float (k, v) or int8 (k, ksc, v, vsc)) — the self
+                    # cache then covers ONLY the suffix (new tokens)
+    prefix_valid,   # None, or (U, P) bool ragged prompt-column mask
     *,
     dec_cfg,
     n_utt,
@@ -171,6 +175,9 @@ def _beam_chunk(
         (tokens, scores, cache, anc, lt, pt, has, stamp,
          live_count, fin_count) = carry
         pos = pos0 + s
+        # spos: this step's SUFFIX cache column (the shared-prefix
+        # protocol stores only new tokens in the per-row cache)
+        spos = pos - (sample_begin - 1)
         is_first = pos == sample_begin - 1
         done_prev = (fin_count >= max_cand) | (live_count <= 0)
 
@@ -184,9 +191,9 @@ def _beam_chunk(
         # returns only the new K/V columns — the full-cache
         # gather+rewrite+carry-copy of the permuting protocol (profiled
         # at ~75% of the 62.9 ms step) never happens.
-        t_buf = tokens.shape[1]
+        t_buf = anc.shape[1]  # SUFFIX width (== cache column count)
         anc_step = jnp.where(
-            (jnp.arange(t_buf) == pos)[None, :], row_in_u[:, None], anc
+            (jnp.arange(t_buf) == spos)[None, :], row_in_u[:, None], anc
         )
         self_quant = "k_scale" in cache
         # int8 one-hot for the int8 cache: the history selection runs as
@@ -238,17 +245,18 @@ def _beam_chunk(
         logits, cols = w.decode_step_cached(
             dec_params, dec_cfg, last_tokens, pos, cache, cross,
             anc_onehot=onehot, unroll=unroll, self_kv_scales=kv_scales,
-            pos_offset=offsets,
+            pos_offset=offsets, prefix_kv=prefix_kv,
+            prefix_valid=prefix_valid, cache_pos=spos,
         )
         upd = {}
         for key in ("k", "v"):
             upd[key] = jax.lax.dynamic_update_slice(
-                cache[key], cols[key][:, :, None, :], (0, 0, pos, 0)
+                cache[key], cols[key][:, :, None, :], (0, 0, spos, 0)
             )
             sk = key + "_scale"
             if sk in cache:
                 upd[sk] = jax.lax.dynamic_update_slice(
-                    cache[sk], cols[sk][:, :, None], (0, 0, pos)
+                    cache[sk], cols[sk][:, :, None], (0, 0, spos)
                 )
         cache = upd
         logits = logits.astype(jnp.float32)
@@ -385,8 +393,9 @@ def _beam_chunk(
     return carry, live_count, fin_count, ys
 
 
-@partial(jax.jit, static_argnames=("dec_cfg",), donate_argnums=(3,))
-def _prefill(dec_params, cross, prefix_arr, cache, offsets=None, *, dec_cfg):
+@partial(jax.jit, static_argnames=("dec_cfg", "n_utt", "quantize"))
+def _prefill(dec_params, cross, prefix_arr, offsets=None, *, dec_cfg,
+             n_utt, quantize=None):
     """Walk the shared sot sequence (positions 0..len(prefix_arr)-1) in
     one jitted scan; the first chunk step consumes the LAST prefix token,
     so this stops one short of it.
@@ -410,27 +419,35 @@ def _prefill(dec_params, cross, prefix_arr, cache, offsets=None, *, dec_cfg):
     weights P times and was 43% of the long-form device time at
     224-token rolling prompts. Same masks, PE lookup and einsum
     numerics as the sequential path (which used decode_step_cached's
-    head-split branch)."""
+    head-split branch).
+
+    Returns the SHARED-PREFIX tensors consumed by decode_step_cached's
+    prefix_kv: per-utterance S-minor (L, U, n_state, P) K/V (K
+    pre-scaled), stored ONCE per utterance instead of once per beam row
+    — the prompt region of every row's history is identical (ancestor
+    slot 0 invariant). quantize="int8" returns
+    (k_q, k_scale, v_q, v_scale) with per-(l, u, channel) scales, the
+    cross-KV convention (NOT the per-column suffix-cache convention —
+    outputs shift within rounding either way, and the channel axis is
+    the one that folds out of the dots for free)."""
     from dualhyp_tpu.models import whisper as w
 
-    rows = cache["k"].shape[1]
     if prefix_arr.ndim == 1:
         tokens = jnp.broadcast_to(
-            prefix_arr[None], (rows, prefix_arr.shape[0])
+            prefix_arr[None], (n_utt, prefix_arr.shape[0])
         )
     else:
         tokens = prefix_arr.T  # (P, U) -> (U, P)
     ks, vs = w.prefill_cache(
         dec_params, dec_cfg, tokens, cross, pos_offset=offsets
     )
-    return {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0)
-        ),
-    }
+    ks = ks.transpose(0, 1, 3, 2)  # (L, U, P, S) -> (L, U, S, P)
+    vs = vs.transpose(0, 1, 3, 2)
+    if quantize == "int8":
+        kq, ksc = w._q8(ks)
+        vq, vsc = w._q8(vs)
+        return (kq.astype(jnp.int8), ksc, vq.astype(jnp.int8), vsc)
+    return ks, vs
 
 
 def device_beam_search(
@@ -612,9 +629,14 @@ def device_beam_search_batch(
         # splitting it into extra dispatches + recompiles.
         t_bucket = max_new_tokens if n_utt == 1 else 32
     cap = min(max_new_tokens, max(t_bucket, 1))
-    t_cap = sample_begin + cap
+    # SHARED-PREFIX protocol: the per-row self cache holds ONLY the
+    # suffix (new tokens); the prompt prefix lives once per utterance in
+    # `prefix_kv` (see _prefill / decode_step_cached.prefix_kv) — a
+    # 224-token rolling prompt no longer multiplies the cache, the
+    # per-step history stream, or the selection work by beam_size
+    t_full = sample_begin + max_new_tokens  # token-buffer width (int32)
     cache = w.init_self_cache(
-        dec_cfg, rows, t_cap, dtype=cache_dtype, quantize=self_kv_quant
+        dec_cfg, rows, cap, dtype=cache_dtype, quantize=self_kv_quant
     )
 
     def vocab_mask(ids):
@@ -638,31 +660,29 @@ def device_beam_search_batch(
         timestamp_rules.max_initial_timestamp_index if use_ts else None
     )
 
+    prefix_kv = None
+    prefix_valid = None
     if sample_begin > 1:
-        # prefill walks the shared prefix at the FLOAT cache dtype (the
-        # non-append-only step path), then quantizes the small result if
-        # the beam cache is int8 — the prefix is quantized exactly once
-        small = w.init_self_cache(dec_cfg, n_utt, t_cap, dtype=cache_dtype)
+        # one parallel causal pass over the prompt -> per-utterance
+        # shared S-minor K/V (quantized per channel once when the beam
+        # cache is int8 — the cross-KV convention, folds out of the dots)
         if per_utt:
-            small = _prefill(
+            prefix_kv = _prefill(
                 dec_params, cross,
-                jnp.asarray(pmat[:, :-1].T, jnp.int32), small, utt_off,
-                dec_cfg=dec_cfg,
+                jnp.asarray(pmat[:, :-1].T, jnp.int32), utt_off,
+                dec_cfg=dec_cfg, n_utt=n_utt,
+                quantize=self_kv_quant,
+            )
+            prefix_valid = jnp.asarray(
+                np.arange(sample_begin - 1)[None, :] >= off_np[:, None]
             )
         else:
-            small = _prefill(
+            prefix_kv = _prefill(
                 dec_params, cross, jnp.asarray(prefix[:-1], jnp.int32),
-                small, dec_cfg=dec_cfg,
+                dec_cfg=dec_cfg, n_utt=n_utt, quantize=self_kv_quant,
             )
-        if self_kv_quant:
-            small = w.quantize_self_cache(small)
-        # scatter utterance u's prefix KV into its beam row 0; the other
-        # rows are never read before their first re-parenting gather
-        cache = {
-            k: cache[k].at[:, ::beam_size].set(small[k]) for k in cache
-        }
 
-    tokens0 = np.zeros((rows, t_cap), np.int32)
+    tokens0 = np.zeros((rows, t_full), np.int32)
     if per_utt:
         tokens0[:, :sample_begin] = np.repeat(pmat, beam_size, axis=0)
     else:
@@ -672,9 +692,9 @@ def device_beam_search_batch(
         # only row 0 of each utterance is live at the first selection
         jnp.zeros((rows,), jnp.float32),
         cache,
-        # ancestor map: slot of each row's history per step (within its
-        # beam group); zeros = the prefix lives in each group's row 0
-        jnp.zeros((rows, t_cap), jnp.int32),
+        # ancestor map over SUFFIX columns: slot of each row's history
+        # per new-token step (within its utterance's beam group)
+        jnp.zeros((rows, cap), jnp.int32),
         jnp.zeros((rows,), bool),   # last sampled token is a timestamp
         jnp.ones((rows,), bool),    # penultimate is a timestamp (len<2)
         jnp.zeros((rows,), bool),   # any timestamp sampled yet
@@ -723,7 +743,7 @@ def device_beam_search_batch(
         state, _, _, ys = _beam_chunk(
             dec_params, cross, state, suppress_mask, blank_mask,
             ts_static_mask, jnp.int32(sample_begin - 1 + pos_base),
-            row_off, n_steps=n, **chunk_kwargs,
+            row_off, prefix_kv, prefix_valid, n_steps=n, **chunk_kwargs,
         )
         return ys
 
@@ -731,6 +751,7 @@ def device_beam_search_batch(
         # called only between chunks, with every dispatched chunk
         # replayed (utt_done is current) and more budget still to decode
         nonlocal state, cross, amap, cap, chunk_kwargs, row_off
+        nonlocal prefix_kv, prefix_valid
         tokens, scores, cache, anc, lt, pt, has, stamp, lc, fc = state
         # drop the old state tuple NOW: it holds the pre-growth cache
         # dict, which would otherwise keep every old tensor alive until
@@ -762,6 +783,12 @@ def device_beam_search_batch(
                 cache[k] = jnp.take(old, ri, axis=1)
                 del old
             cross = tuple(jnp.take(c, ui, axis=1) for c in cross)
+            if prefix_kv is not None:
+                prefix_kv = tuple(
+                    jnp.take(t, ui, axis=1) for t in prefix_kv
+                )
+            if prefix_valid is not None:
+                prefix_valid = jnp.take(prefix_valid, ui, axis=0)
             lc, fc = lc[ui], fc[ui]
             chunk_kwargs = dict(
                 chunk_kwargs, n_utt=n_new, early_exit=n_new == 1
@@ -769,7 +796,8 @@ def device_beam_search_batch(
         new_cap = min(max_new_tokens, cap * 2)
         pad = new_cap - cap
         if pad > 0:
-            tokens = jnp.pad(tokens, ((0, 0), (0, pad)))
+            # tokens stay full-width from the start (int32, tiny); only
+            # the suffix cache + ancestor map grow
             anc = jnp.pad(anc, ((0, 0), (0, pad)))
             # grow K before V so at most one grown cache tensor coexists
             # with both old ones (the padded region is zeros the masked

@@ -600,9 +600,30 @@ def _logits_einsum(sub, a, b):
 def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                        cache: dict, cross_kv, row_gather=None,
                        anc_onehot=None, unroll: int = 1,
-                       self_kv_scales=None, pos_offset=None):
+                       self_kv_scales=None, pos_offset=None,
+                       prefix_kv=None, prefix_valid=None, cache_pos=None):
     """One decode step. tokens: (B,) int32 current tokens at position `pos`
     (scalar — beams advance in lockstep). Returns (logits (B, V), cache).
+
+    prefix_kv (anc mode only): SHARED per-utterance prompt K/V — float
+    (k, v) each (L, U, n_state, P) S-minor with K pre-scaled (the
+    prefill_cache output transposed — exactly the cross-KV convention),
+    or int8 (k_q, k_scale, v_q, v_scale) with per-(l, u, channel)
+    scales. The prompt region of a beam's history is IDENTICAL for
+    every row of an utterance (prefix columns' ancestor is always the
+    group's slot 0 — they are written once and never re-parented), so
+    it needs no per-row selection, no per-row storage, and no per-row
+    reads: rows attend to it through the same grouped shared-memory
+    einsum as cross attention, and the self cache covers ONLY the
+    suffix (new tokens), indexed by `cache_pos` = pos - P. Attention
+    joins the two regions in LOGIT space — concat([prefix, suffix])
+    before one softmax preserves the single-cache column order, so the
+    float path is bit-identical to the combined-cache protocol. The
+    round-5 long-form trace motivated this: a 224-token rolling prompt
+    doubled the cache width, the per-step history stream and the
+    selection work for columns whose selection is a constant.
+    prefix_valid: (U, P) bool — per-utterance ragged prompt mask
+    (columns >= that utterance's right-aligned start).
 
     pos_offset: optional (B,) int32 enabling RAGGED per-row prefixes in a
     lockstep batch (the long-form n-best streams decode windows with
@@ -699,16 +720,29 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     else:
         cross_k, cross_v = cross_kv
         cross_k_scale = cross_v_scale = None
-    kv_len = pos + 1
+    prefix_quant = prefix_kv is not None and len(prefix_kv) == 4
+    # spos: the SELF-CACHE column of this step. With a shared prefix
+    # cache the self cache covers only the suffix, so spos = pos - P;
+    # legacy callers (no prefix_kv) keep spos == pos.
+    spos = pos if cache_pos is None else cache_pos
     max_len = cache["k"].shape[2]
-    valid = jnp.arange(max_len)[None, :] < kv_len  # (1, max_len)
-    if pos_offset is not None:
-        # ragged rows: columns before the row's prefix start are junk;
-        # the current column stays valid so no row is fully masked
-        valid = valid & (
-            (jnp.arange(max_len)[None, :] >= pos_offset[:, None])
-            | (jnp.arange(max_len)[None, :] == pos)
-        )  # (B, max_len)
+    if cache_pos is not None:
+        # split-cache mode: every suffix column is >= every row's ragged
+        # start (prompts are entirely in the prefix tensors), so the
+        # suffix mask is just the written length; ragged masking lives
+        # in prefix_valid
+        valid = jnp.arange(max_len)[None, :] < spos + 1
+    else:
+        kv_len = pos + 1
+        valid = jnp.arange(max_len)[None, :] < kv_len  # (1, max_len)
+        if pos_offset is not None:
+            # ragged rows: columns before the row's prefix start are
+            # junk; the current column stays valid so no row is fully
+            # masked
+            valid = valid & (
+                (jnp.arange(max_len)[None, :] >= pos_offset[:, None])
+                | (jnp.arange(max_len)[None, :] == pos)
+            )  # (B, max_len)
 
     def split(t, n):
         return t.reshape(t.shape[0], n, h, hd).transpose(0, 2, 1, 3)
@@ -723,9 +757,17 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         if cross_quant:
             xk_q, xk_s, xv_q, xv_s = scanned[i:i + 4]
             xk, xv = xk_q, xv_q  # int8; converted AT the dots below
+            i += 4
         else:
             xk, xv = scanned[i:i + 2]
             xk_s = xv_s = None
+            i += 2
+        pk = pv = pk_s = pv_s = None
+        if prefix_kv is not None:
+            if prefix_quant:
+                pk, pk_s, pv, pv_s = scanned[i:i + 4]
+            else:
+                pk, pv = scanned[i:i + 2]
         n = layer_norm(hcur, leaf["attn_ln"]["scale"], leaf["attn_ln"]["bias"])
         scale = hd ** -0.25
         # K is PRE-SCALED by hd**-0.25 at creation, so the cache holds
@@ -762,7 +804,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             #     less than the copies cost. Bit-exact vs grouped: a
             #     one-hot row has exactly one nonzero either way.
             flat_sel = anc_onehot.ndim == 3
-            colm = (jnp.arange(max_len) == pos)[None, :, None]
+            colm = (jnp.arange(max_len) == spos)[None, :, None]
             if flat_sel:
                 if self_quant:
                     k_new_i, ksc_new = _q8(k_new)
@@ -778,7 +820,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                     ).astype(jnp.int8)
                     k_att = jnp.where(colm, k_new_i.astype(jnp.int8), k_att)
                     v_att = jnp.where(colm, v_new_i.astype(jnp.int8), v_att)
-                    colv = (jnp.arange(max_len) == pos)[None, :]
+                    colv = (jnp.arange(max_len) == spos)[None, :]
                     ksc_att = jnp.where(colv, ksc_new, ksc_att)
                     vsc_att = jnp.where(colv, vsc_new, vsc_att)
                     out_kv = (
@@ -826,7 +868,7 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                 ).astype(jnp.int8).reshape(b, max_len, s)
                 k_att = jnp.where(colm, k_new_i.astype(jnp.int8), k_att)
                 v_att = jnp.where(colm, v_new_i.astype(jnp.int8), v_att)
-                colv = (jnp.arange(max_len) == pos)[None, :]
+                colv = (jnp.arange(max_len) == spos)[None, :]
                 ksc_att = jnp.where(colv, ksc_new, ksc_att)
                 vsc_att = jnp.where(colv, vsc_new, vsc_att)
                 out_kv = (
@@ -869,13 +911,57 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
                 # the per-column K scale factors out of the d-dot
                 logits = logits * ksc_att[:, None, :].astype(logits.dtype)
             logits = jnp.where(valid[:, None, :], logits, -jnp.inf)
+            if pk is not None:
+                # SHARED-PREFIX attention: the prompt K/V are identical
+                # for every row of an utterance (ancestor slot 0 is an
+                # invariant of the append-only protocol), so the rows
+                # attend to one per-utterance S-minor tensor through the
+                # same grouped einsum as cross attention. Logits concat
+                # [prefix, suffix] preserves the single-cache column
+                # order through the softmax.
+                u_count = pk.shape[0]
+                rg_u = b // u_count
+                p_len = pk.shape[-1]
+                qp = q1.reshape(u_count, rg_u, s)
+                if prefix_quant:
+                    pkx = pk.astype(x.dtype)
+                    pvx = pv.astype(x.dtype)
+                    qp = (qp.astype(jnp.float32) * scale
+                          * pk_s[:, None, :]).astype(x.dtype)
+                else:
+                    pkx, pvx = pk, pv
+                    qp = qp * scale
+                qph = qp.reshape(u_count, rg_u, h, hd)
+                pkh = pkx.reshape(u_count, h, hd, p_len)
+                logits_pre = _logits_einsum("urhd,uhdp->urhp", qph, pkh)
+                if prefix_valid is not None:
+                    logits_pre = jnp.where(
+                        prefix_valid[:, None, None, :], logits_pre,
+                        -jnp.inf,
+                    )
+                logits = jnp.concatenate(
+                    [logits_pre.reshape(b, h, p_len), logits], axis=-1
+                )
             w = jax.nn.softmax(logits, axis=-1).astype(hcur.dtype)
+            if pk is not None:
+                w_pre, w = w[..., :p_len], w[..., p_len:]
             if self_quant:
                 # ... and the V scale folds into the probabilities
                 w = (w.astype(jnp.float32)
                      * vsc_att[:, None, :]).astype(hcur.dtype)
             att_full = einsum("bhs,bsd->bhd", w, v_att)    # (b, h, n_state)
-            att = (att_full * headmask[None]).sum(axis=1).reshape(b, 1, s)
+            att = (att_full * headmask[None]).sum(axis=1)
+            if pk is not None:
+                pvh = pvx.reshape(u_count, h, hd, p_len)
+                wp = w_pre.reshape(u_count, rg_u, h, p_len)
+                att_pre = einsum("urhp,uhdp->urhd", wp, pvh)
+                if prefix_quant:
+                    att_pre = (
+                        att_pre.astype(jnp.float32)
+                        * pv_s[:, None, :].reshape(u_count, 1, h, hd)
+                    ).astype(att.dtype)
+                att = att + att_pre.reshape(b, s).astype(att.dtype)
+            att = att.reshape(b, 1, s)
         else:
             if row_gather is not None:
                 ck_layer = jnp.take(ck_layer, row_gather, axis=0)
@@ -986,6 +1072,8 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
         xs_scan += [cross_k, cross_k_scale, cross_v, cross_v_scale]
     else:
         xs_scan += [cross_k, cross_v]
+    if prefix_kv is not None:
+        xs_scan += list(prefix_kv)
     x, new_kv = jax.lax.scan(body, x, tuple(xs_scan), unroll=unroll)
     new_k, new_v = new_kv[0], new_kv[1]
     x = layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
