@@ -422,6 +422,7 @@ def decode_logits(params: dict, cfg: WhisperDecoderConfig, tokens, audio_feature
     ).astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def decode_logits_with_cross_qk(params: dict, cfg: WhisperDecoderConfig,
                                 tokens, audio_features,
                                 compute_dtype=jnp.float32):

@@ -136,3 +136,47 @@ def test_cached_decode_matches_full_forward(rng):
         np.testing.assert_allclose(
             np.asarray(logits), full[:, t], rtol=2e-4, atol=2e-4
         )
+
+
+def test_prefill_cache_matches_sequential_steps():
+    """models/whisper.prefill_cache (one parallel causal pass) produces
+    the same per-layer K/V columns as walking the prefix through
+    decode_step_cached one column at a time — the protocol the beam's
+    prefill replaced in round 5 (shared + ragged prefixes)."""
+    import jax
+
+    from dualhyp_tpu.models import whisper as w
+
+    cfg = w.WhisperDecoderConfig(n_vocab=96, n_ctx=32, n_state=64,
+                                 n_head=4, n_layer=2)
+    params = w.init_decoder(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(3, 8, cfg.n_state)), jnp.float32)
+    cross = w.precompute_cross_kv(params, cfg, feats)
+    p_len = 6
+    toks = rng.integers(1, cfg.n_vocab, size=(3, p_len)).astype(np.int32)
+    offsets = np.asarray([0, 2, 4], np.int32)
+
+    for off in (None, jnp.asarray(offsets)):
+        # sequential reference: the pre-round-5 per-column walk
+        cache = w.init_self_cache(cfg, 3, p_len)
+        for t in range(p_len):
+            _, cols = w.decode_step_cached(
+                params, cfg, jnp.asarray(toks[:, t]), t, cache, cross,
+                pos_offset=off,
+            )
+            cache = cols  # non-anc path returns the rewritten cache
+        ks, vs = w.prefill_cache(params, cfg, jnp.asarray(toks), cross,
+                                 pos_offset=off)
+        got_k = np.asarray(ks)  # (L, B, P, S)
+        got_v = np.asarray(vs)
+        want_k = np.asarray(cache["k"])
+        want_v = np.asarray(cache["v"])
+        for b in range(3):
+            lo = 0 if off is None else int(offsets[b])
+            # columns before a ragged row's start are junk in both
+            # protocols (masked everywhere they could be read)
+            np.testing.assert_allclose(
+                got_k[:, b, lo:], want_k[:, b, lo:], rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(
+                got_v[:, b, lo:], want_v[:, b, lo:], rtol=2e-5, atol=2e-6)
