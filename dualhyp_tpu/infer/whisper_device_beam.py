@@ -75,16 +75,26 @@ def _layer_unroll() -> int:
     return int(os.environ.get("DUALHYP_WHISPER_LAYER_UNROLL", "1"))
 
 
+def _sel_mode() -> str:
+    """Ancestor-selection formulation (DUALHYP_BEAM_SEL):
+    - `flat` (default): one block-diagonal (B, B, T) one-hot over all
+      rows — zero relayout copies, selection MACs quadratic in total
+      rows (fine at U<=8 x beam 50; 95.6 vs 116.5 ms/utt vs grouped).
+    - `grouped`: the (U, R, R, T) per-utterance einsum — linear MACs,
+      but the (u, beam) row split breaks the cache slice's (8, 128)
+      tiling whenever beam % 8 != 0 (relayout copies, ~6 ms/step).
+    - `padded`: grouped with the rows per group PADDED to a sublane
+      multiple (50 -> 56): linear MACs and (in theory) clean tiling, at
+      +12% rows through the GEMMs. MEASURED WORSE than both (124.0 vs
+      flat 91.9 / grouped 116.5 ms/utt at U=8 int8): the row padding
+      did not buy the expected relayout-free lowering and the extra
+      rows tax every GEMM. Kept selectable for future hardware.
+    All three are token-identical (decoding-rules parity suite)."""
+    return os.environ.get("DUALHYP_BEAM_SEL", "flat")
+
+
 def _sel_flat() -> bool:
-    """Ancestor-selection formulation (DUALHYP_BEAM_SEL): `flat` = one
-    block-diagonal (B, B, T) one-hot over all rows, `grouped` = the
-    (U, R, R, T) per-utterance einsum. See decode_step_cached — flat
-    trades 8x the (cheap, int8 MXU) selection MACs for zero relayout
-    copies of the cache slice. Bit-exact either way (both pass the full
-    decoding-rules parity suite). DEFAULT flat since round 5: 95.6 vs
-    116.5 ms/utt batched int8 U=8 and 22.49 vs 27.41 ms/step same-run
-    (scripts/bench_whisper_beam.py)."""
-    return os.environ.get("DUALHYP_BEAM_SEL", "flat") == "flat"
+    return _sel_mode() == "flat"
 
 
 def _row_top_k(x, k, chunk=128):
@@ -115,7 +125,7 @@ def _row_top_k(x, k, chunk=128):
 @partial(
     jax.jit,
     static_argnames=(
-        "dec_cfg", "n_utt", "beam", "k_top", "sel_k", "n_steps",
+        "dec_cfg", "n_utt", "beam", "beam_pad", "k_top", "sel_k", "n_steps",
         "sample_begin", "eos", "max_cand", "use_ts", "tb", "eot",
         "max_init_idx", "use_suppress", "use_blank", "use_ts_static",
         "early_exit", "unroll", "flat_sel",
@@ -140,6 +150,7 @@ def _beam_chunk(
     dec_cfg,
     n_utt,
     beam,
+    beam_pad,
     k_top,
     sel_k,
     n_steps,
@@ -166,9 +177,15 @@ def _beam_chunk(
     from dualhyp_tpu.models import whisper as w
 
     n_vocab = dec_cfg.n_vocab
-    rows = n_utt * beam
-    u_of_row = jnp.arange(rows) // beam
-    row_in_u = jnp.arange(rows) % beam
+    # beam_pad >= beam: physical rows per utterance group, padded to a
+    # sublane multiple in `padded` selection mode so the grouped
+    # selection einsum's (u, beam_pad) row split keeps the cache slice's
+    # (8, 128) tiling. Pad rows carry -inf scores and are never
+    # selected; `beam` remains the logical beam everywhere selection
+    # semantics care.
+    rows = n_utt * beam_pad
+    u_of_row = jnp.arange(rows) // beam_pad
+    row_in_u = jnp.arange(rows) % beam_pad
     iota = jnp.arange(n_vocab)
 
     def one(carry, s):
@@ -210,13 +227,13 @@ def _beam_chunk(
             # (8, 128)-tile relayout copy per layer per step whenever
             # beam % 8 != 0 (see decode_step_cached).
             onehot = jax.nn.one_hot(
-                u_of_row[:, None] * beam + anc_step, rows, axis=1,
+                u_of_row[:, None] * beam_pad + anc_step, rows, axis=1,
                 dtype=oh_dtype,
             )
         else:
             onehot = jax.nn.one_hot(
-                anc_step.reshape(n_utt, beam, t_buf), beam, axis=2,
-                dtype=oh_dtype,
+                anc_step.reshape(n_utt, beam_pad, t_buf), beam_pad,
+                axis=2, dtype=oh_dtype,
             )
         kv_scales = None
         if self_quant:
@@ -237,7 +254,7 @@ def _beam_chunk(
                     _einsum(
                         "urst,lust->lurt", oh32,
                         cache[key].reshape(
-                            dec_cfg.n_layer, n_utt, beam, t_buf
+                            dec_cfg.n_layer, n_utt, beam_pad, t_buf
                         ),
                     ).reshape(dec_cfg.n_layer, rows, t_buf)
                     for key in ("k_scale", "v_scale")
@@ -294,10 +311,10 @@ def _beam_chunk(
         total = scores[:, None] + cand_scores
         row_live = row_in_u < live_count[u_of_row]
         total = jnp.where(row_live[:, None], total, _NEG)
-        flat = total.reshape(n_utt, beam * k_top)
+        flat = total.reshape(n_utt, beam_pad * k_top)
         sel_scores, sel_flat = jax.lax.top_k(flat, sel_k)  # sorted desc
         sel_tok = jnp.take_along_axis(
-            cand.reshape(n_utt, beam * k_top), sel_flat, axis=1
+            cand.reshape(n_utt, beam_pad * k_top), sel_flat, axis=1
         )
         valid = jnp.isfinite(sel_scores)
         eosm = (sel_tok == eos) & valid
@@ -310,12 +327,12 @@ def _beam_chunk(
         keep_eos = eosm & (live_before < beam)
 
         uu = jnp.arange(n_utt)[:, None]
-        dst = jnp.where(keep_live, l_inc - 1, beam)  # beam == dropped
-        new_parent = jnp.zeros((n_utt, beam), jnp.int32).at[uu, dst].set(
+        dst = jnp.where(keep_live, l_inc - 1, beam_pad)  # == dropped
+        new_parent = jnp.zeros((n_utt, beam_pad), jnp.int32).at[uu, dst].set(
             sel_flat // k_top, mode="drop")
-        new_tok = jnp.zeros((n_utt, beam), jnp.int32).at[uu, dst].set(
+        new_tok = jnp.zeros((n_utt, beam_pad), jnp.int32).at[uu, dst].set(
             sel_tok, mode="drop")
-        new_scores = jnp.full((n_utt, beam), -jnp.inf, jnp.float32).at[
+        new_scores = jnp.full((n_utt, beam_pad), -jnp.inf, jnp.float32).at[
             uu, dst].set(sel_scores, mode="drop")
 
         live_count = jnp.where(
@@ -326,7 +343,7 @@ def _beam_chunk(
         )
 
         # ---- apply the selection ----
-        gparent = u_of_row * beam + new_parent.reshape(-1)
+        gparent = u_of_row * beam_pad + new_parent.reshape(-1)
         anc = anc_step[gparent]  # (R, T) int32 — the only re-parenting
         tokf = new_tok.reshape(-1)
         tokens = tokens[gparent]
@@ -552,7 +569,11 @@ def device_beam_search_batch(
     from dualhyp_tpu.models import whisper as w
 
     n_utt = features.shape[0]
-    rows = n_utt * beam_size
+    sel_mode = _sel_mode()
+    beam_pad = (
+        -(-beam_size // 8) * 8 if sel_mode == "padded" else beam_size
+    )
+    rows = n_utt * beam_pad
     if chunk_steps is None:
         chunk_steps = 16 if n_utt > 1 else max_new_tokens
     # RAGGED prefixes: `prefix` may be one shared List[int] (the batched
@@ -580,7 +601,7 @@ def device_beam_search_batch(
             [sample_begin - n for n in utt_sb], np.int32
         )
         utt_off = jnp.asarray(off_np)
-        row_off = jnp.asarray(np.repeat(off_np, beam_size))
+        row_off = None  # built after beam_pad is known
         pmat = np.zeros((n_utt, sample_begin), np.int32)
         for u, p in enumerate(prefixes):
             pmat[u, sample_begin - len(p):] = p
@@ -638,6 +659,8 @@ def device_beam_search_batch(
     cache = w.init_self_cache(
         dec_cfg, rows, cap, dtype=cache_dtype, quantize=self_kv_quant
     )
+    if per_utt:
+        row_off = jnp.asarray(np.repeat(off_np, beam_pad))
 
     def vocab_mask(ids):
         m = np.zeros((n_vocab,), np.float32)
@@ -684,7 +707,7 @@ def device_beam_search_batch(
 
     tokens0 = np.zeros((rows, t_full), np.int32)
     if per_utt:
-        tokens0[:, :sample_begin] = np.repeat(pmat, beam_size, axis=0)
+        tokens0[:, :sample_begin] = np.repeat(pmat, beam_pad, axis=0)
     else:
         tokens0[:, :sample_begin] = prefix
     state = (
@@ -704,7 +727,8 @@ def device_beam_search_batch(
     )
 
     chunk_kwargs = dict(
-        dec_cfg=dec_cfg, n_utt=n_utt, beam=beam_size, k_top=k_top,
+        dec_cfg=dec_cfg, n_utt=n_utt, beam=beam_size,
+        beam_pad=beam_pad, k_top=k_top,
         sel_k=sel_k, sample_begin=sample_begin, eos=eos_id,
         max_cand=max_candidates, use_ts=use_ts, tb=tb, eot=eot,
         max_init_idx=max_init_idx, use_suppress=use_suppress,
@@ -714,7 +738,7 @@ def device_beam_search_batch(
         # inside the traced body would not key the jit cache, so
         # toggling it mid-process would silently reuse the stale trace
         unroll=_layer_unroll(),
-        flat_sel=_sel_flat(),
+        flat_sel=sel_mode == "flat",
     )
 
     # host-side mirrors, rebuilt by replaying the device rule
@@ -770,8 +794,8 @@ def device_beam_search_batch(
             idx = keep + [keep[0]] * (n_new - len(keep))
             amap = [amap[i] for i in keep] + [None] * (n_new - len(keep))
             ui = jnp.asarray(idx, jnp.int32)
-            ri = (ui[:, None] * beam_size
-                  + jnp.arange(beam_size)[None, :]).reshape(-1)
+            ri = (ui[:, None] * beam_pad
+                  + jnp.arange(beam_pad)[None, :]).reshape(-1)
             tokens, scores, anc = tokens[ri], scores[ri], anc[ri]
             lt, pt, has, stamp = lt[ri], pt[ri], has[ri], stamp[ri]
             if row_off is not None:
