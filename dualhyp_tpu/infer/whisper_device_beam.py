@@ -83,6 +83,10 @@ def _sel_mode() -> str:
     - `grouped`: the (U, R, R, T) per-utterance einsum — linear MACs,
       but the (u, beam) row split breaks the cache slice's (8, 128)
       tiling whenever beam % 8 != 0 (relayout copies, ~6 ms/step).
+    - `flat16`: flat with the selection run as a bf16 MXU matmul even
+      over an int8 cache (values exact in bf16). MEASURED WORSE than
+      int8 flat (102.9 vs 91.9 ms/utt at U=8): the doubled selection
+      output/convert bytes outweigh the int8 emitter's inefficiency.
     - `padded`: grouped with the rows per group PADDED to a sublane
       multiple (50 -> 56): linear MACs and (in theory) clean tiling, at
       +12% rows through the GEMMs. MEASURED WORSE than both (124.0 vs
@@ -128,7 +132,7 @@ def _row_top_k(x, k, chunk=128):
         "dec_cfg", "n_utt", "beam", "beam_pad", "k_top", "sel_k", "n_steps",
         "sample_begin", "eos", "max_cand", "use_ts", "tb", "eot",
         "max_init_idx", "use_suppress", "use_blank", "use_ts_static",
-        "early_exit", "unroll", "flat_sel",
+        "early_exit", "unroll", "flat_sel", "flat16",
     ),
     donate_argnums=(2,),
 )
@@ -167,6 +171,7 @@ def _beam_chunk(
     early_exit=False,
     unroll=1,
     flat_sel=False,
+    flat16=False,
 ):
     """`n_steps` lockstep beam steps with DEVICE-side candidate selection
     (the reference BeamSearchDecoder.update rule), ONE host transfer per
@@ -214,8 +219,15 @@ def _beam_chunk(
         )
         self_quant = "k_scale" in cache
         # int8 one-hot for the int8 cache: the history selection runs as
-        # an s8 x s8 -> s32 MXU dot inside decode_step_cached
-        oh_dtype = jnp.int8 if self_quant else cache["k"].dtype
+        # an s8 x s8 -> s32 MXU dot inside decode_step_cached.
+        # flat16: compute-dtype one-hot -> the selection runs as a bf16
+        # MXU matmul instead (decode_step_cached branches on the one-hot
+        # dtype; int8 cache values are exact in bf16)
+        if self_quant:
+            oh_dtype = (dec_params["token_embedding"].dtype
+                        if flat16 else jnp.int8)
+        else:
+            oh_dtype = cache["k"].dtype
         from dualhyp_tpu.ops.linalg import einsum as _einsum
 
         if flat_sel:
@@ -738,7 +750,8 @@ def device_beam_search_batch(
         # inside the traced body would not key the jit cache, so
         # toggling it mid-process would silently reuse the stale trace
         unroll=_layer_unroll(),
-        flat_sel=sel_mode == "flat",
+        flat_sel=sel_mode in ("flat", "flat16"),
+        flat16=sel_mode == "flat16",
     )
 
     # host-side mirrors, rebuilt by replaying the device rule

@@ -807,7 +807,40 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
             flat_sel = anc_onehot.ndim == 3
             colm = (jnp.arange(max_len) == spos)[None, :, None]
             if flat_sel:
-                if self_quant:
+                if self_quant and anc_onehot.dtype != jnp.int8:
+                    # flat16 mode: the int8 s8xs8->s32 selection dot
+                    # lowers through the convolution emitter at ~27 GB/s
+                    # effective (round-5 trace); this variant runs the
+                    # SAME selection as a bf16 MXU matmul — int8 cache
+                    # values are exact in bf16, the convert fuses into
+                    # the operand read, outputs land in compute dtype
+                    k_new_i, ksc_new = _q8(k_new)
+                    v_new_i, vsc_new = _q8(v_new)
+                    k_att = jnp.einsum(
+                        "bst,std->btd", anc_onehot,
+                        ck_layer.astype(anc_onehot.dtype),
+                        preferred_element_type=anc_onehot.dtype,
+                    )
+                    v_att = jnp.einsum(
+                        "bst,std->btd", anc_onehot,
+                        cv_layer.astype(anc_onehot.dtype),
+                        preferred_element_type=anc_onehot.dtype,
+                    )
+                    k_att = jnp.where(
+                        colm, k_new_i.astype(k_att.dtype), k_att)
+                    v_att = jnp.where(
+                        colm, v_new_i.astype(v_att.dtype), v_att)
+                    colv = (jnp.arange(max_len) == spos)[None, :]
+                    ksc_att = jnp.where(colv, ksc_new, ksc_att)
+                    vsc_att = jnp.where(colv, vsc_new, vsc_att)
+                    out_kv = (
+                        k_new_i[:, 0].astype(jnp.int8),
+                        v_new_i[:, 0].astype(jnp.int8),
+                        ksc_new[:, 0], vsc_new[:, 0],
+                    )
+                    k_att = k_att.astype(x.dtype)
+                    v_att = v_att.astype(x.dtype)
+                elif self_quant:
                     k_new_i, ksc_new = _q8(k_new)
                     v_new_i, vsc_new = _q8(v_new)
                     oh8 = anc_onehot  # already int8 (caller-built)
