@@ -1,5 +1,11 @@
 #!/usr/bin/env bash
 # Round-4l TPU measurement backlog — run when the axon tunnel is back
+#
+# STATUS (round 5): ALL items below were executed and recorded —
+# bench sanity + long-form int8 A/Bs superseded by the round-5 fixed-work
+# protocol (BENCH_NOTES round 5: 20.9x triple-int8), and the int8 beam
+# profile ran (the round-5 flat-selection + shared-prefix work came out
+# of it). Kept for the record only.
 # (second outage of the round, 2026-08-20 ~01:00 UTC: probes hang at
 # jax.devices(); the int8 long-form compile stalled mid-campaign with
 # no compile-cache writes after 00:46).
