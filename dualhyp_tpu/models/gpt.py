@@ -728,7 +728,7 @@ def _block(cfg: GPTConfig, leaves, x, cos, sin, layer_idx, rng=None,
             # prefill: write the whole prompt at slot 0 and run causal
             # attn from the EXACT pre-quantization k/v (decode steps
             # then read the rounded cache — same protocol as the whisper
-            # beam's exact prefill + quantize_self_cache)
+            # beam's exact prefill + post-hoc prompt quantization)
             ck = jax.lax.dynamic_update_slice(ck, k_q.astype(ck.dtype), (0, 0, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_q.astype(cv.dtype), (0, 0, 0, 0))
             if quant:

@@ -575,17 +575,6 @@ def init_self_cache(cfg: WhisperDecoderConfig, batch: int, max_len: int,
     }
 
 
-def quantize_self_cache(cache: dict) -> dict:
-    """Quantize a float K/V self cache (e.g. a prefill's) to the int8
-    layout of init_self_cache(quantize="int8")."""
-    out = {}
-    for key in ("k", "v"):
-        q, sc = _q8(cache[key])
-        out[key] = q.astype(jnp.int8)
-        out[key + "_scale"] = sc
-    return out
-
-
 def _logits_einsum(sub, a, b):
     """Attention-logits einsum with f32 OUTPUT without upcasting the
     operands. On f32 inputs (the CPU test path) identical to the
@@ -629,18 +618,18 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     pos_offset: optional (B,) int32 enabling RAGGED per-row prefixes in a
     lockstep batch (the long-form n-best streams decode windows with
     different rolling prompts in ONE batched beam, BENCH_NOTES round 4j's
-    named lever). Rows stay column-lockstep — the cache write index is
-    still the shared `pos` — but row b's LOGICAL position is
-    `pos - pos_offset[b]` (its prefix is right-aligned into the shared
-    buffer: columns [pos_offset[b], P) hold its real tokens). Per row:
-    the positional embedding is looked up at the logical position and
-    attention masks out columns < pos_offset[b]. Column `pos` is always
-    kept valid so a pre-start row (a ragged prefill walking columns
-    before the row's first real token) softmaxes over one finite logit
-    instead of NaN-ing — its outputs land only in its own masked-out
-    columns. With pos_offset == zeros this is exactly the shared-prefix
-    path (same values; the PE lookup is a take instead of a
-    dynamic_slice).
+    named lever). Rows stay column-lockstep; row b's LOGICAL position is
+    `pos - pos_offset[b]` (its prefix is right-aligned: columns
+    [pos_offset[b], P) hold its real tokens) and its positional
+    embedding is looked up at that logical position. In the split-cache
+    protocol (prefix_kv + cache_pos) the ragged ATTENTION masking lives
+    entirely in `prefix_valid` — every suffix column is past every
+    row's start. In the legacy combined-cache mode (cache_pos=None)
+    attention additionally masks columns < pos_offset[b], with column
+    `pos` always kept valid so a pre-start row softmaxes over one
+    finite logit instead of NaN-ing. With pos_offset == zeros this is
+    exactly the shared-prefix-token path (same values; the PE lookup is
+    a take instead of a dynamic_slice).
 
     row_gather: optional (B,) int32 — re-parent the self-attention cache
     rows (returned cache row i = input row row_gather[i], with this
@@ -650,12 +639,13 @@ def decode_step_cached(params: dict, cfg: WhisperDecoderConfig, tokens, pos,
     (which at whisper-large beam-50 sizes is ~4.6 GB/step of pure HBM
     traffic). Bit-exact vs permuting the cache before the call.
 
-    anc_onehot: optional (U, R, R, T) one-hot ancestor selector (R = beam
-    rows per utterance, B = U*R, T = cache length) for the APPEND-ONLY
-    cache protocol: rows are never permuted; row i's column t holds the
+    anc_onehot: optional one-hot ancestor selector for the APPEND-ONLY
+    cache protocol — grouped (U, R, R, T) (R = beam rows per utterance,
+    B = U*R, T = suffix cache length) or flat block-diagonal (B, B, T)
+    over global row slots (the round-5 default; see the in-body
+    comment): rows are never permuted; row i's column t holds the
     K/V written by whichever hypothesis occupied slot i at step t, and
-    anc_onehot[u, r, s, t] = 1 selects hypothesis r's ancestor slot s at
-    step t. History selection runs as a grouped one-hot MXU einsum (a
+    the one-hot selects each row's ancestor slot per column. History selection runs as a grouped one-hot MXU einsum (a
     per-(row,step) gather lowers to a DMA loop inside lax.scan — the
     round-4b VSR lesson), the current step's K/V is injected into its
     column without touching the cache, and the function returns the new
