@@ -181,16 +181,24 @@ def main():
               f"{len(results)} hypothesis streams, {n_segs} segments",
               flush=True)
 
-        # tunnel RTT probe: a 224-budget run syncs host<->device ~70
-        # times, so the per-period RTT must be on the record for the
-        # realtime factor to be comparable across measurement sessions
+        # tunnel probes: a 224-budget run syncs host<->device ~70 times
+        # (RTT-sensitive) and fetches a ~134 KB ys pack per round
+        # (download-BW-sensitive), so BOTH must be on the record — the
+        # 2026-08-20 degradation dropped download to 0.4 MB/s while RTT
+        # looked normal (CLAUDE.md), which inflates fetch-heavy benches
+        # only
         x = jnp.zeros(()) + 1.0
         jax.block_until_ready(x)
         t0 = time.perf_counter()
         for _ in range(10):
             float(jnp.asarray(x) + 1.0)
         rtt_ms = (time.perf_counter() - t0) / 10 * 1e3
-        print(f"  tunnel sync RTT: {rtt_ms:.1f} ms", flush=True)
+        big = jax.block_until_ready(jnp.zeros((1024, 1024)))  # 4 MB
+        t0 = time.perf_counter()
+        np.asarray(big)
+        down = 4.0 / max(time.perf_counter() - t0, 1e-9)
+        print(f"  tunnel sync RTT: {rtt_ms:.1f} ms, "
+              f"download {down:.0f} MB/s", flush=True)
 
         times = []
         for _ in range(max(args.reps, 1)):
